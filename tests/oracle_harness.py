@@ -1,0 +1,69 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs a registered Spark query and its oracle SQL side by side and asserts
+row-count + column-name + value equality (order-insensitive). Floats are
+compared EXACTLY — the engine's queries are designed (exact decimal sums,
+deterministic per-row IEEE arithmetic) so both engines agree bit-for-bit;
+a soft tolerance here would hide mismatches the driver would flag.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from tf_datapipeline_spark.catalog import TABLES, table_path
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+            )
+        return con.execute(sql).fetchall(), [d[0] for d in con.description]
+    finally:
+        con.close()
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):  # datetime/date — compare as ISO strings
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _norm_rows(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    normed = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(normed, key=repr)
+
+
+def compare(spark_df, oracle_query: str, sf_dir: str, name: str = "?"):
+    got_rows = [tuple(r) for r in spark_df.collect()]
+    got_cols = spark_df.columns
+    exp_rows, exp_cols = run_oracle(oracle_query, sf_dir)
+
+    assert sorted(got_cols) == sorted(exp_cols), (
+        f"{name}: column mismatch spark={sorted(got_cols)} oracle={sorted(exp_cols)}"
+    )
+    assert len(got_rows) == len(exp_rows), (
+        f"{name}: row count spark={len(got_rows)} oracle={len(exp_rows)}"
+    )
+    g = _norm_rows(got_rows, got_cols)
+    e = _norm_rows(exp_rows, exp_cols)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(g, e)) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+    )

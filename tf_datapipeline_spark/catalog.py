@@ -1,0 +1,47 @@
+"""Parquet catalog over the driver test tables.
+
+The reference's only "catalog" is a directory-of-files image corpus whose
+label is encoded in the path (reference: generator.py:8-34). Our engine's
+catalog is a flat Parquet directory per scale factor; Spark gets schema,
+column pruning, and predicate pushdown from the Parquet footers for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Plain `spark.read.parquet` so Catalyst keeps
+    pushdown/pruning; callers should `.select()` early so ReadSchema stays
+    narrow at 100 TB."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for the SQL surface)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,48 @@
+"""Order-independent (exact) floating aggregates.
+
+Why: `SUM(double)` is order-dependent (IEEE addition is not associative),
+so Spark (parallel, partition-order) and any oracle engine disagree in the
+last ulps. Casting each addend to DECIMAL makes addition exact and
+associative: both engines produce bit-identical results regardless of
+partition count or plan shape. This matters beyond the correctness gate —
+it also makes results stable across reruns of a 1000-executor job.
+
+The cost is a decimal-typed partial aggregate (still map-side combinable,
+still whole-stage codegen'd in Spark) — negligible next to the shuffle.
+
+Per-row float arithmetic (a*b, a/b, comparisons) is left as plain double:
+single IEEE ops are deterministic and identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# 28 digits total, `scale` fractional: enough headroom for 1e14 rows of
+# 1e9-scale addends without overflow at scale 4.
+_PRECISION = 28
+
+
+def dsum(col: Column | str, scale: int = 4) -> Column:
+    """Exact sum: cast each addend to DECIMAL(28, scale), sum, emit double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(T.DecimalType(_PRECISION, scale))).cast("double")
+
+
+def davg(col: Column | str, scale: int = 4) -> Column:
+    """Exact-sum average: exact decimal sum divided by count (one IEEE
+    division at the end — deterministic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c, scale) / F.count(c)
+
+
+def sql_dsum(expr: str, scale: int = 4) -> str:
+    """DuckDB twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({_PRECISION},{scale}))) AS DOUBLE)"
+
+
+def sql_davg(expr: str, scale: int = 4) -> str:
+    """DuckDB twin of :func:`davg`."""
+    return f"({sql_dsum(expr, scale)} / COUNT({expr}))"

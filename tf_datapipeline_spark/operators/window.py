@@ -1,0 +1,179 @@
+"""Window / analytic functions (SURVEY.md §2B "window/analytic"):
+rank, row_number, dense_rank, lag/lead, frame aggregates, top-k per group,
+percent_rank/cume_dist.
+
+Absent from the reference (SURVEY §2A: "no window functions"); required by
+the driver contract. All windows partition by a real key — never a global
+`Window.orderBy()` without partitioning, which would serialize the whole
+dataset through one task at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tf_datapipeline_spark.catalog import load_table
+from tf_datapipeline_spark.functions.exact import dsum
+from tf_datapipeline_spark.registry import query
+
+
+# --------------------------------------------------------------------------
+# q20 — ranking family per customer over their orders.
+# --------------------------------------------------------------------------
+@query(
+    "q20_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER()  OVER w AS rn,
+           RANK()        OVER w AS rnk,
+           DENSE_RANK()  OVER w AS drnk,
+           LAG(o_totalprice)  OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q20_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q21 — frame aggregates: running sum + trailing-3 moving average per order.
+# Running sums use exact decimal addition so partial-order evaluation in
+# Spark matches the oracle bit-for-bit. The window order includes the
+# summed value (l_quantity) as tie-break: (l_orderkey, l_linenumber) is not
+# unique in the data, and a running sum over a non-total order is engine-
+# dependent.
+# --------------------------------------------------------------------------
+@query(
+    "q21_window_running",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)))
+                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)))
+                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(COUNT(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS trailing3_avg_qty
+    FROM lineitem
+    """,
+)
+def q21_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_quantity")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trail = w.rowsBetween(-2, Window.currentRow)
+    qty_dec = F.col("l_quantity").cast("decimal(28,4)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.sum(qty_dec).over(run).cast("double").alias("running_qty"),
+        (
+            F.sum(qty_dec).over(trail).cast("double")
+            / F.count(F.lit(1)).over(trail).cast("double")
+        ).alias("trailing3_avg_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q22 — top-k per group (the canonical window + filter idiom).
+# --------------------------------------------------------------------------
+@query(
+    "q22_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn <= 2
+    """,
+)
+def q22_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# q23 — distribution functions per segment.
+# --------------------------------------------------------------------------
+@query(
+    "q23_percentiles",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume,
+           NTILE(4)       OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q24 — windowed revenue share: per-group total via window, per-row share
+# (deterministic division of exact sums).
+# --------------------------------------------------------------------------
+@query(
+    "q24_revenue_share",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+                OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total,
+           o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+                OVER (PARTITION BY o_custkey) AS DOUBLE) AS share
+    FROM orders
+    """,
+)
+def q24_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    total = F.sum(F.col("o_totalprice").cast("decimal(28,4)")).over(w).cast("double")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        total.alias("cust_total"),
+        (F.col("o_totalprice") / total).alias("share"),
+    )
