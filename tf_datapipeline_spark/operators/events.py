@@ -1,1 +1,246 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-time operators over the `events` table (SURVEY.md §2B
+"events/streaming"): tumbling/sliding windows, sessionization, stateful
+first-event dedup, late-data (watermark-analog) filtering, JSON props.
+
+Each operator is written as a *batch* DataFrame transform so the DuckDB
+oracle can check it; :mod:`tf_datapipeline_spark.streaming` wires the same
+semantics behind Structured Streaming (readStream → withWatermark →
+window/session_window) where the reference's queue/prefetch machinery
+(B6/B7) maps to Spark's native incremental execution.
+
+Scale notes: window aggs shuffle on (window, key) — uniform in time →
+no skew; sessionization partitions by user_id (150 → millions of users at
+scale: fine); late-data filter broadcasts one scalar (the max watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tf_datapipeline_spark.catalog import load_table
+from tf_datapipeline_spark.functions.exact import dsum, sql_dsum
+from tf_datapipeline_spark.registry import query
+
+
+# --------------------------------------------------------------------------
+# q40 — tumbling event-time window (5 min) per event type.
+# Spark `window()` anchors at the epoch; DuckDB `time_bucket` likewise for
+# sub-day widths — identical bucket starts.
+# --------------------------------------------------------------------------
+@query(
+    "q40_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", 6)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q40_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q41 — sliding window (10 min width, 5 min slide): every event lands in 2
+# windows. Oracle realizes the same assignment by unioning the two bucket
+# offsets.
+# --------------------------------------------------------------------------
+@query(
+    "q41_sliding_window",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS window_start,
+             value
+      FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events, {sql_dsum("value", 6)} AS sum_value
+    FROM assigned GROUP BY 1
+    """,
+)
+def q41_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# q42 — sessionization (30-minute inactivity gap) per user: classic
+# gaps-and-islands — lag(ts) → new-session flag → running count = session
+# id. The same semantics as streaming `session_window(ts, '30 minutes')`
+# (streaming variant in tf_datapipeline_spark/streaming/).
+# --------------------------------------------------------------------------
+@query(
+    "q42_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions GROUP BY 1, 2
+    """,
+)
+def q42_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap > 30 * 60, 1).when(gap.isNull(), 1).otherwise(0).alias("new_session"),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.select(
+        "user_id", "ts", "event_id", F.sum("new_session").over(run).alias("session_id")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q43 — stateful dedup: first event per (user_id, event_type) by event
+# time (streaming analog: dropDuplicates within watermark; batch form is
+# the deterministic row_number idiom).
+# --------------------------------------------------------------------------
+@query(
+    "q43_event_dedup_first",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q43_event_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+
+
+# --------------------------------------------------------------------------
+# q44 — late-data policy, batch analog of a watermark: drop events older
+# than (global max ts - 7 days). The watermark scalar is computed once and
+# broadcast into the filter — no per-row shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "q44_late_data_filter",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_kept, {sql_dsum("value", 6)} AS sum_value
+    FROM events
+    WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL '7 days'
+    GROUP BY 1
+    """,
+)
+def q44_late_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    watermark = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("wm")
+    )
+    return (
+        ev.join(F.broadcast(watermark))
+        .filter(F.col("ts") >= F.col("wm"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"), dsum("value", 6).alias("sum_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q45 — semi-structured props: JSON field extraction + typed aggregation
+# (P1's schema-on-read, applied to the events payload).
+# --------------------------------------------------------------------------
+@query(
+    "q45_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q45_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.min(k).alias("min_k"), F.max(k).alias("max_k")
+    )
+
+
+# --------------------------------------------------------------------------
+# q46 — session stats rollup: events-per-session distribution per user
+# (composition of q42 + aggregation; exact integer arithmetic).
+# --------------------------------------------------------------------------
+@query(
+    "q46_session_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events
+      FROM sessions GROUP BY 1, 2
+    )
+    SELECT user_id, COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_events_per_session,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events
+    FROM per_session GROUP BY 1
+    """,
+)
+def q46_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_session = q42_sessionization(spark, sf_dir)
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias(
+            "avg_events_per_session"
+        ),
+        F.max("n_events").alias("max_session_events"),
+    )

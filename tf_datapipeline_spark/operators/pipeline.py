@@ -1,1 +1,330 @@
-"""Placeholder — populated in a later milestone."""
+"""The reference's own pipeline operator surface, re-expressed relationally
+(SURVEY.md §2A): label-dictionary build (S1/P6), seeded shuffle (R1),
+train/validation split (R2), epoch repeat (B3), batching math (B1/B2),
+shard assignment (S6), one-hot encode (M12), argmax (A2) and accuracy-style
+metric reductions (A1/A3/A4).
+
+Randomness discipline: the reference shuffles with `random.seed(0);
+random.shuffle(filenames)` (reference: make_tf_record.py:10,155-156). A
+Python shuffle is neither distributed nor oracle-checkable, so the engine
+uses an arithmetic permutation key — a Knuth multiplicative hash of the
+row key — which is deterministic, seedable, computable in any engine, and
+embarrassingly parallel at 100 TB. Tests verify it is a permutation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tf_datapipeline_spark.catalog import load_table
+from tf_datapipeline_spark.registry import query
+
+# Knuth's multiplicative constant (2^32 / phi); modulus 2^32.
+_SHUFFLE_MULT = 2654435761
+_SHUFFLE_MOD = 4294967296
+
+
+def shuffle_key(col: Column, seed: int = 0) -> Column:
+    """Deterministic pseudo-random permutation key for seeded shuffles
+    (R1). seed offsets the multiplicative hash so different seeds give
+    different orders."""
+    return (
+        (col.cast("bigint") + F.lit(seed)) * F.lit(_SHUFFLE_MULT) % F.lit(_SHUFFLE_MOD)
+    )
+
+
+def sql_shuffle_key(expr: str, seed: int = 0) -> str:
+    return f"((({expr}) + {seed}) * {_SHUFFLE_MULT}) % {_SHUFFLE_MOD}"
+
+
+# --------------------------------------------------------------------------
+# q30 — label dictionary: sorted class names → dense ids, joined back.
+# Reference: sorted(class_names) → dict(zip(names, range(n)))
+# (generator.py:34-38, make_tf_record.py:151); here the "class name" is
+# documents.lang. The dictionary is tiny → broadcast join back.
+# --------------------------------------------------------------------------
+@query(
+    "q30_label_dictionary",
+    oracle="""
+    WITH dict AS (
+      SELECT lang, ROW_NUMBER() OVER (ORDER BY lang) - 1 AS label_id
+      FROM (SELECT DISTINCT lang FROM documents)
+    )
+    SELECT d.doc_id, d.lang, dict.label_id
+    FROM documents d JOIN dict USING (lang)
+    """,
+)
+def q30_label_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dict_df = (
+        docs.select("lang")
+        .distinct()
+        .withColumn(
+            "label_id", F.row_number().over(Window.orderBy("lang")) - F.lit(1)
+        )
+    )
+    return docs.join(F.broadcast(dict_df), "lang").select("doc_id", "lang", "label_id")
+
+
+# --------------------------------------------------------------------------
+# q31 — seeded shuffle + split, scalable form: a modulo of the permutation
+# key assigns ~10% to validation. O(1) per row, no global sort — the form
+# that survives 100 TB. Reference semantics analog: R1+R2
+# (make_tf_record.py:155-158).
+# --------------------------------------------------------------------------
+@query(
+    "q31_seeded_shuffle_split",
+    oracle=f"""
+    SELECT doc_id,
+           {sql_shuffle_key("doc_id")} AS shuffle_key,
+           CASE WHEN {sql_shuffle_key("doc_id")} % 10 = 0
+                THEN 'validation' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q31_seeded_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = shuffle_key(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+        F.when(key % 10 == 0, "validation").otherwise("train").alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q32 — exact-head split: the reference's literal semantics (shuffle, then
+# the first N records are validation; make_tf_record.py:157-158). Needs a
+# global order → row_number over the permutation key. Kept for parity; the
+# scalable form is q31 (a global window is a 1-task bottleneck at 100 TB —
+# documented trade-off, used only when exact-N membership is required).
+# --------------------------------------------------------------------------
+@query(
+    "q32_split_exact_head",
+    oracle=f"""
+    WITH shuffled AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY {sql_shuffle_key("doc_id")}, doc_id) AS rn,
+             COUNT(*) OVER () AS total
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN rn <= total / 10 THEN 'validation' ELSE 'train' END AS split
+    FROM shuffled
+    """,
+)
+def q32_split_exact_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = Window.orderBy(shuffle_key(F.col("doc_id")), F.col("doc_id"))
+    shuffled = docs.select(
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("total"),
+    )
+    return shuffled.select(
+        "doc_id",
+        F.when(F.col("rn") <= F.col("total") / 10, "validation")
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q33 — epoch repeat (B3): dataset.repeat(num_epochs)
+# (dataset_queue.py:56). Cardinality = epochs × rows; realized as a cross
+# join with a tiny epoch dim (broadcast, no shuffle of the fact side).
+# --------------------------------------------------------------------------
+@query(
+    "q33_epoch_repeat",
+    oracle="""
+    SELECT d.doc_id, e.epoch
+    FROM documents d
+    CROSS JOIN (VALUES (0), (1), (2)) AS e(epoch)
+    """,
+)
+def q33_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    return docs.crossJoin(F.broadcast(epochs))
+
+
+# --------------------------------------------------------------------------
+# q34 — one-hot encode (M12): tf.one_hot(labels, class_num)
+# (train.py:85). Nation's region key one-hot over the 5 regions; flat
+# integer columns so the oracle can check exactly.
+# --------------------------------------------------------------------------
+@query(
+    "q34_one_hot",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey = 0 THEN 1 ELSE 0 END AS r_0,
+           CASE WHEN n_regionkey = 1 THEN 1 ELSE 0 END AS r_1,
+           CASE WHEN n_regionkey = 2 THEN 1 ELSE 0 END AS r_2,
+           CASE WHEN n_regionkey = 3 THEN 1 ELSE 0 END AS r_3,
+           CASE WHEN n_regionkey = 4 THEN 1 ELSE 0 END AS r_4
+    FROM nation
+    """,
+)
+def q34_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    cols = [
+        F.when(F.col("n_regionkey") == i, 1).otherwise(0).alias(f"r_{i}")
+        for i in range(5)
+    ]
+    return nation.select("n_nationkey", *cols)
+
+
+# --------------------------------------------------------------------------
+# q35 — batching math (B1/B2): fixed-size batches with a ragged tail
+# (generator.py:44-47 `min(batch_size, remaining)`;
+# dataset.batch, dataset_queue.py:57). Logical batch ids over a
+# deterministic order; the output shows every batch full except the tail.
+# In execution, batching is an Arrow detail (maxRecordsPerBatch) — this is
+# the *logical* operator for when batch identity matters.
+# --------------------------------------------------------------------------
+@query(
+    "q35_batch_ragged_tail",
+    oracle="""
+    WITH numbered AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+      FROM documents
+    )
+    SELECT CAST(FLOOR(rn / 16.0) AS BIGINT) AS batch_id, COUNT(*) AS batch_rows
+    FROM numbered GROUP BY 1
+    """,
+)
+def q35_batch_ragged_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    rn = F.row_number().over(Window.orderBy("doc_id")) - F.lit(1)
+    return (
+        docs.select(F.floor(rn / 16).alias("batch_id"))
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("batch_rows"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q36 — shard assignment (S6): the ETL writer's contiguous range sharding
+# into _NUM_SHARDS=5 (make_tf_record.py:111,120-128:
+# shard i gets records [i*ceil(N/5), (i+1)*ceil(N/5))).
+# --------------------------------------------------------------------------
+@query(
+    "q36_shard_assignment",
+    oracle=f"""
+    WITH numbered AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY {sql_shuffle_key("doc_id")}, doc_id) - 1 AS rn,
+             COUNT(*) OVER () AS total
+      FROM documents
+    )
+    SELECT CAST(FLOOR(rn / CAST(CEIL(total / 5.0) AS BIGINT)) AS BIGINT) AS shard_id,
+           COUNT(*) AS shard_rows,
+           MIN(rn) AS first_rn, MAX(rn) AS last_rn
+    FROM numbered GROUP BY 1
+    """,
+)
+def q36_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = Window.orderBy(shuffle_key(F.col("doc_id")), F.col("doc_id"))
+    numbered = docs.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("total"),
+    )
+    per_shard = F.ceil(F.col("total") / 5.0).cast("bigint")
+    return (
+        numbered.select((F.col("rn") / per_shard).cast("bigint").alias("shard_id"), "rn")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("shard_rows"),
+            F.min("rn").alias("first_rn"),
+            F.max("rn").alias("last_rn"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q37 — argmax (A2): tf.argmax(logits, 1) (train.py:89-90) over the
+# embedding array; 1-based position of the max (first occurrence), a pure
+# array expression (no UDF, stays in codegen).
+# --------------------------------------------------------------------------
+@query(
+    "q37_argmax",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_position(embedding, list_aggregate(embedding, 'max')) AS BIGINT)
+             AS argmax_pos
+    FROM embeddings
+    """,
+)
+def q37_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.array_position(F.col("embedding"), F.array_max(F.col("embedding"))).alias(
+            "argmax_pos"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q38 — accuracy-style metric reduction (A1):
+# reduce_mean(cast(equal(pred, truth))) (train.py:58-59). "Prediction" is
+# the argmax index mod 10 vs the stored label; integer sums → exact.
+# --------------------------------------------------------------------------
+@query(
+    "q38_accuracy_metric",
+    oracle="""
+    SELECT label,
+           CAST(SUM(CASE WHEN (list_position(embedding, list_aggregate(embedding, 'max')) - 1) % 10 = label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN (list_position(embedding, list_aggregate(embedding, 'max')) - 1) % 10 = label
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q38_accuracy_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = (
+        F.array_position(F.col("embedding"), F.array_max(F.col("embedding"))) - 1
+    ) % 10
+    correct = F.when(pred == F.col("label"), 1).otherwise(0)
+    return emb.groupBy("label").agg(
+        F.sum(correct).alias("n_correct"),
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(correct).cast("double") / F.count(F.lit(1))).alias("accuracy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q39 — epoch/step bookkeeping (A4): steps-per-epoch = ceil(rows / batch)
+# (train.py:115-117), per split from q31's assignment.
+# --------------------------------------------------------------------------
+@query(
+    "q39_step_math",
+    oracle=f"""
+    SELECT CASE WHEN {sql_shuffle_key("doc_id")} % 10 = 0
+                THEN 'validation' ELSE 'train' END AS split,
+           COUNT(*) AS n_rows,
+           CAST(CEIL(COUNT(*) / 16.0) AS BIGINT) AS steps_per_epoch,
+           CAST(CEIL(COUNT(*) / 16.0) AS BIGINT) * 2 AS total_steps_2_epochs
+    FROM documents GROUP BY 1
+    """,
+)
+def q39_step_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = shuffle_key(F.col("doc_id"))
+    split = F.when(key % 10 == 0, "validation").otherwise("train").alias("split")
+    steps = F.ceil(F.count(F.lit(1)) / 16.0).cast("bigint")
+    return (
+        docs.select(split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            steps.alias("steps_per_epoch"),
+            (steps * 2).alias("total_steps_2_epochs"),
+        )
+    )
