@@ -1,0 +1,54 @@
+"""Cross-engine deterministic string hashing.
+
+Dedup operators (MinHash, SimHash) need a string→uint32 hash that Spark
+and the DuckDB oracle compute identically. Engine-native hashes
+(xxhash64, duckdb hash()) differ, so we build one from primitives both
+engines share bit-for-bit: md5 hex + instr-based hex-digit decoding.
+
+    hash32(s) = int(md5(s)[:8], 16)
+
+expressed as SUM over 8 hex digits of (instr('0123456789abcdef', digit)-1)
+* 16^(8-i). The same SQL text parses in Spark SQL and DuckDB, so the Spark
+side just wraps it in F.expr — one definition, two engines.
+
+At 100 TB this is still executor-side, codegen-compatible scalar work (md5
++ fixed arithmetic), embarrassingly parallel; k MinHash permutations reuse
+ONE md5 per shingle via (a_k * h + b_k) mod p universal hashing.
+"""
+
+from __future__ import annotations
+
+# Mersenne prime 2^31 - 1: universal-hash modulus; (a*h+b) stays < 2^63.
+MERSENNE = 2147483647
+
+# Deterministic (a_k, b_k) pairs for the k MinHash permutations, from a
+# fixed LCG (seed constants are arbitrary but frozen: the signature is
+# part of the operator's contract).
+def minhash_params(k: int, seed: int = 7) -> list[tuple[int, int]]:
+    params = []
+    state = seed
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        a = state % (MERSENNE - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b = state % MERSENNE
+        params.append((a, b))
+    return params
+
+
+def sql_hash32(expr: str) -> str:
+    """SQL (valid in BOTH Spark SQL and DuckDB) computing
+    int(md5(expr)[:8], 16) as BIGINT."""
+    terms = []
+    for i in range(1, 9):
+        digit = f"substr(md5({expr}), {i}, 1)"
+        val = f"CAST(instr('0123456789abcdef', {digit}) - 1 AS BIGINT)"
+        terms.append(f"{val} * {16 ** (8 - i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def sql_minhash_perm(h_expr: str, a: int, b: int) -> str:
+    """One universal-hash permutation of a 32-bit hash value. The input is
+    reduced mod the Mersenne prime first so a*h stays under 2^62 (Spark
+    runs ANSI mode: BIGINT overflow is an error, not a wrap)."""
+    return f"(({a} * ({h_expr} % {MERSENNE}) + {b}) % {MERSENNE})"

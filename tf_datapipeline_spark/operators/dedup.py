@@ -1,1 +1,273 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators over `documents` / `embeddings` (driver
+contract: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
+near-dup).
+
+Cross-engine determinism: shingle/token hashing uses
+functions.texthash.sql_hash32 — md5-hex arithmetic that parses identically
+in Spark SQL and DuckDB — so MinHash signatures, SimHash bits, and LSH
+candidate pairs are bit-identical in both engines and fully
+oracle-checked (rare for LSH implementations).
+
+Scale design (100 TB):
+  - shingling explodes ~(len-4) rows/doc; the per-doc MIN() aggregation is
+    map-side partial, so the shuffle carries k integers per doc, not the
+    shingles.
+  - LSH candidate generation is a band-wise EQUI-join (union of per-band
+    joins), never a cross join; band width 4 keeps the candidate count
+    ~0.2% of all pairs on this corpus's high baseline similarity.
+  - exact dedup groups by full text here (cheap, exact); at PB scale swap
+    the group key to sha2(text, 256) so the shuffle carries 32 bytes/row
+    (q61 is exactly that variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tf_datapipeline_spark.catalog import load_table, register_views
+from tf_datapipeline_spark.functions.texthash import (
+    MERSENNE,
+    minhash_params,
+    sql_hash32,
+    sql_minhash_perm,
+)
+from tf_datapipeline_spark.registry import query
+
+_K = 8  # MinHash signature length
+_PARAMS = minhash_params(_K)
+_BAND = 4  # rows per LSH band → 2 bands
+_SIMHASH_BITS = 16
+
+
+# --------------------------------------------------------------------------
+# q60 — exact dedup by content: keeper = min doc_id per identical text.
+# --------------------------------------------------------------------------
+@query(
+    "q60_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies,
+           MIN(n_chars) AS n_chars
+    FROM documents GROUP BY text
+    """,
+)
+def q60_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    ).drop("text")
+
+
+# --------------------------------------------------------------------------
+# q61 — exact dedup by content hash (the 100 TB shape: the shuffle key is
+# a 64-hex digest, not the document body).
+# --------------------------------------------------------------------------
+@query(
+    "q61_dedup_exact_hash",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def q61_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.sha2(F.col("text"), 256)
+    return docs.groupBy(h.alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# --------------------------------------------------------------------------
+# Shared SQL fragments (dialect = "spark" | "duckdb"). The only dialect
+# differences are array-explosion syntax and bit-shift spelling; the hash
+# arithmetic is byte-identical.
+# --------------------------------------------------------------------------
+def _sql_shingles(dialect: str, distinct: bool = True) -> str:
+    """CTE body producing (doc_id, lang, source, h) — hashed 5-char
+    shingles."""
+    if dialect == "spark":
+        pos = "explode(sequence(1, length(text) - 4)) AS pos"
+    else:
+        pos = "unnest(generate_series(1, length(text) - 4)) AS pos"
+    d = "DISTINCT" if distinct else ""
+    return f"""
+      SELECT {d} doc_id, lang, source, {sql_hash32("substr(text, CAST(pos AS INT), 5)")} AS h
+      FROM (SELECT doc_id, lang, source, text, {pos}
+            FROM documents WHERE length(text) >= 5)
+    """
+
+
+def _sql_signature() -> str:
+    """MinHash signature aggregation (same text in both dialects)."""
+    mins = ",\n             ".join(
+        f"MIN({sql_minhash_perm('h', a, b)}) AS m{i}"
+        for i, (a, b) in enumerate(_PARAMS)
+    )
+    return f"SELECT doc_id,\n             {mins}\n      FROM shingles GROUP BY doc_id"
+
+
+def _minhash_signature_sql(dialect: str) -> str:
+    return f"""
+    WITH shingles AS ({_sql_shingles(dialect)}),
+    sig AS ({_sql_signature()})
+    SELECT * FROM sig
+    """
+
+
+@query("q62_minhash_signature", oracle=_minhash_signature_sql("duckdb"))
+def q62_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (k=8) over hashed 5-char shingles.
+    Reference analog: none (the reference has no dedup; driver-contract
+    extension op)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_minhash_signature_sql("spark"))
+
+
+def _lsh_pairs_sql(dialect: str) -> str:
+    bands = []
+    n_bands = _K // _BAND
+    for b in range(n_bands):
+        cond = " AND ".join(
+            f"a.m{i} = b.m{i}" for i in range(b * _BAND, (b + 1) * _BAND)
+        )
+        bands.append(
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            f"FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND {cond}"
+        )
+    cand = "\n      UNION\n      ".join(bands)
+    est = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(_K)
+    )
+    return f"""
+    WITH shingles AS ({_sql_shingles(dialect)}),
+    sig AS ({_sql_signature()}),
+    cand AS (
+      {cand}
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(({est}) AS DOUBLE) / {_K} AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    WHERE CAST(({est}) AS DOUBLE) / {_K} >= 0.5
+    """
+
+
+@query("q63_minhash_lsh_pairs", oracle=_lsh_pairs_sql("duckdb"))
+def q63_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs: 2 bands × 4 rows,
+    candidates from band-wise equi-joins (UNION dedups), scored by
+    estimated Jaccard = matching signature fraction, thresholded at 0.5."""
+    register_views(spark, sf_dir)
+    return spark.sql(_lsh_pairs_sql("spark"))
+
+
+def _simhash_sql(dialect: str) -> str:
+    if dialect == "spark":
+        tok = "explode(split(trim(text), '\\\\s+')) AS term"
+        bit = "shiftright(h, {b}) & 1"
+    else:
+        tok = "unnest(regexp_split_to_array(trim(text), '\\s+')) AS term"
+        bit = "(h >> {b}) & 1"
+    bit_terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN {bit.format(b=b)} = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {2 ** b} ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {tok} FROM documents
+    ), th AS (
+      SELECT doc_id, {sql_hash32("term")} AS h FROM toks
+    )
+    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+    FROM th GROUP BY doc_id
+    """
+
+
+@query("q64_simhash", oracle=_simhash_sql("duckdb"))
+def q64_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over whitespace tokens: bit b is the sign of the
+    per-doc sum of ±1 votes from each token-hash's bit b. Near-dup docs
+    land on equal or hamming-close simhashes; grouping by value clusters
+    them."""
+    register_views(spark, sf_dir)
+    return spark.sql(_simhash_sql("spark"))
+
+
+def _jaccard_sql(dialect: str) -> str:
+    return f"""
+    WITH shingles AS ({_sql_shingles(dialect)}),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a
+      JOIN shingles b
+        ON a.h = b.h AND a.lang = b.lang AND a.source = b.source
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           sa.sz AS size_a, sb.sz AS size_b,
+           CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.3
+    """
+
+
+@query("q65_ngram_jaccard", oracle=_jaccard_sql("duckdb"))
+def q65_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard near-dup pairs, blocked by (lang, source) so
+    the shingle self-join stays within blocks (at 100 TB the block key
+    partitions the join; unblocked shingle joins explode on hot
+    shingles)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_jaccard_sql("spark"))
+
+
+def _embedding_neardup_sql(dialect: str) -> str:
+    if dialect == "spark":
+        pos = "explode(sequence(1, 64)) AS pos"
+        elem = "element_at(embedding, CAST(pos AS INT))"
+    else:
+        pos = "unnest(generate_series(1, 64)) AS pos"
+        elem = "embedding[CAST(pos AS INT)]"
+    return f"""
+    WITH dims AS (
+      SELECT vec_id, CAST({elem} AS DOUBLE) AS x, pos
+      FROM (SELECT vec_id, embedding, {pos} FROM embeddings)
+    ),
+    norms AS (
+      SELECT vec_id,
+             SQRT(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      FROM dims GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM dims a JOIN dims b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT d.vec_a, d.vec_b, d.dot / (na.nrm * nb.nrm) AS cos_sim
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.vec_a
+    JOIN norms nb ON nb.vec_id = d.vec_b
+    WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
+    """
+
+
+@query("q66_embedding_near_dup", oracle=_embedding_neardup_sql("duckdb"))
+def q66_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Exact decimal dot products so both
+    engines agree bit-for-bit. Threshold 0.4 exercises the op on this
+    corpus (no seeded embedding dups; production would use ~0.95 with
+    LSH-bucketed candidates — see similarity.q71 for the bucketed path)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_embedding_neardup_sql("spark"))

@@ -1,1 +1,269 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over `embeddings` (driver contract: brute-force
+cosine top-k baseline + an LSH-bucketed approximate variant for scale).
+
+q70 (brute force) is the correctness baseline and fully oracle-checked:
+dot products and norms are computed with exact decimal accumulation
+(DECIMAL(38,12): integer part stays < 2^53 so the decimal→double cast is
+a single rounding in both engines — see q66's scale note in dedup.py).
+
+q71 (ANN) is the 100 TB path: sign-random-projection buckets prune the
+candidate set; the bucket join is an equi-join on the bucket id instead
+of an all-pairs product. Deterministic hyperplanes are derived from a
+fixed-seed LCG so results are reproducible under task retries. Rows-only
+driver check; tests/test_similarity.py asserts recall vs q70.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tf_datapipeline_spark.catalog import load_table, register_views
+from tf_datapipeline_spark.registry import query
+
+_DIM = 64
+_N_QUERIES = 8  # vec_id < 8 are the query vectors
+_TOP_K = 5
+# q71 LSH geometry: L independent tables × B sign-projection bits each,
+# hamming-1 multiprobe. On weakly-clustered data (this corpus is random
+# gaussian) theory gives per-table recall ~0.28 for cos≈0.63-similar
+# neighbors → ~0.73 across 4 tables; more clustered corpora do better
+# with more bits. Tables trade scan fraction for recall — the standard
+# LSH dial.
+_N_TABLES = 4
+_N_BITS = 6
+
+
+def _dims_cte(dialect: str) -> str:
+    if dialect == "spark":
+        pos = "explode(sequence(1, 64)) AS pos"
+        elem = "element_at(embedding, CAST(pos AS INT))"
+    else:
+        pos = "unnest(generate_series(1, 64)) AS pos"
+        elem = "embedding[CAST(pos AS INT)]"
+    return f"""
+      SELECT vec_id, CAST({elem} AS DOUBLE) AS x, pos
+      FROM (SELECT vec_id, embedding, {pos} FROM embeddings)
+    """
+
+
+def _knn_sql(dialect: str) -> str:
+    return f"""
+    WITH dims AS ({_dims_cte(dialect)}),
+    norms AS (
+      SELECT vec_id, SQRT(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      FROM dims GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+             CAST(SUM(CAST(q.x * d.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM dims q JOIN dims d ON q.pos = d.pos
+      WHERE q.vec_id < {_N_QUERIES} AND d.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             d.dot / (nq.nrm * nn.nrm) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                ORDER BY d.dot / (nq.nrm * nn.nrm) DESC,
+                                         d.neighbor_id) AS rank
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.query_id
+      JOIN norms nn ON nn.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim
+    FROM scored WHERE rank <= {_TOP_K}
+    """
+
+
+@query("q70_knn_bruteforce", oracle=_knn_sql("duckdb"))
+def q70_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: query set (vec_id < 8) against the full corpus.
+    The dims self-join here mirrors the oracle for checkability; the
+    production form keeps vectors packed (see knn_bruteforce_packed) and
+    broadcasts the query side so the corpus never shuffles."""
+    register_views(spark, sf_dir)
+    return spark.sql(_knn_sql("spark"))
+
+
+def knn_bruteforce_packed(
+    spark: SparkSession, sf_dir: str, n_queries: int = _N_QUERIES, k: int = _TOP_K
+) -> DataFrame:
+    """Performance-shaped exact top-k (same semantics as q70, float math):
+    broadcast the (tiny) query set, one pass over the corpus computing
+    dots with zip_with/aggregate array expressions (JVM codegen, no
+    Python), per-query top-k via window. At 100 TB: corpus never moves —
+    the only shuffle is the final (n_queries × corpus) scored rows for
+    the window, prunable by local top-k first."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    corpus = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    queries = (
+        corpus.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def _lcg_planes(n_planes: int, dim: int, seed: int = 1234) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1] from a frozen
+    LCG — reproducible across retries, no RNG state shipped to executors."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+            row.append((state % 2000001) / 1000000.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+@query("q71_knn_ann_lsh")
+def q71_knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: multi-table sign-random-projection LSH. Each
+    vector is indexed in L=4 tables under a 6-bit bucket (signs of dots
+    with fixed hyperplanes); queries probe their bucket plus hamming-1
+    neighbors in each table, then exact cosine + window top-k scores the
+    pruned candidate set. The index join is (table_id, bucket) equi-join —
+    at 100 TB the corpus is bucketed/partitioned by that key and only
+    probed buckets are read. Rows-only driver check; recall vs q70 and
+    candidate pruning asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _lcg_planes(_N_TABLES * _N_BITS, _DIM)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+    def plane_dot(row):
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), row, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def table_bucket(t: int):
+        bits = []
+        for b in range(_N_BITS):
+            row = F.array(*[F.lit(v) for v in planes[t * _N_BITS + b]])
+            bits.append(F.when(plane_dot(row) >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+        out = bits[0]
+        for bit in bits[1:]:
+            out = out + bit
+        return out
+
+    buckets = F.array(*[table_bucket(t) for t in range(_N_TABLES)])
+    base = emb.select(
+        "vec_id", "embedding", norm.alias("nrm"), buckets.alias("buckets")
+    )
+    # index side: one row per (table_id, bucket)
+    index = base.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.posexplode("buckets").alias("table_id", "bucket"),
+    )
+    # query side: per table, probe own bucket + hamming-1 neighbors
+    probe_arr = F.transform(
+        F.col("buckets"),
+        lambda bkt: F.array(bkt, *[bkt.bitwiseXOR(F.lit(1 << b)) for b in range(_N_BITS)]),
+    )
+    queries = (
+        base.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.posexplode(probe_arr).alias("table_id", "probes"),
+        )
+        .select(
+            "query_id", "q_emb", "q_nrm", "table_id", F.explode("probes").alias("bucket")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        index.join(F.broadcast(queries), ["table_id", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cos_sim"),
+        )
+        .distinct()  # a candidate can match in several tables/probes
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def _centroid_sql(dialect: str) -> str:
+    # Accumulate FLOOR(x * 2^36) as exact integers: raw float→decimal casts
+    # can land on rounding-mode ties (Spark HALF_UP vs DuckDB HALF_EVEN),
+    # but x*2^36 is an exact double product and FLOOR is identical in both
+    # engines. Quantization error ≤ 2^-36 per element, deterministic.
+    q = "CAST(FLOOR(x * 68719476736.0) AS BIGINT)"
+    return f"""
+    WITH dims AS ({_dims_cte(dialect)}),
+    labeled AS (
+      SELECT e.label, d.pos, d.x
+      FROM dims d JOIN embeddings e ON e.vec_id = d.vec_id
+    )
+    SELECT label, CAST(pos AS INT) AS dim,
+           (CAST(SUM({q}) AS DOUBLE) / 68719476736.0) / COUNT(*) AS centroid,
+           COUNT(*) AS n
+    FROM labeled GROUP BY 1, 2
+    """
+
+
+@query("q72_label_centroids", oracle=_centroid_sql("duckdb"))
+def q72_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension) — the A3-style
+    'running averages' reduction (reference train.py:52-53) applied to
+    vectors. Exact integer sums → deterministic at any parallelism."""
+    register_views(spark, sf_dir)
+    return spark.sql(_centroid_sql("spark"))
