@@ -1,0 +1,81 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Query set spans the operator families: scan/agg (q01, q06), joins
+(q03, q05), top-k (q09), windows (q20, q21), event-time (q40, q42),
+text (q50, q55), dedup (q60..q65), similarity (q70, q71).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q09_topk_orders",
+    "q20_window_rank",
+    "q21_window_running",
+    "q40_tumbling_window",
+    "q42_sessionization",
+    "q50_token_stats",
+    "q55_tfidf",
+    "q60_dedup_exact",
+    "q61_dedup_exact_hash",
+    "q62_minhash_signature",
+    "q63_minhash_lsh_pairs",
+    "q64_simhash",
+    "q65_ngram_jaccard",
+    "q70_knn_bruteforce",
+    "q71_knn_ann_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from tf_datapipeline_spark import registry
+    from tf_datapipeline_spark.session import get_spark
+
+    spark = get_spark("tf_datapipeline_spark-bench")
+    qs = registry.queries()
+
+    # JVM/codegen warmup on the tiny sf so timings reflect the engine,
+    # not first-call JIT.
+    qs["q01_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        # noop sink: materializes every output column (a bare .count()
+        # would let Catalyst prune the expensive expressions away).
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -39,9 +39,17 @@ def minhash_params(k: int, seed: int = 7) -> list[tuple[int, int]]:
 def sql_hash32(expr: str) -> str:
     """SQL (valid in BOTH Spark SQL and DuckDB) computing
     int(md5(expr)[:8], 16) as BIGINT."""
+    return sql_hash32_from_md5(f"md5({expr})")
+
+
+def sql_hash32_from_md5(md5_expr: str) -> str:
+    """hash32 from an already-computed md5 hex column — use this when the
+    md5 can be projected once in an inner SELECT (the digit extraction
+    references the digest 8 times; inlining md5() would recompute it 8×
+    unless the engine's CSE catches it)."""
     terms = []
     for i in range(1, 9):
-        digit = f"substr(md5({expr}), {i}, 1)"
+        digit = f"substr({md5_expr}, {i}, 1)"
         val = f"CAST(instr('0123456789abcdef', {digit}) - 1 AS BIGINT)"
         terms.append(f"{val} * {16 ** (8 - i)}")
     return "(" + " + ".join(terms) + ")"

@@ -30,6 +30,7 @@ from tf_datapipeline_spark.functions.texthash import (
     MERSENNE,
     minhash_params,
     sql_hash32,
+    sql_hash32_from_md5,
     sql_minhash_perm,
 )
 from tf_datapipeline_spark.registry import query
@@ -87,17 +88,32 @@ def q61_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def _sql_shingles(dialect: str, distinct: bool = True) -> str:
     """CTE body producing (doc_id, lang, source, h) — hashed 5-char
-    shingles."""
+    shingles. The md5 digest is projected once in an inner SELECT; the
+    8-digit decode references that column (not 8 separate md5 calls)."""
     if dialect == "spark":
         pos = "explode(sequence(1, length(text) - 4)) AS pos"
     else:
         pos = "unnest(generate_series(1, length(text) - 4)) AS pos"
     d = "DISTINCT" if distinct else ""
     return f"""
-      SELECT {d} doc_id, lang, source, {sql_hash32("substr(text, CAST(pos AS INT), 5)")} AS h
-      FROM (SELECT doc_id, lang, source, text, {pos}
-            FROM documents WHERE length(text) >= 5)
+      SELECT {d} doc_id, lang, source, {sql_hash32_from_md5("md5s")} AS h
+      FROM (
+        SELECT doc_id, lang, source, md5(substr(text, CAST(pos AS INT), 5)) AS md5s
+        FROM (SELECT doc_id, lang, source, text, {pos}
+              FROM documents WHERE length(text) >= 5)
+      )
     """
+
+
+def _materialize_shingles(spark: SparkSession, sf_dir: str) -> None:
+    """Spark-side: compute the shingle table once, truncate its lineage
+    (localCheckpoint), and expose it as the `shingles` view. SQL CTEs are
+    inlined by Catalyst, so a query referencing `shingles` 3× would
+    otherwise shingle+hash the corpus 3×. (DuckDB materializes CTEs on its
+    own — the oracle keeps the plain CTE.)"""
+    register_views(spark, sf_dir)
+    df = spark.sql(f"SELECT * FROM ({_sql_shingles('spark')})").localCheckpoint()
+    df.createOrReplaceTempView("shingles")
 
 
 def _sql_signature() -> str:
@@ -109,12 +125,27 @@ def _sql_signature() -> str:
     return f"SELECT doc_id,\n             {mins}\n      FROM shingles GROUP BY doc_id"
 
 
+def _with_prelude(dialect: str, body: str, need_sig: bool) -> str:
+    """Wrap a query body with the shingle (and signature) CTEs for the
+    oracle dialect; the Spark side pre-materializes `shingles`/`sig` views
+    instead (see _materialize_shingles) so they are computed once."""
+    if dialect == "spark":
+        return body
+    ctes = [f"shingles AS ({_sql_shingles(dialect)})"]
+    if need_sig:
+        ctes.append(f"sig AS ({_sql_signature()})")
+    return "WITH " + ",\n    ".join(ctes) + "\n" + body
+
+
+def _materialize_sig(spark: SparkSession, sf_dir: str) -> None:
+    _materialize_shingles(spark, sf_dir)
+    spark.sql(_sql_signature()).localCheckpoint().createOrReplaceTempView("sig")
+
+
 def _minhash_signature_sql(dialect: str) -> str:
-    return f"""
-    WITH shingles AS ({_sql_shingles(dialect)}),
-    sig AS ({_sql_signature()})
-    SELECT * FROM sig
-    """
+    if dialect == "spark":
+        return "SELECT * FROM sig"
+    return _with_prelude(dialect, "SELECT * FROM sig", need_sig=True)
 
 
 @query("q62_minhash_signature", oracle=_minhash_signature_sql("duckdb"))
@@ -122,11 +153,11 @@ def q62_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature (k=8) over hashed 5-char shingles.
     Reference analog: none (the reference has no dedup; driver-contract
     extension op)."""
-    register_views(spark, sf_dir)
+    _materialize_sig(spark, sf_dir)
     return spark.sql(_minhash_signature_sql("spark"))
 
 
-def _lsh_pairs_sql(dialect: str) -> str:
+def _lsh_pairs_body() -> str:
     bands = []
     n_bands = _K // _BAND
     for b in range(n_bands):
@@ -142,18 +173,19 @@ def _lsh_pairs_sql(dialect: str) -> str:
         f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(_K)
     )
     return f"""
-    WITH shingles AS ({_sql_shingles(dialect)}),
-    sig AS ({_sql_signature()}),
-    cand AS (
-      {cand}
-    )
     SELECT c.doc_a, c.doc_b,
            CAST(({est}) AS DOUBLE) / {_K} AS est_jaccard
-    FROM cand c
+    FROM (
+      {cand}
+    ) c
     JOIN sig sa ON sa.doc_id = c.doc_a
     JOIN sig sb ON sb.doc_id = c.doc_b
     WHERE CAST(({est}) AS DOUBLE) / {_K} >= 0.5
     """
+
+
+def _lsh_pairs_sql(dialect: str) -> str:
+    return _with_prelude(dialect, _lsh_pairs_body(), need_sig=True)
 
 
 @query("q63_minhash_lsh_pairs", oracle=_lsh_pairs_sql("duckdb"))
@@ -161,7 +193,7 @@ def q63_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs: 2 bands × 4 rows,
     candidates from band-wise equi-joins (UNION dedups), scored by
     estimated Jaccard = matching signature fraction, thresholded at 0.5."""
-    register_views(spark, sf_dir)
+    _materialize_sig(spark, sf_dir)
     return spark.sql(_lsh_pairs_sql("spark"))
 
 
@@ -198,37 +230,55 @@ def q64_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_simhash_sql("spark"))
 
 
-def _jaccard_sql(dialect: str) -> str:
+def _jaccard_body() -> str:
+    # exact Jaccard VERIFICATION of the LSH candidates: candidate pairs
+    # from the banded signature join (linear-ish), then |A∩B| computed by
+    # joining only the candidates back to their shingle sets. A raw
+    # shingle self-join is quadratic in docs-per-shingle (this corpus's
+    # small vocabulary makes that ~200M intermediate rows at sf0.1); the
+    # candidate-verify composition is the shape that survives 100 TB.
+    bands = []
+    n_bands = _K // _BAND
+    for b in range(n_bands):
+        cond = " AND ".join(
+            f"a.m{i} = b.m{i}" for i in range(b * _BAND, (b + 1) * _BAND)
+        )
+        bands.append(
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            f"FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND {cond}"
+        )
+    cand = "\n      UNION\n      ".join(bands)
     return f"""
-    WITH shingles AS ({_sql_shingles(dialect)}),
-    sizes AS (
-      SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id
-    ),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM shingles a
-      JOIN shingles b
-        ON a.h = b.h AND a.lang = b.lang AND a.source = b.source
-       AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
     SELECT i.doc_a, i.doc_b, i.n_common,
            sa.sz AS size_a, sb.sz AS size_b,
            CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
+    FROM (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM (
+        {cand}
+      ) c
+      JOIN shingles a ON a.doc_id = c.doc_a
+      JOIN shingles b ON b.doc_id = c.doc_b AND b.h = a.h
+      GROUP BY 1, 2
+    ) i
+    JOIN (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id) sa
+      ON sa.doc_id = i.doc_a
+    JOIN (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id) sb
+      ON sb.doc_id = i.doc_b
     WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.3
     """
 
 
+def _jaccard_sql(dialect: str) -> str:
+    return _with_prelude(dialect, _jaccard_body(), need_sig=True)
+
+
 @query("q65_ngram_jaccard", oracle=_jaccard_sql("duckdb"))
 def q65_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 5-gram Jaccard near-dup pairs, blocked by (lang, source) so
-    the shingle self-join stays within blocks (at 100 TB the block key
-    partitions the join; unblocked shingle joins explode on hot
-    shingles)."""
-    register_views(spark, sf_dir)
+    """Near-dup pairs by EXACT 5-gram Jaccard, verified over MinHash-LSH
+    candidate pairs (generate candidates cheaply, verify exactly — the
+    standard two-phase near-dedup of large-corpus pipelines)."""
+    _materialize_sig(spark, sf_dir)
     return spark.sql(_jaccard_sql("spark"))
 
 
