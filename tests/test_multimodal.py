@@ -1,0 +1,183 @@
+"""Unit + invariant tests for the binary/multimodal pipeline (SURVEY.md §5:
+the invariants the reference only ever eyeballed, automated)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import SF_SMOKE
+from tf_datapipeline_spark.functions.imagecodec import (
+    decode_image,
+    decode_ppm,
+    encode_ppm,
+    ppm_n_bytes,
+)
+from tf_datapipeline_spark.functions.imageops import (
+    central_crop,
+    preprocess_for_eval,
+    preprocess_for_train,
+    resize_bilinear,
+    resize_nearest,
+    rng_for_row,
+)
+from tf_datapipeline_spark.sources.etl import (
+    read_records,
+    scratch_dir,
+    write_sharded_records,
+)
+from tf_datapipeline_spark.sources.images import (
+    scan_image_dir,
+    synthetic_corpus,
+    synthetic_pixels,
+)
+
+
+# --------------------------------------------------------------------------
+# codec
+# --------------------------------------------------------------------------
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31),
+)
+def test_ppm_roundtrip(h, w, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    data = encode_ppm(img)
+    assert len(data) == ppm_n_bytes(h, w)
+    out = decode_ppm(data)
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out, img)
+
+
+def test_jpeg_decode_is_stubbed_without_pillow():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff", "jpeg")
+
+
+def test_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_ppm(b"nope")
+
+
+# --------------------------------------------------------------------------
+# image kernels (reference invariants: shape / dtype / range / determinism)
+# --------------------------------------------------------------------------
+def _img(h=24, w=30, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_resize_constant_image_is_identity_value():
+    img = np.full((10, 7, 3), 113, dtype=np.uint8)
+    bl = resize_bilinear(img, 5, 5)
+    nn = resize_nearest(img, 5, 5)
+    assert np.allclose(bl, 113.0)
+    assert (nn == 113).all() and nn.shape == (5, 5, 3)
+
+
+def test_bilinear_matches_nearest_on_integer_upscale_grid():
+    img = _img(8, 8)
+    out = resize_bilinear(img, 16, 16)
+    assert out.shape == (16, 16, 3)
+    assert out.min() >= 0.0 and out.max() <= 255.0
+
+
+def test_central_crop_fraction():
+    img = _img(32, 32)
+    out = central_crop(img, 0.875)
+    assert out.shape == (28, 28, 3)  # floor(32*0.0625)=2 off each side
+
+
+def test_train_augment_invariants():
+    img = _img()
+    out, meta = preprocess_for_train(img, rng_for_row(42, 7), 32, 32)
+    assert out.shape == (32, 32, 3)
+    assert out.dtype == np.float32
+    assert out.min() >= -1.0 - 1e-6 and out.max() <= 1.0 + 1e-6
+    assert 1 <= meta["crop_h"] <= 24 and 1 <= meta["crop_w"] <= 30
+
+
+def test_train_augment_seed_determinism_and_variation():
+    img = _img()
+    a, _ = preprocess_for_train(img, rng_for_row(42, 7), 32, 32)
+    b, _ = preprocess_for_train(img, rng_for_row(42, 7), 32, 32)
+    c, _ = preprocess_for_train(img, rng_for_row(42, 8), 32, 32)
+    assert np.array_equal(a, b)  # same (seed, row) -> identical (retry-safe)
+    assert not np.array_equal(a, c)  # different row -> different augment
+
+
+def test_eval_preprocess_deterministic_range01():
+    img = _img()
+    a = preprocess_for_eval(img, 32, 32)
+    b = preprocess_for_eval(img, 32, 32)
+    assert np.array_equal(a, b)
+    assert a.shape == (32, 32, 3)
+    assert a.min() >= 0.0 and a.max() <= 1.0
+
+
+# --------------------------------------------------------------------------
+# sources: binaryFile dir scan (real directory) + synthetic corpus
+# --------------------------------------------------------------------------
+def test_scan_image_dir_binaryfile(spark):
+    root = scratch_dir("corpus_dir/ignored")
+    root = root.rsplit("/", 1)[0]
+    import os
+
+    for cls in ("daisy", "tulip"):
+        os.makedirs(os.path.join(root, cls), exist_ok=True)
+        for i in range(3):
+            img = np.full((4 + i, 5, 3), i, dtype=np.uint8)
+            with open(os.path.join(root, cls, f"{i}.ppm"), "wb") as f:
+                f.write(encode_ppm(img))
+    df = scan_image_dir(spark, root)
+    rows = df.collect()
+    assert len(rows) == 6
+    assert {r.class_name for r in rows} == {"daisy", "tulip"}
+    one = next(r for r in rows if r.class_name == "daisy" and r.path.endswith("2.ppm"))
+    assert decode_ppm(bytes(one.content)).shape == (6, 5, 3)
+
+
+def test_synthetic_corpus_payloads_decode(spark):
+    df = synthetic_corpus(spark, SF_SMOKE).limit(20)
+    for r in df.collect():
+        arr = decode_ppm(bytes(r.content))
+        assert arr.shape == (r.height, r.width, 3)
+        doc_id = int(r.path.rsplit("/", 1)[1].split(".")[0])
+        assert np.array_equal(arr, synthetic_pixels(doc_id))
+        assert r.length == len(bytes(r.content))
+
+
+# --------------------------------------------------------------------------
+# ETL writer round-trip (reference EP4 invariants: shard count, split
+# sizes, label range, payload integrity)
+# --------------------------------------------------------------------------
+def test_etl_sharded_write_roundtrip(spark):
+    corpus = synthetic_corpus(spark, SF_SMOKE)
+    n_corpus = corpus.count()
+    total_payload = corpus.selectExpr("sum(length(content)) s").collect()[0].s
+    n_classes = corpus.select("class_name").distinct().count()
+
+    out = scratch_dir("etl_test")
+    write_sharded_records(corpus, out)
+    rec = read_records(spark, out)
+
+    assert rec.count() == n_corpus
+    by_split = {r.split: r for r in rec.groupBy("split").count().collect()}
+    assert set(by_split) == {"train", "validation"}
+    # ~10% validation via permutation-key modulo
+    frac = by_split["validation"]["count"] / n_corpus
+    assert 0.04 < frac < 0.2
+    shards = {r.shard for r in rec.select("shard").distinct().collect()}
+    assert shards == {0, 1, 2, 3, 4}
+    labels = rec.selectExpr("min(label) mn", "max(label) mx").collect()[0]
+    assert labels.mn == 0 and labels.mx == n_classes - 1
+    assert rec.selectExpr("sum(length(image_encoded)) s").collect()[0].s == total_payload
+    # re-decodability straight out of the record table
+    sample = rec.limit(3).collect()
+    for r in sample:
+        arr = decode_ppm(bytes(r.image_encoded))
+        assert arr.shape == (r.height, r.width, 3)

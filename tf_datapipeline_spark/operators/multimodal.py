@@ -1,1 +1,451 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal (binary-column) pipeline operators — SURVEY.md §2A phase 2
+plus the driver-contract multimodal extensions (§2B).
+
+Image/audio/video payloads travel as opaque BinaryType columns with typed
+metadata; decode / feature-extract / frame-sample run executor-side in
+Arrow-batched pandas UDFs (mapInPandas). The corpus is the deterministic
+synthetic one from sources/images.py, whose pixel function is plain
+integer arithmetic — so the DuckDB oracle re-derives the expected decoded
+values cell-for-cell in SQL, giving a binary pipeline full value-level
+oracle coverage (q80/q81/q84/q85/q86). The randomized augment paths
+(q82/q83 partially) are rows-only checked by the driver; their invariants
+(shape, range, seed-determinism) are pinned by tests/test_multimodal.py.
+
+Reference analogs: decode S3-S5, ETL writer S6/EP4, augment M2-M9
+(file:line cites in the called functions).
+
+Scale notes (100 TB):
+  - only (doc_id, lang) leave the documents scan (column pruning); the
+    MB-scale payloads are born and consumed inside executor UDFs and,
+    for q84, written straight to sharded parquet — the driver never sees
+    a pixel.
+  - every stage is embarrassingly parallel per Arrow batch; no shuffles
+    except q84's explicit repartition-by-(split, shard) fan-out, which is
+    exactly one pass over the payload bytes.
+  - Arrow batch size is capped session-wide (maxRecordsPerBatch=2048) so
+    image batches stay well under executor memory.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tf_datapipeline_spark.functions.imagecodec import decode_image
+from tf_datapipeline_spark.functions.imageops import (
+    preprocess_for_eval,
+    preprocess_for_train,
+    rng_for_row,
+)
+from tf_datapipeline_spark.registry import query
+from tf_datapipeline_spark.sources.etl import (
+    read_records,
+    scratch_dir,
+    write_sharded_records,
+)
+from tf_datapipeline_spark.sources.images import synthetic_corpus
+
+# Shared dims CTE — MUST stay in sync with sources/images.py synthetic spec.
+_DIMS_SQL = """
+  SELECT doc_id, lang,
+         8 + (doc_id * 7919) % 25 AS h,
+         8 + (doc_id * 104729) % 25 AS w
+  FROM documents
+"""
+
+_PPM_BYTES_SQL = (
+    "9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * h * w"
+)
+
+_DOC_ID_RE = re.compile(r"/(\d+)\.ppm$")
+
+
+def _doc_id_of(path: str) -> int:
+    m = _DOC_ID_RE.search(path)
+    if m is None:
+        raise ValueError(f"path without doc id: {path!r}")
+    return int(m.group(1))
+
+
+# --------------------------------------------------------------------------
+# q80 — corpus scan + decode probe: binary payload -> (dims, channels,
+# size) metadata. Reference S1/S5 (get_filenames_and_classes +
+# ImageReader.read_image_dims, make_tf_record.py:21-23). The decode is
+# load-bearing: height/width/channels come from the DECODED array, and the
+# oracle recomputes them arithmetically — a broken codec or UDF plumbing
+# mismatches instantly.
+# --------------------------------------------------------------------------
+@query(
+    "q80_image_metadata",
+    oracle=f"""
+    SELECT doc_id, lang AS class_name, 'ppm' AS image_format,
+           h AS height, w AS width, 3 AS channels,
+           {_PPM_BYTES_SQL} AS n_bytes
+    FROM ({_DIMS_SQL})
+    """,
+)
+def q80_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = synthetic_corpus(spark, sf_dir)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, cls, fmt, content in zip(
+                pdf["path"], pdf["class_name"], pdf["image_format"], pdf["content"]
+            ):
+                arr = decode_image(bytes(content), fmt)
+                rows.append(
+                    (
+                        _doc_id_of(path),
+                        cls,
+                        fmt,
+                        arr.shape[0],
+                        arr.shape[1],
+                        arr.shape[2],
+                        len(content),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "class_name",
+                    "image_format",
+                    "height",
+                    "width",
+                    "channels",
+                    "n_bytes",
+                ],
+            )
+
+    return corpus.mapInPandas(
+        probe,
+        schema="doc_id bigint, class_name string, image_format string, "
+        "height bigint, width bigint, channels int, n_bytes bigint",
+    )
+
+
+# --------------------------------------------------------------------------
+# q81 — decode + per-image pixel statistics. The oracle recomputes every
+# pixel value in SQL over a generate_series grid, so this checks the
+# entire encode -> binary column -> Arrow -> decode path value-for-value.
+# Mean is exact-int sum / count, divided as double in both engines.
+# --------------------------------------------------------------------------
+@query(
+    "q81_pixel_stats",
+    oracle=f"""
+    WITH dims AS ({_DIMS_SQL}),
+    px AS (
+      SELECT d.doc_id, (3*i.i + 5*j.j + 11*c.c + d.doc_id) % 256 AS v
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS i) i,
+           LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS j) j,
+           (SELECT unnest([0, 1, 2]) AS c) c
+    )
+    SELECT doc_id, MIN(v) AS px_min, MAX(v) AS px_max, SUM(v) AS px_sum,
+           COUNT(*) AS n_px, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS px_mean
+    FROM px GROUP BY doc_id
+    """,
+)
+def q81_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = synthetic_corpus(spark, sf_dir).select("path", "image_format", "content")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, fmt, content in zip(pdf["path"], pdf["image_format"], pdf["content"]):
+                arr = decode_image(bytes(content), fmt).astype(np.int64)
+                s = int(arr.sum())
+                n = int(arr.size)
+                rows.append(
+                    (_doc_id_of(path), int(arr.min()), int(arr.max()), s, n, float(s) / n)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "px_min", "px_max", "px_sum", "n_px", "px_mean"]
+            )
+
+    return corpus.mapInPandas(
+        stats,
+        schema="doc_id bigint, px_min int, px_max int, px_sum bigint, "
+        "n_px bigint, px_mean double",
+    )
+
+
+# --------------------------------------------------------------------------
+# q82 — fused train-time augment (reference M2-M9: distorted crop, random
+# resize method, random flip, 4-ordering color jitter, [-1,1] normalize)
+# with seeded per-row RNG (seed = f(42, doc_id) — stable under task
+# retries and partitioning). Randomized numerics are not SQL-expressible
+# -> rows-only driver check; invariants pinned in tests.
+# --------------------------------------------------------------------------
+_AUG_H, _AUG_W = 32, 32
+_AUG_SEED = 42
+
+
+@query("q82_augment_train")
+def q82_augment_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = synthetic_corpus(spark, sf_dir).select("path", "class_name", "image_format", "content")
+
+    def augment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, cls, fmt, content in zip(
+                pdf["path"], pdf["class_name"], pdf["image_format"], pdf["content"]
+            ):
+                doc_id = _doc_id_of(path)
+                arr = decode_image(bytes(content), fmt)
+                out, meta = preprocess_for_train(
+                    arr, rng_for_row(_AUG_SEED, doc_id), _AUG_H, _AUG_W
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        cls,
+                        out.shape[0],
+                        out.shape[1],
+                        out.shape[2],
+                        meta["crop_h"],
+                        meta["crop_w"],
+                        meta["resize_method"],
+                        meta["flipped"],
+                        meta["color_ordering"],
+                        float(out.min()),
+                        float(out.max()),
+                        float(out.mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "class_name",
+                    "out_h",
+                    "out_w",
+                    "channels",
+                    "crop_h",
+                    "crop_w",
+                    "resize_method",
+                    "flipped",
+                    "color_ordering",
+                    "px_min",
+                    "px_max",
+                    "px_mean",
+                ],
+            )
+
+    return corpus.mapInPandas(
+        augment,
+        schema="doc_id bigint, class_name string, out_h int, out_w int, "
+        "channels int, crop_h int, crop_w int, resize_method int, "
+        "flipped boolean, color_ordering int, px_min double, "
+        "px_max double, px_mean double",
+    )
+
+
+# --------------------------------------------------------------------------
+# q83 — eval path: central crop 0.875 + bilinear resize, range [0,1]
+# (reference M9, preprocess_for_eval dataset_preprocessing.py:237-275).
+# Deterministic but bilinear-over-grid is not reasonably SQL-expressible
+# -> rows-only; determinism means repeated runs hash identically.
+# --------------------------------------------------------------------------
+@query("q83_augment_eval")
+def q83_augment_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = synthetic_corpus(spark, sf_dir).select("path", "image_format", "content")
+
+    def ev(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, fmt, content in zip(pdf["path"], pdf["image_format"], pdf["content"]):
+                arr = decode_image(bytes(content), fmt)
+                out = preprocess_for_eval(arr, _AUG_H, _AUG_W)
+                rows.append(
+                    (
+                        _doc_id_of(path),
+                        out.shape[0],
+                        out.shape[1],
+                        out.shape[2],
+                        float(out.min()),
+                        float(out.max()),
+                        float(out.mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "out_h", "out_w", "channels", "px_min", "px_max", "px_mean"],
+            )
+
+    return corpus.mapInPandas(
+        ev,
+        schema="doc_id bigint, out_h int, out_w int, channels int, "
+        "px_min double, px_max double, px_mean double",
+    )
+
+
+# --------------------------------------------------------------------------
+# q84 — the full ETL job round-trip (reference EP4, make_tf_record.py:
+# 149-163): corpus -> dense labels -> seeded split -> 5-shard parquet
+# write -> re-scan -> per-split audit. The oracle replays the label
+# dictionary, md5-permutation split/shard and payload-size arithmetic in
+# SQL, so shard layout, split membership, label mapping AND total payload
+# bytes are all value-checked.
+# --------------------------------------------------------------------------
+def _etl_oracle() -> str:
+    from tf_datapipeline_spark.sources.etl import sql_path_key
+
+    key = sql_path_key(0)
+    return f"""
+    WITH corpus AS (
+      SELECT 'corpus/' || lang || '/' || CAST(doc_id AS VARCHAR) || '.ppm' AS path,
+             lang AS class_name, h, w
+      FROM ({_DIMS_SQL})
+    ),
+    dict AS (
+      SELECT class_name, ROW_NUMBER() OVER (ORDER BY class_name) - 1 AS label
+      FROM (SELECT DISTINCT class_name FROM corpus)
+    ),
+    rec AS (
+      SELECT CASE WHEN ({key}) % 10 = 0 THEN 'validation' ELSE 'train' END AS split,
+             (({key}) // 10) % 5 AS shard,
+             d.label, c.h, c.w,
+             {_PPM_BYTES_SQL} AS n_bytes
+      FROM corpus c JOIN dict d USING (class_name)
+    )
+    SELECT split, COUNT(*) AS n_rows, COUNT(DISTINCT shard) AS n_shards,
+           COUNT(DISTINCT label) AS n_labels,
+           MIN(label) AS min_label, MAX(label) AS max_label,
+           SUM(n_bytes) AS total_bytes
+    FROM rec GROUP BY split
+    """
+
+
+@query("q84_etl_sharded_write", oracle=_etl_oracle())
+def q84_etl_sharded_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = synthetic_corpus(spark, sf_dir)
+    out_dir = scratch_dir(f"etl_{os.path.basename(os.path.normpath(sf_dir))}")
+    write_sharded_records(corpus, out_dir)
+    rec = read_records(spark, out_dir)
+    return rec.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("shard").alias("n_shards"),
+        F.countDistinct("label").alias("n_labels"),
+        F.min("label").alias("min_label"),
+        F.max("label").alias("max_label"),
+        F.sum(F.length("image_encoded")).alias("total_bytes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q85 — video-style frame sampling: the payload is treated as H frames of
+# W*3 bytes (a raster row = a "frame"); keep every 3rd frame and reduce
+# each to a byte-sum "feature". Real video decode would swap the
+# frame-extraction lambda for an av/ffmpeg call (not in this container —
+# the deterministic byte-slicing IS the decode here, and the Spark
+# plumbing is identical). Oracle recomputes sampled frames cell-for-cell.
+# --------------------------------------------------------------------------
+@query(
+    "q85_frame_sample",
+    oracle=f"""
+    WITH dims AS ({_DIMS_SQL}),
+    fr AS (
+      SELECT d.doc_id, d.w, i.i AS frame_idx
+      FROM dims d, LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS i) i
+      WHERE i.i % 3 = 0
+    ),
+    b AS (
+      SELECT f.doc_id, f.frame_idx, f.w,
+             (3*f.frame_idx + 5*j.j + 11*c.c + f.doc_id) % 256 AS v
+      FROM fr f,
+           LATERAL (SELECT unnest(generate_series(0, f.w - 1)) AS j) j,
+           (SELECT unnest([0, 1, 2]) AS c) c
+    )
+    SELECT doc_id, frame_idx, w * 3 AS frame_n_bytes, SUM(v) AS byte_sum
+    FROM b GROUP BY doc_id, frame_idx, w
+    """,
+)
+def q85_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = synthetic_corpus(spark, sf_dir).select("path", "image_format", "content")
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, fmt, content in zip(pdf["path"], pdf["image_format"], pdf["content"]):
+                doc_id = _doc_id_of(path)
+                arr = decode_image(bytes(content), fmt).astype(np.int64)
+                for frame_idx in range(0, arr.shape[0], 3):
+                    frame = arr[frame_idx]
+                    rows.append((doc_id, frame_idx, frame.size, int(frame.sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_n_bytes", "byte_sum"]
+            )
+
+    return corpus.mapInPandas(
+        frames,
+        schema="doc_id bigint, frame_idx bigint, frame_n_bytes bigint, byte_sum bigint",
+    )
+
+
+# --------------------------------------------------------------------------
+# q86 — audio feature extraction: per-window RMS energy over a synthetic
+# PCM waveform (sawtooth: sample[t] = (doc_id*31 + t*17) % 256 - 128;
+# 4 + doc_id % 7 windows of 256 samples). A real audio path would decode
+# `binary` via soundfile/librosa (not in this container — clearly-marked
+# deterministic fake; Spark plumbing, schema, and windowed reduction are
+# the real thing). Oracle recomputes every sample.
+# --------------------------------------------------------------------------
+_WIN = 256
+
+
+def synthetic_waveform(doc_id: int) -> np.ndarray:
+    """STUB for audio decode: deterministic PCM stand-in (the container
+    has no audio codec libraries). Returns int16-range samples shaped
+    (n_windows * 256,)."""
+    n = (4 + doc_id % 7) * _WIN
+    t = np.arange(n, dtype=np.int64)
+    return (doc_id * 31 + t * 17) % 256 - 128
+
+
+@query(
+    "q86_audio_rms",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, 4 + doc_id % 7 AS n_windows FROM documents),
+    win AS (
+      SELECT doc_id, i.i AS window_idx
+      FROM w, LATERAL (SELECT unnest(generate_series(0, w.n_windows - 1)) AS i) i
+    ),
+    s AS (
+      SELECT doc_id, window_idx,
+             ((doc_id*31 + (window_idx*{_WIN} + t.t)*17) % 256) - 128 AS v
+      FROM win, LATERAL (SELECT unnest(generate_series(0, {_WIN - 1})) AS t) t
+    )
+    SELECT doc_id, window_idx, {_WIN} AS n_samples,
+           sqrt(CAST(SUM(v*v) AS DOUBLE) / {_WIN}) AS rms
+    FROM s GROUP BY doc_id, window_idx
+    """,
+)
+def q86_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                wave = synthetic_waveform(doc_id).reshape(-1, _WIN)
+                energy = (wave * wave).sum(axis=1)
+                for window_idx, e in enumerate(energy):
+                    rows.append(
+                        (doc_id, window_idx, _WIN, float(np.sqrt(float(e) / _WIN)))
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "window_idx", "n_samples", "rms"])
+
+    return docs.mapInPandas(
+        rms, schema="doc_id bigint, window_idx bigint, n_samples int, rms double"
+    )

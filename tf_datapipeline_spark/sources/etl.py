@@ -1,0 +1,99 @@
+"""Sharded record ETL — the reference's make_tf_record job, Spark-first.
+
+Reference EP4 (make_tf_record.py:149-163): scan image dirs -> build
+label dict -> seeded shuffle -> train/validation split -> write 5
+contiguous shards per split of (encoded, format, label, height, width)
+records. Here the record files are Parquet (columnar, splittable,
+predicate-pushdown-able — strictly better than TFRecord for an analytics
+engine), the shuffle/split is the arithmetic permutation key from
+operators/pipeline.py (deterministic, O(1)/row, no global sort), and the
+shard fan-out is a repartition on (split, shard) so each writer task owns
+exactly one output file — the same layout a 1000-executor job would
+produce, with no driver bottleneck.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tf_datapipeline_spark.functions.texthash import sql_hash32
+
+N_SHARDS = 5  # reference _NUM_SHARDS (make_tf_record.py:11)
+
+
+def sql_path_key(seed: int = 0) -> str:
+    """Deterministic 32-bit permutation key over the record path — a
+    seeded md5 prefix, valid in BOTH Spark SQL and DuckDB so the oracle
+    replays the exact split/shard assignment. (The multiplicative
+    shuffle_key of operators/pipeline.py would overflow int64 on 32-bit
+    hash inputs under ANSI mode; md5 is already uniform, so no extra
+    scrambling is needed.)"""
+    return sql_hash32(f"concat(path, '#{seed}')")
+
+
+def records_with_split(
+    corpus: DataFrame, seed: int = 0, n_shards: int = N_SHARDS
+) -> DataFrame:
+    """corpus (images source schema) -> record rows with dense label,
+    split, and shard columns.
+
+    - label: dense id of the sorted class name (reference
+      make_tf_record.py:151), broadcast-joined back — the dict is tiny.
+    - split: permutation-key modulo (~10% validation), the scalable form
+      of the reference's shuffle-then-slice (make_tf_record.py:155-158).
+    - shard: next digit of the same key, so records spread uniformly
+      across `n_shards` writer tasks per split.
+    """
+    dict_df = (
+        corpus.select(F.col("class_name"))
+        .distinct()
+        .withColumn("label", F.row_number().over(Window.orderBy("class_name")) - F.lit(1))
+    )
+    key = F.expr(sql_path_key(seed))
+    return (
+        corpus.join(F.broadcast(dict_df), "class_name")
+        .select(
+            F.col("content").alias("image_encoded"),
+            F.col("image_format"),
+            F.col("label").cast("long"),
+            F.col("height").cast("long"),
+            F.col("width").cast("long"),
+            F.when(key % 10 == 0, "validation").otherwise("train").alias("split"),
+            (F.floor(key / 10) % n_shards).alias("shard"),
+        )
+    )
+
+
+def write_sharded_records(
+    corpus: DataFrame, out_dir: str, seed: int = 0, n_shards: int = N_SHARDS
+) -> None:
+    """Write the record table as <out_dir>/split=<s>/ with `n_shards`
+    parquet files per split (reference: flowers_%s_%05d-of-%05d.tfrecord,
+    make_tf_record.py:94-97). repartition on the (split, shard) pair
+    gives one file per (split, shard) without a global sort."""
+    records = records_with_split(corpus, seed=seed, n_shards=n_shards)
+    (
+        records.repartition(2 * n_shards, "split", "shard")
+        .write.mode("overwrite")
+        .partitionBy("split", "shard")
+        .parquet(out_dir)
+    )
+
+
+def read_records(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Scan the sharded record table back (reference read side:
+    data_queue.py:46-53 / dataset_queue.py:48 — file enumeration and
+    parallel read are Spark-native)."""
+    return spark.read.parquet(out_dir)
+
+
+def scratch_dir(name: str) -> str:
+    """Writable scratch under the repo (the only writable root in this
+    environment)."""
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(repo, ".scratch", name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path

@@ -1,0 +1,115 @@
+"""Image-corpus sources.
+
+Two ways to obtain the directory-of-files corpus the reference scans
+(reference: get_filenames_and_classes, generator.py:8-34):
+
+1. `scan_image_dir` — a REAL directory: Spark's binaryFile source plus
+   path-derived class label (S1/P6). Used by tests against a tmpdir of
+   PPM files; on a cluster this is the production ingest path (each
+   executor reads its own files; no driver-side listing bottleneck beyond
+   Spark's own parallel file index).
+
+2. `synthetic_corpus` — a DETERMINISTIC in-engine corpus derived from the
+   driver's `documents` table, generated distributed inside a pandas UDF
+   (mapInPandas) and round-tripped through the real PPM codec. The pixel
+   function is plain integer arithmetic so the DuckDB oracle can verify
+   decode results cell-for-cell (operators/multimodal.py) — the closest a
+   binary pipeline can get to full oracle coverage.
+
+Synthetic image spec (shared with the SQL oracle — keep in sync):
+    height        = 8 + (doc_id * 7919)   % 25          (8..32)
+    width         = 8 + (doc_id * 104729) % 25          (8..32)
+    pixel[i,j,c]  = (3*i + 5*j + 11*c + doc_id) % 256
+    class_name    = documents.lang, path = corpus/<lang>/<doc_id>.ppm
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tf_datapipeline_spark.catalog import load_table
+from tf_datapipeline_spark.functions.imagecodec import encode_ppm
+
+CORPUS_SCHEMA = (
+    "path string, class_name string, image_format string, "
+    "height int, width int, content binary, length bigint"
+)
+
+
+def synthetic_dims(doc_id: int) -> tuple[int, int]:
+    """(height, width) of the synthetic image for a doc_id."""
+    return 8 + (doc_id * 7919) % 25, 8 + (doc_id * 104729) % 25
+
+
+def synthetic_pixels(doc_id: int) -> np.ndarray:
+    """Materialize the synthetic (H, W, 3) uint8 image for a doc_id."""
+    h, w = synthetic_dims(doc_id)
+    i = np.arange(h, dtype=np.int64)[:, None, None]
+    j = np.arange(w, dtype=np.int64)[None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((3 * i + 5 * j + 11 * c + doc_id) % 256).astype(np.uint8)
+
+
+def synthetic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (path, class_name, image_format, h, w, content, length)
+    with content = real PPM bytes, generated executor-side in Arrow
+    batches. Only (doc_id, lang) crosses the scan boundary (column
+    pruning); the MB-scale binary column is born inside the UDF."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, lang in zip(pdf["doc_id"], pdf["lang"]):
+                img = synthetic_pixels(int(doc_id))
+                payload = encode_ppm(img)
+                rows.append(
+                    (
+                        f"corpus/{lang}/{int(doc_id)}.ppm",
+                        lang,
+                        "ppm",
+                        img.shape[0],
+                        img.shape[1],
+                        payload,
+                        len(payload),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path",
+                    "class_name",
+                    "image_format",
+                    "height",
+                    "width",
+                    "content",
+                    "length",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return docs.mapInPandas(gen, schema=CORPUS_SCHEMA)
+
+
+def scan_image_dir(spark: SparkSession, root: str, fmt: str = "ppm") -> DataFrame:
+    """binaryFile scan of <root>/<class_name>/<file>.<fmt> with the label
+    parsed from the path — the Spark-native form of the reference's
+    directory walk (generator.py:8-34). Filter pushdown on pathGlobFilter
+    keeps non-image files out of the scan."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", f"*.{fmt}")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+    )
+    return df.select(
+        F.col("path"),
+        F.regexp_extract(F.col("path"), r".*/([^/]+)/[^/]+$", 1).alias("class_name"),
+        F.lit(fmt).alias("image_format"),
+        F.col("content"),
+        F.col("length"),
+    )
