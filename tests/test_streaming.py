@@ -1,0 +1,102 @@
+"""Structured-Streaming semantics tests beyond the bounded oracle checks:
+multi-batch incremental execution, watermark-based late-data drop, and
+append-mode window finalization."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from tf_datapipeline_spark.sources.etl import scratch_dir
+
+_T0 = 1_700_000_000_000_000  # micros; arbitrary fixed epoch instant
+
+
+def _write_events(path: str, rows: list[tuple[int, float]]) -> None:
+    ts = pa.array([r[0] for r in rows], type=pa.timestamp("us"))
+    v = pa.array([r[1] for r in rows], type=pa.float64())
+    pq.write_table(pa.table({"ts": ts, "v": v}), path)
+
+
+def test_watermark_drops_late_data_across_batches(spark):
+    """Two availableNow runs over a shared checkpoint: run 1 advances the
+    event-time watermark past t0+2h; run 2 delivers an event from t0-2h,
+    which the streaming plan must DROP (batch semantics would keep it)."""
+    import shutil
+
+    root = scratch_dir("stream_late/x").rsplit("/", 1)[0]
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    cp = scratch_dir("stream_late_cp/x").rsplit("/", 1)[0]
+    shutil.rmtree(cp, ignore_errors=True)
+    out = scratch_dir("stream_late_out/x").rsplit("/", 1)[0]
+    shutil.rmtree(out, ignore_errors=True)
+
+    def run() -> dict[float, object]:
+        sdf = (
+            spark.readStream.schema("ts timestamp, v double")
+            .format("parquet")
+            .load(root)
+        )
+        agg = (
+            sdf.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+            .select(F.col("w.start").alias("window_start"), "n", "sum_v")
+        )
+        # parquet sink: the only bundled sink that both supports append
+        # mode with aggregation AND resumes from a checkpoint (the memory
+        # sink cannot recover state across runs)
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r.window_start.timestamp(): r for r in spark.read.parquet(out).collect()
+        }
+
+    h = 3_600_000_000  # 1h in micros
+    # run 1: two events in the t0 window + one 3h later -> final watermark
+    # = t0 + 2h, which finalizes the t0 window
+    _write_events(
+        os.path.join(root, "f1.parquet"),
+        [(_T0, 1.0), (_T0 + 60_000_000, 2.0), (_T0 + 3 * h, 4.0)],
+    )
+    run()
+    # run 2: one event 2h BEFORE t0 — far below the persisted watermark
+    _write_events(os.path.join(root, "f2.parquet"), [(_T0 - 2 * h, 8.0)])
+    rows = run()
+
+    t0_sec = _T0 / 1_000_000
+    t0_win = t0_sec - t0_sec % 300  # tumbling windows anchor at the epoch
+    # the finalized t0 window holds exactly the two on-time events
+    assert t0_win in rows
+    assert rows[t0_win].n == 2 and rows[t0_win].sum_v == 3.0
+    # the late event was dropped: its window never emits, and it could not
+    # have merged into any emitted window
+    late_win = (t0_sec - 2 * 3600) - (t0_sec - 2 * 3600) % 300
+    assert late_win not in rows
+    # the above-watermark tail window is still held back in append mode
+    tail_win = (t0_sec + 3 * 3600) - (t0_sec + 3 * 3600) % 300
+    assert tail_win not in rows
+
+
+def test_streaming_equals_batch_on_bounded_input(spark):
+    """q47 (streaming) and q40 (batch) must agree row-for-row on the same
+    bounded events table — the engine's batch/streaming unification claim."""
+    from tf_datapipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    q = registry.queries()
+    batch = {tuple(r) for r in q["q40_tumbling_window"](spark, sf).collect()}
+    stream = {tuple(r) for r in q["q47_stream_tumbling_window"](spark, sf).collect()}
+    assert batch == stream

@@ -35,6 +35,7 @@ _OPERATOR_MODULES = [
     "tf_datapipeline_spark.operators.dedup",
     "tf_datapipeline_spark.operators.similarity",
     "tf_datapipeline_spark.operators.multimodal",
+    "tf_datapipeline_spark.streaming.events_stream",
 ]
 
 _loaded = False

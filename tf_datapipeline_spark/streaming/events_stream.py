@@ -1,0 +1,170 @@
+"""Structured-Streaming surface over the `events` table.
+
+The reference's only "streaming" is bounded queue iteration with
+background prefetch threads (SURVEY.md B6/B7: tf.train.Coordinator +
+queue runners, train.py:113-114,163-169). Spark's native equivalent is
+incremental execution: readStream -> event-time transforms ->
+writeStream, with `trigger(availableNow=True)` giving exactly the
+reference's bounded-run-to-completion semantics (B7's OutOfRangeError ==
+query termination after draining available input).
+
+Every streaming query here reuses the event-time semantics of
+operators/events.py and runs bounded into a memory sink, so the driver's
+DuckDB oracle can value-check STREAMING results against the same SQL as
+the batch twins — the engine's claim that batch and streaming agree on
+bounded input is itself oracle-verified (q47/q48/q49).
+
+Scale notes: the memory sink is a test harness; production sinks are
+Kafka/Delta/parquet via the same writeStream call. State stores (window
+aggs, dedup, session merge) shuffle on their keys exactly like the batch
+plans; watermarks bound state size — without them, 100 TB of stream
+state never ages out.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tf_datapipeline_spark.catalog import table_path
+from tf_datapipeline_spark.functions.exact import dsum, sql_dsum
+from tf_datapipeline_spark.registry import query
+
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+_sink_counter = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet. ts is TIMESTAMP(NANOS)
+    in the footer (unreadable by the vectorized reader) — read as long
+    (legacy conf) and truncate to micros, identically to the batch
+    catalog loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source wants a DIRECTORY; select the single table
+    # file via glob filter (a production stream would watch a drop dir).
+    sdf = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_bounded(sdf: DataFrame, output_mode: str) -> DataFrame:
+    """Drain all available input through the streaming plan into a memory
+    sink and return the result as a batch DataFrame (B7: bounded-stream
+    termination)."""
+    name = f"stream_sink_{next(_sink_counter)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = sdf.sparkSession
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# q47 — STREAMING tumbling window agg (watermark + window), bounded run.
+# Same oracle SQL as batch q40: on bounded input the streaming plan must
+# produce byte-identical results to the batch plan.
+# --------------------------------------------------------------------------
+@query(
+    "q47_stream_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", 6)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q47_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+    # complete mode: emit every window, including those still above the
+    # final watermark (append mode would hold the tail back in state).
+    return run_bounded(agg, "complete")
+
+
+# --------------------------------------------------------------------------
+# q48 — STREAMING stateful dedup: dropDuplicates keyed on
+# (user_id, event_type) keeps the first ARRIVAL per key — an
+# order-dependent choice, so only the key set (deterministic) is emitted.
+# Batch q43 is the event-time-deterministic variant.
+# --------------------------------------------------------------------------
+@query(
+    "q48_stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q48_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_bounded(deduped, "append")
+
+
+# --------------------------------------------------------------------------
+# q49 — STREAMING sessionization via native session_window (30 min gap).
+# Spark merges an event into a session iff ts < session_end (exclusive),
+# and reports session_end = last_ts + gap; the oracle mirrors both (>=
+# flag on the gap, end = max(ts) + 30 min).
+# --------------------------------------------------------------------------
+@query(
+    "q49_stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q49_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_bounded(agg, "complete")
