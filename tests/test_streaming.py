@@ -100,3 +100,14 @@ def test_streaming_equals_batch_on_bounded_input(spark):
     batch = {tuple(r) for r in q["q40_tumbling_window"](spark, sf).collect()}
     stream = {tuple(r) for r in q["q47_stream_tumbling_window"](spark, sf).collect()}
     assert batch == stream
+
+
+def test_approx_distinct_error_bound(spark):
+    """q17's HLL++ estimate must sit within ~3x the default 5% rsd of the
+    exact distinct count it travels with."""
+    from tf_datapipeline_spark import registry
+
+    rows = registry.queries()["q17_approx_distinct"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_parts - r.exact_parts) <= max(3, 0.15 * r.exact_parts)

@@ -469,3 +469,54 @@ def q16_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(rev, 6).alias("total_revenue"),
         (dsum(promo, 6) / dsum(rev, 6)).alias("promo_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# q17 — approximate distinct-count (HyperLogLog++). Sketches differ across
+# engines, so no SQL oracle — instead the exact count travels alongside
+# and tests assert the relative error bound (rsd=0.05 default). At 100 TB
+# the approx path is the only sane one: fixed-size sketch per group,
+# partial-merge, no giant distinct shuffle.
+# --------------------------------------------------------------------------
+@query("q17_approx_distinct")
+def q17_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — explicit GROUPING SETS with grouping indicators (beyond q14/q15's
+# ROLLUP/CUBE): per (flag, status), per flag, and grand total in one pass
+# — one shuffle, partial aggregation per set.
+# --------------------------------------------------------------------------
+@query(
+    "q18_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           {sql_dsum("l_quantity")} AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.catalog import register_views
+    from tf_datapipeline_spark.functions.exact import sql_dsum as _sql_dsum
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag) AS g_flag,
+               GROUPING(l_linestatus) AS g_status,
+               {_sql_dsum("l_quantity")} AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )

@@ -177,3 +177,36 @@ def q24_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("cust_total"),
         (F.col("o_totalprice") / total).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# q25 — lag/lead frame navigation: per-customer order history with
+# previous/next order price and the delta (SURVEY.md §2B window/analytic).
+# Deterministic order: (o_orderdate, o_orderkey).
+# --------------------------------------------------------------------------
+@query(
+    "q25_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           o_totalprice - COALESCE(LAG(o_totalprice) OVER w, o_totalprice)
+             AS delta_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q25_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.col("o_totalprice") - F.coalesce(prev, F.col("o_totalprice"))).alias(
+            "delta_prev"
+        ),
+    )
