@@ -6,7 +6,8 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Query set spans the operator families: scan/agg (q01, q06), joins
 (q03, q05), top-k (q09), windows (q20, q21), event-time (q40, q42),
-text (q50, q55), dedup (q60..q65), similarity (q70, q71).
+text (q50, q55), dedup (q60..q65), similarity (q70, q71), multimodal
+decode + ETL (q81, q84), streaming (q47).
 """
 
 from __future__ import annotations
@@ -40,6 +41,9 @@ HEADLINE = [
     "q65_ngram_jaccard",
     "q70_knn_bruteforce",
     "q71_knn_ann_lsh",
+    "q81_pixel_stats",
+    "q84_etl_sharded_write",
+    "q47_stream_tumbling_window",
 ]
 
 
