@@ -1,0 +1,74 @@
+"""Physical-plan shape tests: the scale-critical plan properties
+(pushdown, pruning, broadcast, top-k, codegen) pinned as assertions so a
+regression fails loudly instead of costing 100x on a real cluster."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+from tf_datapipeline_spark import registry
+from tf_datapipeline_spark.plans.inspect import (
+    codegen_subtree_count,
+    has_operator,
+    has_pushed_filters,
+    join_strategies,
+    read_schema_columns,
+)
+
+
+def _q(name, spark):
+    return registry.queries()[name](spark, SF_SMOKE)
+
+
+def test_filter_reaches_parquet_scan(spark):
+    """q06's shipdate/discount/quantity predicates must appear as
+    PushedFilters on the lineitem scan."""
+    assert has_pushed_filters(_q("q06_forecast_revenue", spark))
+    assert has_pushed_filters(_q("q02_filter_project", spark))
+
+
+def test_column_pruning_is_narrow(spark):
+    """q01 touches 7 of lineitem's 11 columns; the scan must not read
+    more (a full-width scan of a 100 TB table is the canonical fail)."""
+    schemas = read_schema_columns(_q("q01_pricing_summary", spark))
+    assert schemas, "no parquet scan found"
+    for cols in schemas:
+        assert cols <= {
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        }
+
+
+def test_dim_joins_broadcast(spark):
+    """q05 joins lineitem against customer/supplier/nation/region dims —
+    every one must be a BroadcastHashJoin (no shuffle of the fact side)."""
+    joins = join_strategies(_q("q05_region_revenue", spark))
+    assert joins and all(j == "BroadcastHashJoin" for j in joins), joins
+
+
+def test_topk_uses_take_ordered(spark):
+    """q09 (ORDER BY ... LIMIT k) must plan as TakeOrderedAndProject —
+    per-partition heaps, no global sort."""
+    assert has_operator(_q("q09_topk_orders", spark), "TakeOrderedAndProject")
+
+
+def test_flagship_runs_in_codegen(spark):
+    """Pin the whole-stage-codegen property with AQE momentarily off —
+    AdaptiveSparkPlan reports 0 subtrees until execution, but the
+    underlying stages are the same ones AQE will compile."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert codegen_subtree_count(_q("q01_pricing_summary", spark)) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_knn_has_no_cartesian_product(spark):
+    """Brute-force kNN must not plan a CartesianProduct of embeddings x
+    embeddings; the packed/broadcast formulation keeps it linear."""
+    joins = join_strategies(_q("q70_knn_bruteforce", spark))
+    assert "CartesianProduct" not in joins, joins
