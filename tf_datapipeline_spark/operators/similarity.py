@@ -76,14 +76,64 @@ def _knn_sql(dialect: str) -> str:
     """
 
 
+# Accumulator type for exact higher-order-aggregate sums. Spark widens
+# DECIMAL(p,s) addition to scale s-1 at p=38, so accumulate at precision
+# 20 and cast each partial sum back: the cast is lossless (|dot| < 10^7
+# here) and scale-12 quantization of each term is identical to the
+# oracle's DECIMAL(38,12) — same value, same hash.
+_ACC = "decimal(20,12)"
+
+
+def _dec(col):
+    return col.cast(_ACC)
+
+
 @query("q70_knn_bruteforce", oracle=_knn_sql("duckdb"))
 def q70_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: query set (vec_id < 8) against the full corpus.
-    The dims self-join here mirrors the oracle for checkability; the
-    production form keeps vectors packed (see knn_bruteforce_packed) and
-    broadcasts the query side so the corpus never shuffles."""
-    register_views(spark, sf_dir)
-    return spark.sql(_knn_sql("spark"))
+    """Exact cosine top-k: query set (vec_id < 8) against the full corpus,
+    in the packed production shape — vectors stay as arrays, the tiny
+    query side broadcasts, one corpus pass computes every dot via
+    zip_with/aggregate (JVM codegen), so the corpus never shuffles and no
+    row explosion happens. Values still hash-match the oracle's exploded
+    formulation because each term is quantized to DECIMAL(38,12) exactly
+    as the oracle does and decimal addition is exact, hence
+    order-independent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast(_ACC),
+        lambda acc, x: (acc + _dec(x.cast("double") * x.cast("double"))).cast(_ACC),
+    )
+    corpus = emb.select(
+        "vec_id", "embedding", F.sqrt(norm2.cast("double")).alias("nrm")
+    )
+    queries = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "q_emb", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0).cast(_ACC),
+        lambda acc, x: (acc + _dec(x)).cast(_ACC),
+    ).cast("double")
+    scored = corpus.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
 
 
 def knn_bruteforce_packed(
