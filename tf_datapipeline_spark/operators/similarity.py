@@ -15,6 +15,8 @@ driver check; tests/test_similarity.py asserts recall vs q70.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -212,7 +214,21 @@ def q71_knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed buckets are read. Rows-only driver check; recall vs q70 and
     candidate pruning asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = _lcg_planes(_N_TABLES * _N_BITS, _DIM)
+    planes = np.asarray(_lcg_planes(_N_TABLES * _N_BITS, _DIM))  # (24, 64)
+    bit_weights = np.asarray([1 << b for b in range(_N_BITS)])
+
+    @F.pandas_udf("array<int>")
+    def bucket_udf(emb_col: pd.Series) -> pd.Series:
+        # one Arrow batch -> one matmul: (B, 64) @ (64, 24) sign bits,
+        # folded into _N_TABLES bucket ids per vector. This is the
+        # vectorized form of 24 per-row plane-dot expressions — the hash
+        # kernel is the hot path when indexing the full corpus.
+        mat = np.stack(emb_col.to_numpy()).astype(np.float64)  # (B, 64)
+        signs = (mat @ planes.T) >= 0  # (B, 24)
+        by_table = signs.reshape(len(mat), _N_TABLES, _N_BITS)
+        buckets = (by_table * bit_weights).sum(axis=2).astype(np.int32)
+        return pd.Series(list(buckets))
+
     norm = F.sqrt(
         F.aggregate(
             F.col("embedding"),
@@ -220,27 +236,8 @@ def q71_knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
-
-    def plane_dot(row):
-        return F.aggregate(
-            F.zip_with(F.col("embedding"), row, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def table_bucket(t: int):
-        bits = []
-        for b in range(_N_BITS):
-            row = F.array(*[F.lit(v) for v in planes[t * _N_BITS + b]])
-            bits.append(F.when(plane_dot(row) >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
-        out = bits[0]
-        for bit in bits[1:]:
-            out = out + bit
-        return out
-
-    buckets = F.array(*[table_bucket(t) for t in range(_N_TABLES)])
     base = emb.select(
-        "vec_id", "embedding", norm.alias("nrm"), buckets.alias("buckets")
+        "vec_id", "embedding", norm.alias("nrm"), bucket_udf("embedding").alias("buckets")
     )
     # index side: one row per (table_id, bucket)
     index = base.select(
