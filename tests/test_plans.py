@@ -4,6 +4,8 @@ regression fails loudly instead of costing 100x on a real cluster."""
 
 from __future__ import annotations
 
+from pyspark.sql.functions import col as F_col
+
 from tests.conftest import SF_SMOKE
 from tf_datapipeline_spark import registry
 from tf_datapipeline_spark.plans.inspect import (
@@ -72,3 +74,26 @@ def test_knn_has_no_cartesian_product(spark):
     embeddings; the packed/broadcast formulation keeps it linear."""
     joins = join_strategies(_q("q70_knn_bruteforce", spark))
     assert "CartesianProduct" not in joins, joins
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """orders ⋈ lineitem both bucketed on the join key: the join must plan
+    WITHOUT any Exchange (the shuffle was paid once at write time) and
+    return the same rows as the plain join."""
+    from tf_datapipeline_spark.catalog import load_table
+    from tf_datapipeline_spark.plans.inspect import formatted_plan
+    from tf_datapipeline_spark.sources.bucketing import colocated_join
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        df = colocated_join(spark, SF_SMOKE)
+        plan = formatted_plan(df)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        plain = load_table(spark, SF_SMOKE, "orders").join(
+            load_table(spark, SF_SMOKE, "lineitem"),
+            F_col("o_orderkey") == F_col("l_orderkey"),
+        )
+        assert df.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

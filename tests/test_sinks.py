@@ -1,0 +1,42 @@
+"""Metrics-log sink (S10/S11 analog) and required-schema validation (P1)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tf_datapipeline_spark.catalog import load_table, validate_required_schema
+from tf_datapipeline_spark.sources.etl import scratch_dir
+from tf_datapipeline_spark.sources.metrics import MetricsLog
+
+
+def test_metrics_log_append_and_rollup(spark):
+    path = scratch_dir("metrics_log/x").rsplit("/", 1)[0]
+    shutil.rmtree(path, ignore_errors=True)
+    log = MetricsLog(path)
+    log.append(spark, "run1", [(0, 1, "loss", 2.0), (0, 2, "loss", 1.0)])
+    log.append(spark, "run1", [(1, 3, "loss", 0.5), (1, 3, "acc", 0.9)])
+    log.append(spark, "run2", [(0, 1, "loss", 9.0)])
+
+    assert log.read(spark).count() == 5
+    summary = {
+        (r.epoch, r.metric): r for r in log.epoch_summary(spark, "run1").collect()
+    }
+    assert summary[(0, "loss")].mean_value == 1.5
+    assert summary[(0, "loss")].n_steps == 2
+    assert summary[(1, "acc")].mean_value == 0.9
+    assert (0, "loss") in summary and len(summary) == 3
+
+
+def test_required_schema_passes_and_fails(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    out = validate_required_schema(
+        li, {"l_orderkey": "bigint", "l_quantity": "double"}
+    )
+    assert out is li
+    with pytest.raises(ValueError, match="missing required column 'nope'"):
+        validate_required_schema(li, {"nope": "bigint"})
+    with pytest.raises(ValueError, match="expected string, found double"):
+        validate_required_schema(li, {"l_quantity": "string"})

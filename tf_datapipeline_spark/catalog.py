@@ -58,6 +58,26 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def validate_required_schema(df: DataFrame, required: dict[str, str]) -> DataFrame:
+    """Schema-on-read with REQUIRED fields — the reference's
+    parse_single_example with FixedLenFeatures and no defaults errors on
+    any missing key (P1, data_queue.py:15-23). Raises ValueError listing
+    every missing/mistyped column; returns df unchanged when valid, so it
+    composes as a pass-through assertion at pipeline boundaries."""
+    actual = dict(df.dtypes)
+    problems = []
+    for name, dtype in required.items():
+        if name not in actual:
+            problems.append(f"missing required column {name!r} ({dtype})")
+        elif actual[name] != dtype:
+            problems.append(
+                f"column {name!r}: expected {dtype}, found {actual[name]}"
+            )
+    if problems:
+        raise ValueError("schema validation failed: " + "; ".join(problems))
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL surface)."""
     for name in TABLES:
