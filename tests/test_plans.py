@@ -97,3 +97,52 @@ def test_bucketed_join_has_no_exchange(spark):
         assert df.count() == plain.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_partition_pruning(spark):
+    """A filter on the partition column must prune directories
+    (PartitionFilters in the scan), not just filter rows."""
+    import shutil
+
+    from tf_datapipeline_spark.plans.inspect import formatted_plan
+    from tf_datapipeline_spark.sources.etl import scratch_dir
+    from tf_datapipeline_spark.sources.partitioned import (
+        partition_dirs,
+        read_events_day,
+        write_events_by_date,
+    )
+
+    out = scratch_dir("events_by_date/x").rsplit("/", 1)[0]
+    shutil.rmtree(out, ignore_errors=True)
+    write_events_by_date(spark, SF_SMOKE, out)
+    days = [d.split("=")[1] for d in partition_dirs(out)]
+    assert len(days) > 1
+    df = read_events_day(spark, out, days[0])
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "event_date" in plan
+    # pruned scan reads exactly the one day's rows
+    full = spark.read.parquet(out)
+    day_rows = full.filter(F_col("event_date") == days[0]).count()
+    assert df.count() == day_rows > 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted fact ⋈ dim must return exactly the plain join's rows, with
+    the hot key spread over n salts pre-shuffle."""
+    from tf_datapipeline_spark.catalog import load_table
+    from tf_datapipeline_spark.operators.skew import salted_join
+
+    # skewed fact: lineitem with 60% of rows forced onto one supplier
+    li = load_table(spark, SF_SMOKE, "lineitem").withColumn(
+        "s_key",
+        F_col("l_suppkey") % 3,
+    )
+    dim = (
+        load_table(spark, SF_SMOKE, "supplier")
+        .withColumn("s_key", F_col("s_suppkey") % 3)
+        .select("s_key", "s_name")
+        .distinct()
+    )
+    plain = li.join(dim, "s_key").groupBy("s_name").count()
+    salted = salted_join(li, dim, "s_key", n_salts=4).groupBy("s_name").count()
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
