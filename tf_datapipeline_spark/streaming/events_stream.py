@@ -168,3 +168,49 @@ def q49_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_bounded(agg, "complete")
+
+
+# --------------------------------------------------------------------------
+# q4s — CUSTOM stateful operator via applyInPandasWithState: per-user
+# running event counter + value sum held in explicit state across
+# micro-batches (the general form for operators Spark's built-in
+# aggregations can't express — per-key state machines, decaying counters,
+# online sketches). GroupStateTimeout is off: bounded runs drain fully.
+# On bounded input the final state equals the batch aggregate, so the
+# oracle is plain GROUP BY — the state machinery itself is what's tested.
+# --------------------------------------------------------------------------
+def _stateful_counts(key, pdf_iter, state):
+    import pandas as pd
+
+    n, total = state.get() if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 6)]}
+    )
+
+
+@query(
+    "q4s_stream_stateful_counts",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events,
+           {sql_dsum("value", 6)} AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q4s_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    counted = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _stateful_counts,
+            outputStructType="user_id bigint, n_events bigint, sum_value double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+    return run_bounded(counted, "update")
