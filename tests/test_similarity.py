@@ -52,3 +52,15 @@ def test_ann_prunes_candidates(spark):
     ranks = ann.groupBy("query_id").agg(F.max("rank").alias("mx")).collect()
     assert all(r.mx <= 5 for r in ranks)
     assert n > 0
+
+
+def test_ivf_recall_and_pruning(spark):
+    exact = _topk_sets(sim.q70_knn_bruteforce(spark, SF_ORACLE))
+    ivf = _topk_sets(sim.q73_knn_ann_ivf(spark, SF_ORACLE))
+    assert ivf.keys() == exact.keys()
+    recalls = [len(exact[q] & ivf[q]) / len(exact[q]) for q in exact]
+    avg = sum(recalls) / len(recalls)
+    # probing 4/16 cells scans ~25% of the corpus; on weakly-clustered
+    # gaussian data recall tracks the scan fraction — guard the floor.
+    assert avg >= 0.25, f"avg recall {avg:.2f}, per-query {recalls}"
+    assert sim.q73_knn_ann_ivf(spark, SF_ORACLE).count() <= 8 * 5

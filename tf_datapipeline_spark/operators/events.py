@@ -244,3 +244,63 @@ def q46_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("n_events").alias("max_session_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# q4a — AS-OF JOIN (temporal): each 'click' joined to the user's latest
+# 'view' at or before it. Spark has no native as-of join; the scalable
+# form is the union + sorted carry-forward: tag both sides, one
+# shuffle/sort per user over (ts, side, id), LAST(ignorenulls) propagates
+# the most recent right row to every left row — O(n log n) within
+# partition, no per-row probe, no range explosion (the shape that
+# survives 100 TB; pandas merge_asof needs a single sorted host). The
+# right side is deduped per (user, ts) so ties resolve identically in
+# both engines. Oracle: DuckDB's native ASOF LEFT JOIN.
+# --------------------------------------------------------------------------
+@query(
+    "q4a_asof_join",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, ts, MAX(event_id) AS r_event_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           r.r_event_id AS prior_view_id, r.ts AS prior_view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q4a_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("side")
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("r_event_id"))
+        .select("user_id", "ts", F.lit(0).alias("side"), "r_event_id")
+    )
+    both = left.withColumn("r_event_id", F.lit(None).cast("bigint")).unionByName(
+        right.withColumn("event_id", F.lit(None).cast("bigint"))
+    )
+    # right rows sort before left rows at equal ts (side 0 < 1), so a
+    # view at exactly the click's timestamp counts as "at or before"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "r_event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.select(
+        "user_id",
+        "ts",
+        "side",
+        "event_id",
+        F.last("r_event_id", ignorenulls=True).over(w).alias("prior_view_id"),
+        F.last(
+            F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
+        ).over(w).alias("prior_view_ts"),
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "event_id", "user_id", "ts", "prior_view_id", "prior_view_ts"
+    )

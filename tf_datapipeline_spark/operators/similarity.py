@@ -314,3 +314,86 @@ def q72_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors. Exact integer sums → deterministic at any parallelism."""
     register_views(spark, sf_dir)
     return spark.sql(_centroid_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# q73 — IVF-style ANN: partition the corpus into inverted lists by
+# nearest of _N_CELLS fixed seed centroids (one numpy matmul per Arrow
+# batch), probe the _N_PROBE nearest lists per query, exact-rescore the
+# short lists. At 100 TB the corpus is written partitioned by cell id, so
+# a query reads only probed partitions — the IVF counterpart to q71's
+# sign-projection buckets (use IVF when the corpus is clustered, LSH when
+# it isn't). Deterministic: centroids are fixed vec_ids, ties break by
+# cell index. Rows-only driver check; recall vs q70 in tests.
+# --------------------------------------------------------------------------
+_N_CELLS = 16
+_N_PROBE = 4
+_CENTROID_STRIDE = 37  # centroid c = corpus vector with vec_id = 8 + 37*c
+
+
+@query("q73_knn_ann_ivf")
+def q73_knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_ids = [8 + _CENTROID_STRIDE * c for c in range(_N_CELLS)]
+    cent_rows = (
+        emb.filter(F.col("vec_id").isin(cent_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in sorted(cent_rows, key=lambda r: r.vec_id)]
+    )
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)  # cosine cells
+
+    @F.pandas_udf("array<int>")
+    def cell_udf(emb_col: pd.Series) -> pd.Series:
+        # nearest-centroid cells by cosine, best _N_PROBE per vector
+        mat = np.stack(emb_col.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cents.T  # (B, _N_CELLS)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :_N_PROBE]
+        return pd.Series(list(order.astype(np.int32)))
+
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    base = emb.select(
+        "vec_id", "embedding", norm.alias("nrm"), cell_udf("embedding").alias("cells")
+    )
+    # inverted list:每 vector indexed ONLY under its single nearest cell
+    index = base.select(
+        "vec_id", "embedding", "nrm", F.element_at("cells", 1).alias("cell")
+    )
+    # queries probe their _N_PROBE nearest cells
+    queries = base.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.explode("cells").alias("cell"),
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        index.join(F.broadcast(queries), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
