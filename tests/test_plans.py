@@ -146,3 +146,25 @@ def test_salted_join_matches_plain_join(spark):
     plain = li.join(dim, "s_key").groupBy("s_name").count()
     salted = salted_join(li, dim, "s_key", n_salts=4).groupBy("s_name").count()
     assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_no_accidental_cross_products(spark):
+    """Engine-wide join audit: no query may plan a CartesianProduct, and
+    BroadcastNestedLoopJoin is allowed only where the broadcast side is a
+    deliberate tiny relation (epoch dim, scalar watermark, doc-count
+    scalar, 8-row query set). Anything else is a latent 100 TB explosion."""
+    from tf_datapipeline_spark.plans.inspect import join_strategies
+
+    nlj_allowed = {
+        "q33_epoch_repeat",  # epochs dim: n_epochs rows
+        "q44_late_data_filter",  # broadcast 1-row watermark scalar
+        "q55_tfidf",  # broadcast 1-row corpus doc count
+        "q70_knn_bruteforce",  # broadcast 8-row query set, != condition
+    }
+    for name, fn in sorted(registry.queries().items()):
+        if "stream" in name:
+            continue  # streaming results come from a memory sink scan
+        joins = join_strategies(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in joins, (name, joins)
+        if "BroadcastNestedLoopJoin" in joins:
+            assert name in nlj_allowed, (name, joins)

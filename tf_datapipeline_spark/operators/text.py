@@ -303,3 +303,44 @@ def q56_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("similarity"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q57 — corpus preparation: the composed training-data filter chain a
+# reference user actually runs — quality gate (length + stopword
+# presence, q51's predicate) AND exact-dedup keeper (min doc_id per
+# content hash, q60/q61's policy) — rolled up per (lang, source). One
+# scan + one dedup shuffle + one semi join + one agg; every stage is the
+# already-verified operator, composed.
+# --------------------------------------------------------------------------
+@query(
+    "q57_corpus_prep",
+    oracle=f"""
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    quality AS (
+      SELECT doc_id, lang, source, n_chars
+      FROM documents
+      WHERE n_chars >= 100
+        AND length(list_filter({_TOKENS_SQL}, t -> t IN ({_SW_LIST}))) > 0
+    )
+    SELECT q.lang, q.source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(q.n_chars) AS BIGINT) AS total_chars
+    FROM quality q JOIN keepers k ON k.doc_id = q.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q57_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    n_stop = F.size(F.filter(_tokens_spark(), lambda t: t.isin(*_STOPWORDS)))
+    quality = docs.filter((F.col("n_chars") >= 100) & (n_stop > 0)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    kept = quality.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("total_chars"),
+    )
