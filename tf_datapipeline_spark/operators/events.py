@@ -304,3 +304,61 @@ def q4a_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.filter(F.col("side") == 1).select(
         "event_id", "user_id", "ts", "prior_view_id", "prior_view_ts"
     )
+
+
+# --------------------------------------------------------------------------
+# q4r — RANGE JOIN (temporal proximity): ordered pairs of a user's events
+# within 5 minutes of each other. A naive inequality join is a per-user
+# cartesian; the scalable form buckets time into 5-minute cells and
+# equi-joins each event against its own and the next bucket (every
+# in-range pair shares a bucket or spans adjacent ones), then applies the
+# exact range predicate. Equi-join + filter = hash join at 100 TB; the
+# bucket key bounds the blow-up to bucket occupancy.
+# --------------------------------------------------------------------------
+_RANGE_S = 300
+
+
+@query(
+    "q4r_range_join",
+    oracle=f"""
+    SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts - a.ts <= INTERVAL '{_RANGE_S} seconds'
+     AND a.event_id < b.event_id
+    """,
+)
+def q4r_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    bucket = (F.col("ts").cast("long") / _RANGE_S).cast("bigint")
+    a = ev.select(
+        F.col("event_id").alias("event_a"),
+        "user_id",
+        F.col("ts").alias("ts_a"),
+        bucket.alias("b"),
+    )
+    # probe own bucket and the next one: covers every pair with
+    # 0 <= ts_b - ts_a <= _RANGE_S
+    b = ev.select(
+        F.col("event_id").alias("event_b"),
+        "user_id",
+        F.col("ts").alias("ts_b"),
+        F.explode(F.array(bucket, bucket - 1)).alias("b"),
+    )
+    # exact micros-precision range predicate (the bucket key is only a
+    # coarse prefilter; seconds-truncated compares would admit pairs the
+    # true interval excludes)
+    pairs = a.join(b, ["user_id", "b"]).filter(
+        (F.unix_micros("ts_b") >= F.unix_micros("ts_a"))
+        & (F.unix_micros("ts_b") - F.unix_micros("ts_a") <= _RANGE_S * 1_000_000)
+        & (F.col("event_a") < F.col("event_b"))
+    )
+    # no distinct needed: a pair matches exactly one of the two bucket
+    # cells (own vs previous), never both
+    return pairs.select(
+        "event_a",
+        "event_b",
+        "user_id",
+        (F.col("ts_b").cast("long") - F.col("ts_a").cast("long")).alias("gap_s"),
+    )
