@@ -40,3 +40,20 @@ def test_required_schema_passes_and_fails(spark):
         validate_required_schema(li, {"nope": "bigint"})
     with pytest.raises(ValueError, match="expected string, found double"):
         validate_required_schema(li, {"l_quantity": "string"})
+
+
+def test_compaction_reduces_files_preserves_rows(spark):
+    import os
+
+    from tf_datapipeline_spark.sources.compaction import compact_parquet_dir
+
+    path = scratch_dir("compact_me/x").rsplit("/", 1)[0]
+    shutil.rmtree(path, ignore_errors=True)
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    li.repartition(40).write.mode("overwrite").parquet(path)  # 40 tiny files
+    before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    rows_before = spark.read.parquet(path).count()
+    n = compact_parquet_dir(spark, path)
+    after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert before == 40 and after == n < 10
+    assert spark.read.parquet(path).count() == rows_before

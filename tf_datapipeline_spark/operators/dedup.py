@@ -87,7 +87,7 @@ def q61_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arithmetic is byte-identical.
 # --------------------------------------------------------------------------
 def _sql_shingles(dialect: str, distinct: bool = True) -> str:
-    """CTE body producing (doc_id, lang, source, h) — hashed 5-char
+    """CTE body producing (doc_id, h) — hashed 5-char
     shingles. The md5 digest is projected once in an inner SELECT; the
     8-digit decode references that column (not 8 separate md5 calls)."""
     if dialect == "spark":
@@ -96,10 +96,10 @@ def _sql_shingles(dialect: str, distinct: bool = True) -> str:
         pos = "unnest(generate_series(1, length(text) - 4)) AS pos"
     d = "DISTINCT" if distinct else ""
     return f"""
-      SELECT {d} doc_id, lang, source, {sql_hash32_from_md5_dialect("md5s", dialect)} AS h
+      SELECT {d} doc_id, {sql_hash32_from_md5_dialect("md5s", dialect)} AS h
       FROM (
-        SELECT doc_id, lang, source, md5(substr(text, CAST(pos AS INT), 5)) AS md5s
-        FROM (SELECT doc_id, lang, source, text, {pos}
+        SELECT doc_id, md5(substr(text, CAST(pos AS INT), 5)) AS md5s
+        FROM (SELECT doc_id, text, {pos}
               FROM documents WHERE length(text) >= 5)
       )
     """

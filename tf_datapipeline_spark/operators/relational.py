@@ -520,3 +520,33 @@ def q18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q19 — multiset (ALL) set operations: INTERSECT ALL / EXCEPT ALL keep
+# duplicate multiplicity (q12/q13 are the distinct forms). One query
+# emitting both tagged branches so multiplicities are value-checked.
+# --------------------------------------------------------------------------
+@query(
+    "q19_set_ops_all",
+    oracle="""
+    SELECT 'intersect_all' AS op, l_partkey FROM (
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      INTERSECT ALL
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    )
+    UNION ALL
+    SELECT 'except_all' AS op, l_partkey FROM (
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      EXCEPT ALL
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    )
+    """,
+)
+def q19_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    inter = r.intersectAll(a).select(F.lit("intersect_all").alias("op"), "l_partkey")
+    exc = r.exceptAll(a).select(F.lit("except_all").alias("op"), "l_partkey")
+    return inter.unionByName(exc)
