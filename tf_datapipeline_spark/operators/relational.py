@@ -550,3 +550,99 @@ def q19_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = r.intersectAll(a).select(F.lit("intersect_all").alias("op"), "l_partkey")
     exc = r.exceptAll(a).select(F.lit("except_all").alias("op"), "l_partkey")
     return inter.unionByName(exc)
+
+
+# --------------------------------------------------------------------------
+# q1a — customer order-count distribution (TPC-H Q13 shape): LEFT join +
+# per-customer count + histogram of counts. Two aggregations, one join;
+# the left join keeps zero-order customers (count 0 bucket).
+# --------------------------------------------------------------------------
+@query(
+    "q1a_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q1a_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# q1b — small-quantity revenue (TPC-H Q17 shape): the correlated
+# "quantity < 0.2 * part's average quantity" subquery DECORRELATED into a
+# per-part aggregate + join — the rewrite Catalyst/scale requires (a
+# correlated per-row subquery is a join in disguise; materialize it once).
+# --------------------------------------------------------------------------
+@query(
+    "q1b_small_quantity_revenue",
+    oracle=f"""
+    WITH part_avg AS (
+      SELECT l_partkey, 0.2 * ({sql_davg("l_quantity", 6)}) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey,
+           COUNT(*) AS n_small,
+           {sql_dsum("l.l_extendedprice", 6)} AS small_revenue
+    FROM lineitem l JOIN part_avg p ON p.l_partkey = l.l_partkey
+    WHERE l.l_quantity < p.qty_threshold
+    GROUP BY l.l_partkey
+    """,
+)
+def q1b_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * davg("l_quantity", 6)).alias("qty_threshold")
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            dsum("l_extendedprice", 6).alias("small_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q1c — large-volume orders (TPC-H Q18 shape): HAVING on a grouped sum,
+# then semi-join back to order/customer detail. The HAVING aggregate runs
+# first and is small — the detail join probes only qualifying keys.
+# --------------------------------------------------------------------------
+@query(
+    "q1c_large_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, {sql_dsum("l_quantity")} AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {sql_dsum("l_quantity")} > 150
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice,
+           b.total_qty
+    FROM orders o JOIN big b ON b.l_orderkey = o.o_orderkey
+    """,
+)
+def q1c_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    return o.join(big, o.o_orderkey == big.l_orderkey).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "total_qty"
+    )
