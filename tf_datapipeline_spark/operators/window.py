@@ -210,3 +210,39 @@ def q25_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta_prev"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q26 — distribution framing: NTILE quartiles + FIRST/NTH value frames per
+# market segment (rounds out the analytic-function surface: q20-q25 cover
+# rank/lag/running/percentile; this adds tile + positional frame access).
+# --------------------------------------------------------------------------
+@query(
+    "q26_ntile_frames",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           NTILE(4) OVER w AS balance_quartile,
+           FIRST_VALUE(c_custkey) OVER w AS richest_custkey,
+           NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+                                         ORDER BY c_acctbal DESC, c_custkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND CURRENT ROW)
+             AS second_custkey
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q26_ntile_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.first("c_custkey").over(w).alias("richest_custkey"),
+        F.nth_value("c_custkey", 2).over(wf).alias("second_custkey"),
+    )
