@@ -57,3 +57,44 @@ def test_compaction_reduces_files_preserves_rows(spark):
     after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     assert before == 40 and after == n < 10
     assert spark.read.parquet(path).count() == rows_before
+
+
+def test_upsert_parquet_merge_semantics(spark):
+    from tf_datapipeline_spark.sources.upsert import upsert_parquet
+
+    path = scratch_dir("upsert_me/x").rsplit("/", 1)[0]
+    shutil.rmtree(path, ignore_errors=True)
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k bigint, name string, v double"
+    ).write.mode("overwrite").parquet(path)
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 22.0), (9, "z", 90.0)], "k bigint, name string, v double"
+    )
+    upsert_parquet(spark, path, updates, ["k"])
+    rows = {r.k: r for r in spark.read.parquet(path).collect()}
+    assert set(rows) == {1, 2, 3, 9}
+    assert rows[2].name == "b2" and rows[2].v == 22.0  # replaced
+    assert rows[1].v == 10.0 and rows[3].v == 30.0  # untouched
+    assert rows[9].name == "z"  # inserted
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        upsert_parquet(spark, path, updates.drop("v"), ["k"])
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """The sketch-based quantile (the 100 TB path) must track q27's exact
+    interpolated values within a small relative error."""
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, SF_SMOKE, "customer")
+    rows = cust.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.5)").alias("exact"),
+        F.expr("approx_percentile(c_acctbal, 0.5, 1000)").alias("approx"),
+    ).collect()
+    assert rows
+    for r in rows:
+        spread = abs(r.exact) + 1.0
+        assert abs(r.approx - r.exact) <= 0.1 * spread, r

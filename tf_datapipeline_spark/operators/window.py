@@ -246,3 +246,34 @@ def q26_ntile_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_custkey").over(w).alias("richest_custkey"),
         F.nth_value("c_custkey", 2).over(wf).alias("second_custkey"),
     )
+
+
+# --------------------------------------------------------------------------
+# q27 — grouped quantiles: exact interpolated percentiles per segment
+# (Spark `percentile` == DuckDB `quantile_cont`, both linear
+# interpolation; rounded to 6dp because the interpolation formula may
+# differ in final ulps between engines). The approximate path for 100 TB
+# is `approx_percentile` (t-digest-style sketch, mergeable map-side) —
+# same call shape, demonstrated in tests.
+# --------------------------------------------------------------------------
+@query(
+    "q27_group_quantiles",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+           ROUND(quantile_cont(c_acctbal, 0.50), 6) AS p50,
+           ROUND(quantile_cont(c_acctbal, 0.75), 6) AS p75,
+           ROUND(quantile_cont(c_acctbal, 0.90), 6) AS p90,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q27_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(c_acctbal, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(c_acctbal, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(c_acctbal, 0.90)"), 6).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
