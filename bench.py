@@ -44,6 +44,9 @@ HEADLINE = [
     "q81_pixel_stats",
     "q84_etl_sharded_write",
     "q47_stream_tumbling_window",
+    "q1b_small_quantity_revenue",
+    "q4r_range_join",
+    "q4a_asof_join",
 ]
 
 

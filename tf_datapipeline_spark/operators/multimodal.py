@@ -449,3 +449,67 @@ def q86_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         rms, schema="doc_id bigint, window_idx bigint, n_samples int, rms double"
     )
+
+
+# --------------------------------------------------------------------------
+# q87 — REAL binaryFile directory scan end-to-end: materialize a slice of
+# the synthetic corpus as actual .ppm files on disk (the reference's
+# directory-of-files layout, S1), scan it back through Spark's binaryFile
+# source with path-derived labels, decode every payload, and report per
+# class. The oracle re-derives the expected bytes/dims arithmetically —
+# so the filesystem round-trip, glob filter, label regexp AND codec are
+# all value-checked in the driver gate.
+# --------------------------------------------------------------------------
+_SCAN_DOCS = 64  # docs with doc_id < _SCAN_DOCS get written as files
+
+
+@query(
+    "q87_binaryfile_scan",
+    oracle=f"""
+    SELECT lang AS class_name, COUNT(*) AS n_files,
+           CAST(SUM({_PPM_BYTES_SQL}) AS BIGINT) AS total_bytes,
+           CAST(SUM(h * w) AS BIGINT) AS total_px
+    FROM ({_DIMS_SQL})
+    WHERE doc_id < {_SCAN_DOCS}
+    GROUP BY lang
+    """,
+)
+def q87_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from tf_datapipeline_spark.sources.etl import scratch_dir
+    from tf_datapipeline_spark.sources.images import scan_image_dir
+
+    root = scratch_dir(
+        f"bf_corpus_{os.path.basename(os.path.normpath(sf_dir))}/x"
+    ).rsplit("/", 1)[0]
+    shutil.rmtree(root, ignore_errors=True)
+    slice_df = synthetic_corpus(spark, sf_dir).filter(
+        F.regexp_extract("path", r"/(\d+)\.ppm$", 1).cast("long") < _SCAN_DOCS
+    )
+    for r in slice_df.select("path", "class_name", "content").collect():
+        d = os.path.join(root, r.class_name)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(root, r.path.split("corpus/", 1)[1]), "wb") as f:
+            f.write(bytes(r.content))
+
+    scanned = scan_image_dir(spark, root)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cls, fmt, content in zip(
+                pdf["class_name"], pdf["image_format"], pdf["content"]
+            ):
+                arr = decode_image(bytes(content), fmt)
+                rows.append((cls, len(content), arr.shape[0] * arr.shape[1]))
+            yield pd.DataFrame(rows, columns=["class_name", "n_bytes", "n_px"])
+
+    decoded = scanned.mapInPandas(
+        probe, schema="class_name string, n_bytes bigint, n_px bigint"
+    )
+    return decoded.groupBy("class_name").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("n_px").alias("total_px"),
+    )
