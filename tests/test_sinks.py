@@ -98,3 +98,23 @@ def test_approx_percentile_tracks_exact(spark):
     for r in rows:
         spread = abs(r.exact) + 1.0
         assert abs(r.approx - r.exact) <= 0.1 * spread, r
+
+
+def test_schema_evolution_merge_on_read(spark):
+    """Appending files with a new column must be readable with mergeSchema
+    (old rows null-filled) — the parquet-level schema-evolution story."""
+    import os
+
+    path = scratch_dir("evolve_me/x").rsplit("/", 1)[0]
+    shutil.rmtree(path, ignore_errors=True)
+    spark.createDataFrame([(1, "a")], "k bigint, name string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "k bigint, name string, score double"
+    ).write.mode("append").parquet(path)
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"k", "name", "score"}
+    rows = {r.k: r for r in df.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5

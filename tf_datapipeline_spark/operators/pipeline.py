@@ -328,3 +328,34 @@ def q39_step_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             (steps * 2).alias("total_steps_2_epochs"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q3a — deterministic stratified sampling: ~1-in-5 of each lang stratum
+# via the arithmetic permutation key (NOT rand()-based Bernoulli — the
+# sample must be identical under task retries, repartitions, and across
+# engines; df.sample() is none of those). Output proves stratification:
+# per-stratum picked counts alongside stratum size.
+# --------------------------------------------------------------------------
+@query(
+    "q3a_stratified_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT lang, doc_id, {sql_shuffle_key("doc_id", 3)} AS k FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS stratum_size,
+           CAST(SUM(CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(MIN(CASE WHEN k % 5 = 0 THEN doc_id END) AS BIGINT) AS first_sampled
+    FROM keyed GROUP BY lang
+    """,
+)
+def q3a_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    k = shuffle_key(F.col("doc_id"), seed=3)
+    picked = (k % 5 == 0).cast("int")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("stratum_size"),
+        F.sum(picked).alias("n_sampled"),
+        F.min(F.when(picked == 1, F.col("doc_id"))).alias("first_sampled"),
+    )
