@@ -353,3 +353,83 @@ def q66_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-bucketed candidates — see similarity.q71 for the bucketed path)."""
     register_views(spark, sf_dir)
     return spark.sql(_embedding_neardup_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# q67 — near-dup CLUSTERS: connected components over the LSH pair graph
+# (q63's edges), cluster id = min doc_id in the component — the final
+# step of corpus dedup (keep one doc per cluster). Spark side: iterative
+# min-label propagation over the edge list, the standard distributed CC
+# (each round: join labels to edges, take min over neighbors, localCheckpoint
+# to truncate lineage; rounds = graph diameter, tiny for near-dup
+# clusters). Oracle: DuckDB recursive CTE computing reachability, then
+# MIN over reached nodes — same fixpoint, declaratively.
+# --------------------------------------------------------------------------
+def _clusters_oracle() -> str:
+    pairs = _with_prelude("duckdb", _lsh_pairs_body(), need_sig=True)
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT r.src, e.dst
+      FROM reach r JOIN edges e ON e.src = r.dst
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster_id,
+           COUNT(*) AS cluster_size
+    FROM reach GROUP BY src
+    """
+
+
+@query("q67_dedup_clusters", oracle=_clusters_oracle())
+def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _materialize_sig(spark, sf_dir)
+    pairs = spark.sql(_lsh_pairs_body()).select("doc_a", "doc_b").localCheckpoint()
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).distinct()
+    # label propagation to fixpoint: label(v) <- min(label(v), labels of
+    # neighbors); near-dup components have tiny diameters so this loop is
+    # a handful of rounds even at corpus scale.
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(30):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select("doc_id", F.col("label").alias("cluster_id"), "cluster_size")
+    )
