@@ -646,3 +646,77 @@ def q1c_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(big, o.o_orderkey == big.l_orderkey).select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "total_qty"
     )
+
+
+# --------------------------------------------------------------------------
+# q1d — date/time scalar-function surface: truncation, extraction, date
+# arithmetic, formatting — aggregated so the whole date kernel is
+# value-checked (DuckDB names differ; semantics pinned identical).
+# --------------------------------------------------------------------------
+@query(
+    "q1d_date_functions",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(COUNT(CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1 END)
+                AS BIGINT) AS weekend_orders,
+           COUNT(*) AS n_orders,
+           CAST(MAX(date_diff('day', o_orderdate,
+                              o_orderdate + INTERVAL '90 days')) AS BIGINT)
+             AS horizon_days,
+           MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_day_str
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q1d_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday..6
+    weekend = F.when(F.dayofweek("o_orderdate").isin(1, 7), 1)
+    return o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+    ).agg(
+        F.count(weekend).alias("weekend_orders"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max(
+            F.datediff(
+                (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).cast("bigint")
+        ).alias("horizon_days"),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_day_str"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q1e — array scalar-function surface over embeddings: size, min/max
+# element, sliced sums, sorted-prefix — the array kernel value-checked
+# against DuckDB's list functions.
+# --------------------------------------------------------------------------
+@query(
+    "q1e_array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(list_min(embedding) AS DOUBLE) AS min_elem,
+           CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+           CAST(embedding[1] AS DOUBLE) AS first_elem,
+           CAST(list_sort(embedding)[1] AS DOUBLE) AS smallest,
+           CAST(list_sort(embedding)[len(embedding)] AS DOUBLE) AS largest
+    FROM embeddings
+    """,
+)
+def q1e_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding")
+    srt = F.sort_array(arr)
+    return e.select(
+        "vec_id",
+        F.size(arr).alias("dim"),
+        F.array_min(arr).cast("double").alias("min_elem"),
+        F.array_max(arr).cast("double").alias("max_elem"),
+        F.element_at(arr, 1).cast("double").alias("first_elem"),
+        F.element_at(srt, 1).cast("double").alias("smallest"),
+        F.element_at(srt, -1).cast("double").alias("largest"),
+    )
