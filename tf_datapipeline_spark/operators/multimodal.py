@@ -513,3 +513,42 @@ def q87_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.sum("n_px").alias("total_px"),
     )
+
+
+# --------------------------------------------------------------------------
+# q88 — record-table eval processing (the feed's executor stage in the
+# driver gate): sharded ETL write -> re-scan -> fused decode + eval
+# preprocess (central crop 0.875 + bilinear to 32x32, [0,1]) -> per-label
+# rollup. Deterministic end to end (eval path has no RNG), but bilinear
+# interpolation is not reasonably SQL-expressible -> rows-only check;
+# repeated runs hash identically and tests pin the kernel invariants.
+# --------------------------------------------------------------------------
+@query("q88_eval_records")
+def q88_eval_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.functions.imageops import preprocess_for_eval
+
+    corpus = synthetic_corpus(spark, sf_dir)
+    out_dir = scratch_dir(f"etl_{os.path.basename(os.path.normpath(sf_dir))}_eval")
+    write_sharded_records(corpus, out_dir)
+    rec = read_records(spark, out_dir).select("image_encoded", "image_format", "label")
+
+    def ev(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for enc, fmt, label in zip(
+                pdf["image_encoded"], pdf["image_format"], pdf["label"]
+            ):
+                arr = decode_image(bytes(enc), fmt)
+                out = preprocess_for_eval(arr, _AUG_H, _AUG_W)
+                rows.append((int(label), float(out.mean()), float(out.min()), float(out.max())))
+            yield pd.DataFrame(rows, columns=["label", "px_mean", "px_min", "px_max"])
+
+    processed = rec.mapInPandas(
+        ev, schema="label bigint, px_mean double, px_min double, px_max double"
+    )
+    return processed.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.round(F.avg("px_mean"), 6).alias("avg_px_mean"),
+        F.min("px_min").alias("min_px"),
+        F.max("px_max").alias("max_px"),
+    )
