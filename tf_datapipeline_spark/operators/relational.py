@@ -720,3 +720,73 @@ def q1e_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(srt, 1).cast("double").alias("smallest"),
         F.element_at(srt, -1).cast("double").alias("largest"),
     )
+
+
+# --------------------------------------------------------------------------
+# q1f — pivot (wide aggregation): quantity by order-year pivoted across
+# return flags. Spark's groupBy().pivot() plans the same single-pass
+# conditional aggregation the portable oracle spells out.
+# --------------------------------------------------------------------------
+@query(
+    "q1f_pivot",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+           {sql_dsum("CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE NULL END")} AS flag_A,
+           {sql_dsum("CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE NULL END")} AS flag_N,
+           {sql_dsum("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE NULL END")} AS flag_R
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q1f_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy(F.year("l_shipdate").alias("ship_year"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dsum("l_quantity"))
+    )
+    return pivoted.select(
+        "ship_year",
+        F.col("A").alias("flag_A"),
+        F.col("N").alias("flag_N"),
+        F.col("R").alias("flag_R"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q1g — string scalar-function kernel: case, trim/pad, substring, concat,
+# replace, split — aggregated per segment so every function's output is
+# value-checked.
+# --------------------------------------------------------------------------
+@query(
+    "q1g_string_functions",
+    oracle="""
+    SELECT c_mktsegment,
+           MIN(upper(c_name)) AS first_upper,
+           MAX(lower(c_name)) AS last_lower,
+           MIN(substr(c_name, 1, 8)) AS first_prefix,
+           MIN(lpad(CAST(c_custkey AS VARCHAR), 8, '0')) AS first_padded_key,
+           MIN(replace(c_name, '#', '-')) AS first_replaced,
+           MIN(concat(c_mktsegment, ':', c_name)) AS first_tagged,
+           CAST(SUM(length(trim(c_name))) AS BIGINT) AS total_trimmed_len,
+           CAST(SUM(len(string_split(c_name, '#'))) AS BIGINT) AS total_parts
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q1g_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.min(F.upper("c_name")).alias("first_upper"),
+        F.max(F.lower("c_name")).alias("last_lower"),
+        F.min(F.substring("c_name", 1, 8)).alias("first_prefix"),
+        F.min(F.lpad(F.col("c_custkey").cast("string"), 8, "0")).alias(
+            "first_padded_key"
+        ),
+        F.min(F.replace(F.col("c_name"), F.lit("#"), F.lit("-"))).alias(
+            "first_replaced"
+        ),
+        F.min(F.concat_ws(":", "c_mktsegment", "c_name")).alias("first_tagged"),
+        F.sum(F.length(F.trim(F.col("c_name")))).alias("total_trimmed_len"),
+        F.sum(F.size(F.split("c_name", "#"))).alias("total_parts"),
+    )
