@@ -790,3 +790,37 @@ def q1g_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length(F.trim(F.col("c_name")))).alias("total_trimmed_len"),
         F.sum(F.size(F.split("c_name", "#"))).alias("total_parts"),
     )
+
+
+# --------------------------------------------------------------------------
+# q1h — unpivot (long form): melt per-year flag columns back to rows via
+# STACK (the inverse of q1f). Spark `stack` == portable UNION of typed
+# literals; DuckDB UNPIVOT is equivalent but the UNION spelling is
+# engine-neutral.
+# --------------------------------------------------------------------------
+@query(
+    "q1h_unpivot",
+    oracle=f"""
+    WITH wide AS (
+      SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+             {sql_dsum("CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE NULL END")} AS flag_A,
+             {sql_dsum("CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE NULL END")} AS flag_N,
+             {sql_dsum("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE NULL END")} AS flag_R
+      FROM lineitem GROUP BY 1
+    )
+    SELECT ship_year, flag, qty FROM (
+      SELECT ship_year, 'A' AS flag, flag_A AS qty FROM wide
+      UNION ALL SELECT ship_year, 'N', flag_N FROM wide
+      UNION ALL SELECT ship_year, 'R', flag_R FROM wide
+    ) WHERE qty IS NOT NULL
+    """,
+)
+def q1h_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q1f_pivot(spark, sf_dir)
+    melted = wide.select(
+        "ship_year",
+        F.expr(
+            "stack(3, 'A', flag_A, 'N', flag_N, 'R', flag_R) AS (flag, qty)"
+        ),
+    )
+    return melted.filter(F.col("qty").isNotNull())
