@@ -118,21 +118,6 @@ def _memo_key(spark: SparkSession, sf_dir: str, kind: str) -> tuple[str, str, st
     return (spark.sparkContext.applicationId, sf_dir, kind)
 
 
-def _materialize_shingles(spark: SparkSession, sf_dir: str) -> None:
-    """Spark-side: compute the shingle table once, truncate its lineage
-    (localCheckpoint), and expose it as the `shingles` view. SQL CTEs are
-    inlined by Catalyst, so a query referencing `shingles` 3× would
-    otherwise shingle+hash the corpus 3×. (DuckDB materializes CTEs on its
-    own — the oracle keeps the plain CTE.)"""
-    register_views(spark, sf_dir)
-    key = _memo_key(spark, sf_dir, "shingles")
-    if key not in _MATERIALIZED:
-        _MATERIALIZED[key] = spark.sql(
-            f"SELECT * FROM ({_sql_shingles('spark')})"
-        ).localCheckpoint()
-    _MATERIALIZED[key].createOrReplaceTempView("shingles")
-
-
 def _sql_signature(dialect: str = "duckdb") -> str:
     """MinHash signature aggregation. MIN over a multiset equals MIN over
     the set, so the Spark side aggregates the RAW shingle stream — the
@@ -300,6 +285,41 @@ def _jaccard_body() -> str:
     """
 
 
+def _cand_band_union() -> str:
+    bands = []
+    n_bands = _K // _BAND
+    for b in range(n_bands):
+        cond = " AND ".join(
+            f"a.m{i} = b.m{i}" for i in range(b * _BAND, (b + 1) * _BAND)
+        )
+        bands.append(
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            f"FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND {cond}"
+        )
+    return "\n      UNION\n      ".join(bands)
+
+
+def _materialize_candidate_shingles(spark: SparkSession, sf_dir: str) -> None:
+    """Bind the `shingles` view to the DISTINCT shingle sets of CANDIDATE
+    docs only (docs appearing in some LSH band collision). Exact-verify
+    cost then scales with the candidate set, not the corpus — at 100 TB
+    the full-corpus distinct-shingle shuffle would dwarf everything else,
+    while candidates are a sliver. The oracle computes the corpus-wide
+    CTE; results agree because the verify joins only touch candidate
+    docs' rows either way."""
+    key = _memo_key(spark, sf_dir, "cand_shingles")
+    if key not in _MATERIALIZED:
+        ids = spark.sql(
+            f"SELECT doc_a AS doc_id FROM ({_cand_band_union()}) "
+            f"UNION SELECT doc_b FROM ({_cand_band_union()})"
+        )
+        raw = spark.sql(f"SELECT * FROM ({_sql_shingles('spark', distinct=False)})")
+        _MATERIALIZED[key] = (
+            raw.join(ids, "doc_id", "left_semi").distinct().localCheckpoint()
+        )
+    _MATERIALIZED[key].createOrReplaceTempView("shingles")
+
+
 def _jaccard_sql(dialect: str) -> str:
     return _with_prelude(dialect, _jaccard_body(), need_sig=True)
 
@@ -308,9 +328,11 @@ def _jaccard_sql(dialect: str) -> str:
 def q65_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by EXACT 5-gram Jaccard, verified over MinHash-LSH
     candidate pairs (generate candidates cheaply, verify exactly — the
-    standard two-phase near-dedup of large-corpus pipelines)."""
+    standard two-phase near-dedup of large-corpus pipelines). The exact
+    |A∩B| needs SET semantics, but only for candidate docs — see
+    _materialize_candidate_shingles."""
     _materialize_sig(spark, sf_dir)
-    _materialize_shingles(spark, sf_dir)  # exact |A∩B| needs SET semantics
+    _materialize_candidate_shingles(spark, sf_dir)
     return spark.sql(_jaccard_sql("spark"))
 
 
