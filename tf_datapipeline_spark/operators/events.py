@@ -362,3 +362,67 @@ def q4r_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.col("ts_b").cast("long") - F.col("ts_a").cast("long")).alias("gap_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# q4z — outlier flagging by per-group z-score: events whose value sits
+# >2 sigma from their event_type mean (the data-quality gate of a
+# training pipeline). Mean/stddev via exact-decimal sums so both engines
+# derive identical moments; the z threshold compare is then pure IEEE.
+# --------------------------------------------------------------------------
+@query(
+    "q4z_zscore_outliers",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             {sql_dsum("value", 6)} / COUNT(*) AS mu,
+             SQRT(({sql_dsum("value * value", 6)}
+                   - {sql_dsum("value", 6)} * {sql_dsum("value", 6)} / COUNT(*))
+                  / COUNT(*)) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - s.mu) / s.sigma AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE ABS((e.value - s.mu) / s.sigma) > 2.0
+    """,
+)
+def q4z_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    s1 = dsum("value", 6)
+    s2 = dsum(F.col("value") * F.col("value"), 6)
+    stats = ev.groupBy("event_type").agg(
+        (s1 / n).alias("mu"),
+        F.sqrt((s2 - s1 * s1 / n) / n).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.0)
+        .select("event_id", "event_type", "value", z.alias("z"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q4h — value histogram via width_bucket: fixed-range bins per event
+# type — the profiling op behind data-distribution dashboards. Bucketing
+# is integer arithmetic -> identical across engines.
+# --------------------------------------------------------------------------
+@query(
+    "q4h_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(CASE WHEN value < 0.0 THEN 0
+                     WHEN value >= 1000.0 THEN 21
+                     ELSE FLOOR(value / 50.0) + 1 END AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q4h_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.width_bucket("value", F.lit(0.0), F.lit(1000.0), F.lit(20)).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
