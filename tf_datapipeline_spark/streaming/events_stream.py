@@ -214,3 +214,36 @@ def q4s_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_bounded(counted, "update")
+
+
+# --------------------------------------------------------------------------
+# q4t — STREAM-STATIC enrichment join: the event stream joined per
+# micro-batch to a static dimension (nation, keyed by user_id % 25 as the
+# synthetic home-nation mapping). Stream-static joins are stateless —
+# each batch broadcast-joins the dim — which is exactly how a 100 TB/day
+# stream enriches against reference data without any state store. Oracle:
+# the identical batch join.
+# --------------------------------------------------------------------------
+@query(
+    "q4t_stream_static_join",
+    oracle=f"""
+    SELECT n.n_name AS nation, COUNT(*) AS n_events,
+           {sql_dsum("e.value", 6)} AS sum_value
+    FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+    GROUP BY 1
+    """,
+)
+def q4t_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.catalog import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")  # static side, batch DF
+    enriched = ev.join(
+        F.broadcast(nation), nation.n_nationkey == ev.user_id % 25
+    )
+    agg = (
+        enriched.withWatermark("ts", "1 hour")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 6).alias("sum_value"))
+    )
+    return run_bounded(agg, "complete")
