@@ -62,12 +62,18 @@ def main() -> None:
     # not first-call JIT.
     qs["q01_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
 
-    def run_once(name: str) -> float:
+    failures: dict[str, str] = {}
+
+    def run_once(name: str) -> float | None:
         t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        # noop sink: materializes every output column (a bare .count()
-        # would let Catalyst prune the expensive expressions away).
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = qs[name](spark, sf_dir)
+            # noop sink: materializes every output column (a bare .count()
+            # would let Catalyst prune the expensive expressions away).
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # keep the bench alive past one bad query
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            return None
         return time.perf_counter() - t0
 
     # two passes, keep the min: pass 1 pays JIT/partition-index warmup,
@@ -75,11 +81,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     first_pass_total = 0.0
     for name in HEADLINE:
-        timings[name] = run_once(name)
-        first_pass_total += timings[name]
+        t = run_once(name)
+        if t is not None:
+            timings[name] = t
+            first_pass_total += t
     if first_pass_total < 120:
-        for name in HEADLINE:
-            timings[name] = min(timings[name], run_once(name))
+        for name in list(timings):
+            t = run_once(name)
+            if t is not None:
+                timings[name] = min(timings[name], t)
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = round(sum(timings.values()), 3)
     print(
@@ -90,6 +100,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir,
+                **({"failures": failures} if failures else {}),
             }
         )
     )
