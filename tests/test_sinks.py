@@ -118,3 +118,26 @@ def test_schema_evolution_merge_on_read(spark):
     assert set(df.columns) == {"k", "name", "score"}
     rows = {r.k: r for r in df.collect()}
     assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_heavy_hitters_recovers_exact_top(spark):
+    from pyspark.sql import functions as F
+
+    from tf_datapipeline_spark import registry
+
+    approx = {
+        r.l_partkey
+        for r in registry.queries()["q1i_heavy_hitters"](spark, SF_SMOKE).collect()
+    }
+    exact = [
+        r.l_partkey
+        for r in load_table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_partkey")
+        .count()
+        .orderBy(F.desc("count"), F.asc("l_partkey"))
+        .limit(10)
+        .collect()
+    ]
+    # with a 65536-width sketch over ~200 keys the counts are exact; ties
+    # at the boundary may swap membership, so demand >= 7/10 overlap
+    assert len(approx & set(exact)) >= 7, (sorted(approx), exact)

@@ -824,3 +824,26 @@ def q1h_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return melted.filter(F.col("qty").isNotNull())
+
+
+# --------------------------------------------------------------------------
+# q1i — heavy hitters: approx_top_k (frequency-sketch top items) over
+# part keys. The sketch is mergeable map-side — the only viable "top
+# sellers over 100 TB" shape; exact per-key counts would shuffle every
+# key. Sketch output is engine-specific -> rows-only driver check;
+# tests assert the approx set recovers the exact top items.
+# --------------------------------------------------------------------------
+@query("q1i_heavy_hitters")
+def q1i_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT item.item AS l_partkey, item.count AS approx_count
+        FROM (
+          SELECT explode(approx_top_k(l_partkey, 10, 65536)) AS item
+          FROM lineitem
+        )
+        """
+    )
