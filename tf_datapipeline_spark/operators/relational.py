@@ -847,3 +847,35 @@ def q1i_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q1j — statistical aggregate kernel: sample stddev/variance, Pearson
+# correlation, sample covariance per segment. Distributed float
+# accumulation differs from single-node by final ulps, so results are
+# rounded to 6dp on both sides (the documented tolerance for
+# order-dependent float reductions; exact-decimal sums cover the
+# order-independent ones).
+# --------------------------------------------------------------------------
+@query(
+    "q1j_stats_kernel",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(stddev_samp(c_acctbal), 6) AS sd_bal,
+           ROUND(var_samp(c_acctbal), 6) AS var_bal,
+           ROUND(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS corr_bal_key,
+           ROUND(covar_samp(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS covar_bal_key,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q1j_stats_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    key_d = F.col("c_custkey").cast("double")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.stddev_samp("c_acctbal"), 6).alias("sd_bal"),
+        F.round(F.var_samp("c_acctbal"), 6).alias("var_bal"),
+        F.round(F.corr(F.col("c_acctbal"), key_d), 6).alias("corr_bal_key"),
+        F.round(F.covar_samp(F.col("c_acctbal"), key_d), 6).alias("covar_bal_key"),
+        F.count(F.lit(1)).alias("n"),
+    )
