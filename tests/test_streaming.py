@@ -111,3 +111,32 @@ def test_approx_distinct_error_bound(spark):
     assert rows
     for r in rows:
         assert abs(r.approx_parts - r.exact_parts) <= max(3, 0.15 * r.exact_parts)
+
+
+def test_foreachbatch_sink_to_metrics_log(spark):
+    """foreachBatch bridges a stream to any batch sink — here each
+    micro-batch's aggregate lands in the MetricsLog table (the streaming
+    form of the reference's per-step scalar logging, S11)."""
+    import shutil
+
+    from tf_datapipeline_spark.sources.metrics import MetricsLog
+    from tf_datapipeline_spark.streaming.events_stream import read_events_stream
+
+    path = scratch_dir("stream_metrics/x").rsplit("/", 1)[0]
+    shutil.rmtree(path, ignore_errors=True)
+    log = MetricsLog(path)
+
+    def sink(batch_df, batch_id: int) -> None:
+        row = batch_df.groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+        ).collect()[0]
+        log.append(spark, "stream_run", [(0, batch_id, "n_events", float(row.n)),
+                                         (0, batch_id, "sum_value", float(row.s))])
+
+    ev = read_events_stream(spark, "/root/testdata/sf0.001")
+    q = ev.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    logged = {r.metric: r.value for r in log.read(spark).collect()}
+    assert logged["n_events"] == 1000.0  # sf0.001 events row count
+    assert logged["sum_value"] > 0

@@ -552,3 +552,66 @@ def q88_eval_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("px_min").alias("min_px"),
         F.max("px_max").alias("max_px"),
     )
+
+
+# --------------------------------------------------------------------------
+# q89 — nearest-neighbor resize with a VALUE-LEVEL oracle: decode each
+# payload, resize to 16x16 with the real numpy kernel
+# (imageops.resize_nearest), and reduce to per-image stats; the oracle
+# replays the exact half-pixel-center index arithmetic
+# (src = min(floor((i+0.5) * (src_dim/16)), src_dim-1)) over a SQL grid.
+# This promotes the resize kernel (reference M4) from invariant-tested to
+# oracle-checked. Bilinear stays rows-only (q83): its float interpolation
+# is not reasonably SQL-reproducible.
+# --------------------------------------------------------------------------
+_RSZ = 16
+
+
+@query(
+    "q89_resize_nearest",
+    oracle=f"""
+    WITH dims AS ({_DIMS_SQL}),
+    grid AS (
+      SELECT d.doc_id, d.h, d.w,
+             LEAST(CAST(FLOOR((i.i + 0.5) * (d.h / {_RSZ}.0)) AS BIGINT), d.h - 1) AS si,
+             LEAST(CAST(FLOOR((j.j + 0.5) * (d.w / {_RSZ}.0)) AS BIGINT), d.w - 1) AS sj,
+             c.c
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, {_RSZ - 1})) AS i) i,
+           LATERAL (SELECT unnest(generate_series(0, {_RSZ - 1})) AS j) j,
+           (SELECT unnest([0, 1, 2]) AS c) c
+    )
+    SELECT doc_id,
+           MIN((3*si + 5*sj + 11*c + doc_id) % 256) AS px_min,
+           MAX((3*si + 5*sj + 11*c + doc_id) % 256) AS px_max,
+           SUM((3*si + 5*sj + 11*c + doc_id) % 256) AS px_sum,
+           COUNT(*) AS n_px
+    FROM grid GROUP BY doc_id
+    """,
+)
+def q89_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.functions.imageops import resize_nearest
+
+    corpus = synthetic_corpus(spark, sf_dir).select("path", "image_format", "content")
+
+    def rsz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, fmt, content in zip(pdf["path"], pdf["image_format"], pdf["content"]):
+                arr = decode_image(bytes(content), fmt)
+                out = resize_nearest(arr, _RSZ, _RSZ).astype(np.int64)
+                rows.append(
+                    (
+                        _doc_id_of(path),
+                        int(out.min()),
+                        int(out.max()),
+                        int(out.sum()),
+                        int(out.size),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "px_min", "px_max", "px_sum", "n_px"])
+
+    return corpus.mapInPandas(
+        rsz,
+        schema="doc_id bigint, px_min bigint, px_max bigint, px_sum bigint, n_px bigint",
+    )
