@@ -344,3 +344,40 @@ def q57_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# q58 — vocabulary builder: corpus-wide token frequencies, top 100 by
+# (count desc, token) — the vocab/token-budget job of a training
+# pipeline. Explode shuffles one row per token; the count is map-side
+# partial so the exchange carries (token, partial_count), and the top-k
+# is a TakeOrdered, not a global sort.
+# --------------------------------------------------------------------------
+@query(
+    "q58_vocabulary",
+    oracle=f"""
+    SELECT token, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 100
+    """,
+)
+def q58_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens_spark()).alias("token")).filter(
+        F.col("token") != ""
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(100)
+    )
