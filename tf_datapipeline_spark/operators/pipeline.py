@@ -359,3 +359,43 @@ def q3a_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(picked).alias("n_sampled"),
         F.min(F.when(picked == 1, F.col("doc_id"))).alias("first_sampled"),
     )
+
+
+# --------------------------------------------------------------------------
+# q3b — source-weighted dataset mixing: each source gets a sampling rate
+# derived from its name (even sources 80%, odd sources 30% here — in a
+# real pipeline the weights come from a mixing config). Selection is the
+# deterministic permutation key against a per-source threshold: O(1) per
+# row, no rand(), identical under retries and across engines — how a
+# 100 TB corpus is re-weighted without materializing per-source splits.
+# --------------------------------------------------------------------------
+@query(
+    "q3b_weighted_mix",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT source, doc_id,
+             {sql_shuffle_key("doc_id", 11)} % 100 AS pct,
+             CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+                  THEN 80 ELSE 30 END AS rate
+      FROM documents
+    )
+    SELECT source, MIN(rate) AS rate_pct,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN pct < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM keyed GROUP BY source
+    """,
+)
+def q3b_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pct = shuffle_key(F.col("doc_id"), seed=11) % 100
+    rate = F.when(
+        F.substring("source", 4, 10).cast("bigint") % 2 == 0, 80
+    ).otherwise(30)
+    kept = (pct < rate).cast("int")
+    return docs.select("source", rate.alias("rate"), kept.alias("kept")).groupBy(
+        "source"
+    ).agg(
+        F.min("rate").alias("rate_pct"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kept").alias("n_kept"),
+    )
