@@ -879,3 +879,116 @@ def q1j_stats_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp(F.col("c_acctbal"), key_d), 6).alias("covar_bal_key"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# q1k — FULL OUTER join: customers x a filtered order subset, keeping
+# unmatched rows from BOTH sides (null-extended), then aggregated by
+# match status. Completes the join-type surface (inner/left/semi/anti
+# elsewhere).
+# --------------------------------------------------------------------------
+@query(
+    "q1k_full_outer",
+    oracle="""
+    WITH big_orders AS (
+      SELECT o_custkey, COUNT(*) AS n_big
+      FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey
+    )
+    SELECT CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+                WHEN b.o_custkey IS NULL THEN 'customer_only'
+                ELSE 'both' END AS side,
+           COUNT(*) AS n_rows,
+           CAST(COALESCE(SUM(b.n_big), 0) AS BIGINT) AS total_big_orders
+    FROM customer c FULL OUTER JOIN big_orders b ON b.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q1k_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    joined = c.join(b, c.c_custkey == b.o_custkey, "full_outer")
+    side = (
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_custkey").isNull(), "customer_only")
+        .otherwise("both")
+    )
+    return joined.groupBy(side.alias("side")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum("n_big"), F.lit(0)).alias("total_big_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q1l — null-semantics kernel: COALESCE / NULLIF / null-safe equality.
+# Spark's `<=>` == SQL `IS NOT DISTINCT FROM`; NULLIF injects nulls that
+# the null-safe compare and COALESCE must handle identically in both
+# engines.
+# --------------------------------------------------------------------------
+@query(
+    "q1l_null_kernel",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero_discount,
+           CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0)
+                              IS NOT DISTINCT FROM NULLIF(l_tax, 0.0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+           ROUND(SUM(CAST(ROUND(COALESCE(NULLIF(l_discount, 0.0), 0.01) * 100, 0)
+                          AS BIGINT)) / 100.0, 2) AS sum_floored_discount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q1l_null_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    nd = F.nullif(F.col("l_discount"), F.lit(0.0))
+    nt = F.nullif(F.col("l_tax"), F.lit(0.0))
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(nd.isNull(), 1).otherwise(0)).alias("n_zero_discount"),
+        F.sum(F.when(nd.eqNullSafe(nt), 1).otherwise(0)).alias("n_nullsafe_eq"),
+        # round BEFORE the bigint cast: DuckDB's double->int cast rounds
+        # while Spark truncates; an explicit ROUND(x, 0) agrees in both
+        F.round(
+            F.sum(F.round(F.coalesce(nd, F.lit(0.01)) * 100, 0).cast("bigint"))
+            / 100.0,
+            2,
+        ).alias("sum_floored_discount"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q1m — regex kernel: extraction, replacement-length, LIKE-style matching
+# over part names/types (regexp semantics pinned across engines on a
+# shared RE2-compatible subset).
+# --------------------------------------------------------------------------
+@query(
+    "q1m_regex_kernel",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CASE WHEN p_type LIKE '%PROMO%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_promo,
+           MIN(regexp_extract(p_name, '([0-9]+)', 1)) AS first_digits,
+           CAST(SUM(length(regexp_replace(p_name, '[aeiou]', '', 'g')) ) AS BIGINT)
+             AS total_consonant_len
+    FROM part GROUP BY p_brand
+    """,
+)
+def q1m_regex_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.when(F.col("p_type").like("%PROMO%"), 1).otherwise(0)).alias(
+            "n_promo"
+        ),
+        F.min(F.regexp_extract("p_name", r"([0-9]+)", 1)).alias("first_digits"),
+        F.sum(F.length(F.regexp_replace("p_name", "[aeiou]", ""))).alias(
+            "total_consonant_len"
+        ),
+    )
