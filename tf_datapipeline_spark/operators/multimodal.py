@@ -615,3 +615,51 @@ def q89_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         rsz,
         schema="doc_id bigint, px_min bigint, px_max bigint, px_sum bigint, n_px bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# q8a — per-channel statistics (channel slicing): decode, split the
+# channel axis, reduce each channel independently — the normalization-
+# constant computation (per-channel mean/std) every image pipeline runs
+# once per corpus. Oracle recomputes each channel's cells in SQL.
+# --------------------------------------------------------------------------
+@query(
+    "q8a_channel_stats",
+    oracle=f"""
+    WITH dims AS ({_DIMS_SQL}),
+    px AS (
+      SELECT d.doc_id, c.c AS channel,
+             (3*i.i + 5*j.j + 11*c.c + d.doc_id) % 256 AS v
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS i) i,
+           LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS j) j,
+           (SELECT unnest([0, 1, 2]) AS c) c
+    )
+    SELECT doc_id, channel, MIN(v) AS px_min, MAX(v) AS px_max,
+           SUM(v) AS px_sum, COUNT(*) AS n_px
+    FROM px GROUP BY doc_id, channel
+    """,
+)
+def q8a_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = synthetic_corpus(spark, sf_dir).select("path", "image_format", "content")
+
+    def chan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, fmt, content in zip(pdf["path"], pdf["image_format"], pdf["content"]):
+                doc_id = _doc_id_of(path)
+                arr = decode_image(bytes(content), fmt).astype(np.int64)
+                for ch in range(arr.shape[2]):
+                    sl = arr[:, :, ch]
+                    rows.append(
+                        (doc_id, ch, int(sl.min()), int(sl.max()), int(sl.sum()), int(sl.size))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "channel", "px_min", "px_max", "px_sum", "n_px"]
+            )
+
+    return corpus.mapInPandas(
+        chan,
+        schema="doc_id bigint, channel int, px_min bigint, px_max bigint, "
+        "px_sum bigint, n_px bigint",
+    )
