@@ -426,3 +426,88 @@ def q4h_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.width_bucket("value", F.lit(0.0), F.lit(1000.0), F.lit(20)).alias("bucket"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# q4f — funnel analysis: users progressing signup -> click -> purchase in
+# event-time order. One pass computes each user's first timestamp per
+# step (conditional MIN — no self-joins); the ordered-prefix test is then
+# row-local. The classic product-analytics query, in its single-shuffle
+# form.
+# --------------------------------------------------------------------------
+@query(
+    "q4f_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS step1_signup,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS step2_click,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS step3_purchase
+    FROM per_user
+    """,
+)
+def q4f_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(step: str):
+        return F.min(F.when(F.col("event_type") == step, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(s1.cast("int")).alias("step1_signup"),
+        F.sum(s2.cast("int")).alias("step2_click"),
+        F.sum(s3.cast("int")).alias("step3_purchase"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q4c — retention cohorts: users grouped by first-seen week (cohort),
+# counted per subsequent activity week — the retention-matrix query.
+# Cohort assignment is a per-user MIN; the matrix is one (cohort, week)
+# aggregation; the cohort map broadcasts back onto the event stream.
+# --------------------------------------------------------------------------
+@query(
+    "q4c_retention_cohorts",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(date_trunc('week', e.ts) AS DATE) AS activity_week,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q4c_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        ev.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            "cohort_week",
+            F.date_trunc("week", "ts").cast("date").alias("activity_week"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
