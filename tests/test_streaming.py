@@ -140,3 +140,23 @@ def test_foreachbatch_sink_to_metrics_log(spark):
     logged = {r.metric: r.value for r in log.read(spark).collect()}
     assert logged["n_events"] == 1000.0  # sf0.001 events row count
     assert logged["sum_value"] > 0
+
+
+def test_dedup_clusters_consistent_with_pairs(spark):
+    """Cross-operator integrity: every LSH near-dup pair (q63) must land
+    in the same connected component (q67), and each cluster id must be
+    the min doc_id of its members."""
+    from tf_datapipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    q = registry.queries()
+    pairs = [(r.doc_a, r.doc_b) for r in q["q63_minhash_lsh_pairs"](spark, sf).collect()]
+    clusters = {r.doc_id: r.cluster_id for r in q["q67_dedup_clusters"](spark, sf).collect()}
+    assert pairs and clusters
+    for a, b in pairs:
+        assert clusters[a] == clusters[b], (a, b)
+    members: dict[int, list[int]] = {}
+    for doc, cl in clusters.items():
+        members.setdefault(cl, []).append(doc)
+    for cl, docs in members.items():
+        assert cl == min(docs), (cl, docs)
