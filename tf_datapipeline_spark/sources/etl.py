@@ -78,6 +78,9 @@ def write_sharded_records(
     (
         records.repartition(2 * n_shards, "split", "shard")
         .write.mode("overwrite")
+        # zstd: ~30% smaller than snappy at comparable decode speed — at
+        # 100 TB the storage + scan-I/O win dominates the encode cost
+        .option("compression", "zstd")
         .partitionBy("split", "shard")
         .parquet(out_dir)
     )
