@@ -126,6 +126,39 @@ def test_partition_pruning(spark):
     assert df.count() == day_rows > 0
 
 
+def test_exact_numbering_has_no_single_partition_exchange(spark):
+    """q32/q35/q36 use two-pass partition-offset numbering: their plans
+    must contain NO `Exchange SinglePartition` (the 1-task global-window
+    bottleneck the old formulation paid)."""
+    from tf_datapipeline_spark.plans.inspect import formatted_plan
+
+    for name in (
+        "q32_split_exact_head",
+        "q35_batch_ragged_tail",
+        "q36_shard_assignment",
+    ):
+        plan = formatted_plan(_q(name, spark))
+        assert "SinglePartition" not in plan, (name, plan)
+
+
+def test_salted_range_join_exchanges_on_salt(spark):
+    """q4v must shuffle on the salted key: the exchange's hash
+    partitioning carries _salt, so a hot (user, bucket) key spreads over
+    n reducers instead of one."""
+    from tf_datapipeline_spark.plans.inspect import formatted_plan
+
+    # at smoke SF the salted side fits a broadcast (no shuffle at all, also
+    # fine); force the shuffle path to pin the salted exchange shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(_q("q4v_range_join_salted", spark))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    assert "_salt" in plan, plan
+    low = plan.lower()
+    assert "hashpartitioning" in low and "_salt" in low.split("hashpartitioning", 1)[1], plan
+
+
 def test_salted_join_matches_plain_join(spark):
     """Salted fact ⋈ dim must return exactly the plain join's rows, with
     the hot key spread over n salts pre-shuffle."""
@@ -160,6 +193,7 @@ def test_no_accidental_cross_products(spark):
         "q44_late_data_filter",  # broadcast 1-row watermark scalar
         "q55_tfidf",  # broadcast 1-row corpus doc count
         "q70_knn_bruteforce",  # broadcast 8-row query set, != condition
+        "qp1_feed_pipeline",  # epochs dim: 2 rows
     }
     for name, fn in sorted(registry.queries().items()):
         if "stream" in name:

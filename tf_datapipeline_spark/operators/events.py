@@ -111,12 +111,18 @@ def q41_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q42_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    # micros-precision gap: cast('long') truncates to seconds, which would
+    # disagree with the oracle's exact interval compare when a gap is
+    # exactly 1800s at whole-second resolution but longer in micros
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
     flagged = ev.select(
         "user_id",
         "ts",
         "event_id",
-        F.when(gap > 30 * 60, 1).when(gap.isNull(), 1).otherwise(0).alias("new_session"),
+        F.when(gap > 30 * 60 * 1_000_000, 1)
+        .when(gap.isNull(), 1)
+        .otherwise(0)
+        .alias("new_session"),
     )
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sessions = flagged.select(
@@ -356,6 +362,64 @@ def q4r_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # no distinct needed: a pair matches exactly one of the two bucket
     # cells (own vs previous), never both
+    return pairs.select(
+        "event_a",
+        "event_b",
+        "user_id",
+        (F.col("ts_b").cast("long") - F.col("ts_a").cast("long")).alias("gap_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q4v — the SALTED form of the range join: same semantics and oracle as
+# q4r, with the (user_id, bucket) join key salted via operators/skew.py.
+# A hot user (one key holding a big share of a 100 TB event stream) would
+# make a single reducer own the whole bucket-join for that user; the salt
+# spreads each hot key over n reducers at the cost of replicating the
+# probe side n ways. Kept as its own query so the unsalted plan (the
+# common case, AQE-managed) and the salted plan (the pathological-skew
+# escape hatch) are BOTH oracle-checked and plan-pinned.
+# --------------------------------------------------------------------------
+@query(
+    "q4v_range_join_salted",
+    oracle=f"""
+    SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts - a.ts <= INTERVAL '{_RANGE_S} seconds'
+     AND a.event_id < b.event_id
+    """,
+)
+def q4v_range_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    bucket = (F.col("ts").cast("long") / _RANGE_S).cast("bigint")
+    jk = F.concat_ws("#", "user_id", "b")
+    a = ev.select(
+        F.col("event_id").alias("event_a"),
+        "user_id",
+        F.col("ts").alias("ts_a"),
+        bucket.alias("b"),
+    ).withColumn("jk", jk)
+    b = (
+        ev.select(
+            F.col("event_id").alias("event_b"),
+            "user_id",
+            F.col("ts").alias("ts_b"),
+            F.explode(F.array(bucket, bucket - 1)).alias("b"),
+        )
+        .withColumn("jk", jk)
+        .select("event_b", "ts_b", "jk")
+    )
+    pairs = salted_join(
+        a, b, "jk", n_salts=4, salt_source=F.xxhash64("event_a")
+    ).filter(
+        (F.unix_micros("ts_b") >= F.unix_micros("ts_a"))
+        & (F.unix_micros("ts_b") - F.unix_micros("ts_a") <= _RANGE_S * 1_000_000)
+        & (F.col("event_a") < F.col("event_b"))
+    )
     return pairs.select(
         "event_a",
         "event_b",

@@ -38,6 +38,43 @@ def sql_shuffle_key(expr: str, seed: int = 0) -> str:
     return f"((({expr}) + {seed}) * {_SHUFFLE_MULT}) % {_SHUFFLE_MOD}"
 
 
+def offset_row_number(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[Column | str],
+    rn_name: str = "rn",
+) -> tuple[DataFrame, int]:
+    """Global 1-based row numbering WITHOUT an unpartitioned window.
+
+    Two passes: (1) per-bucket counts -> driver prefix sum (one tiny row
+    per bucket), (2) partitioned row_number + broadcast-joined offset.
+    `bucket` must be a monotone function of the leading order key so that
+    bucket order == global order; every window in the final plan is
+    partitioned by bucket — no `Exchange SinglePartition`, the shape that
+    survives 100 TB. Returns (numbered df, total row count) — the total
+    falls out of pass 1 for free.
+    """
+    spark = df.sparkSession
+    b = df.withColumn("_b", bucket.cast("bigint"))
+    counts = {
+        r["_b"]: r["n"]
+        for r in b.groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    offsets, acc = [], 0
+    for k in sorted(counts):
+        offsets.append((k, acc))
+        acc += counts[k]
+    odf = spark.createDataFrame(offsets or [(0, 0)], "_b bigint, _off bigint")
+    w = Window.partitionBy("_b").orderBy(*order_cols)
+    numbered = (
+        b.join(F.broadcast(odf), "_b")
+        .withColumn(rn_name, F.row_number().over(w) + F.col("_off"))
+        .drop("_b", "_off")
+    )
+    return numbered, total
+
+
 # --------------------------------------------------------------------------
 # q30 — label dictionary: sorted class names → dense ids, joined back.
 # Reference: sorted(class_names) → dict(zip(names, range(n)))
@@ -95,11 +132,14 @@ def q31_seeded_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q32 — exact-head split: the reference's literal semantics (shuffle, then
-# the first N records are validation; make_tf_record.py:157-158). Needs a
-# global order → row_number over the permutation key. Kept for parity; the
-# scalable form is q31 (a global window is a 1-task bottleneck at 100 TB —
-# documented trade-off, used only when exact-N membership is required).
+# the first N records are validation; make_tf_record.py:157-158). Exact
+# AND scalable: the permutation key is uniform in [0, 2^32), so its top
+# bits are an order-preserving bucket — two-pass offset numbering
+# (offset_row_number) gives the global rank with every window partitioned
+# by bucket, no single-task Exchange.
 # --------------------------------------------------------------------------
+_KEY_BUCKETS = 64  # order-preserving buckets over the uniform 32-bit key
+_KEY_BUCKET_W = _SHUFFLE_MOD // _KEY_BUCKETS
 @query(
     "q32_split_exact_head",
     oracle=f"""
@@ -116,15 +156,13 @@ def q31_seeded_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q32_split_exact_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    w = Window.orderBy(shuffle_key(F.col("doc_id")), F.col("doc_id"))
-    shuffled = docs.select(
-        "doc_id",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("total"),
+    key = shuffle_key(F.col("doc_id"))
+    numbered, total = offset_row_number(
+        docs, F.floor(key / _KEY_BUCKET_W), [key, F.col("doc_id")]
     )
-    return shuffled.select(
+    return numbered.select(
         "doc_id",
-        F.when(F.col("rn") <= F.col("total") / 10, "validation")
+        F.when(F.col("rn") <= F.lit(total) / 10, "validation")
         .otherwise("train")
         .alias("split"),
     )
@@ -196,9 +234,14 @@ def q34_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q35_batch_ragged_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    rn = F.row_number().over(Window.orderBy("doc_id")) - F.lit(1)
+    # doc_id itself is the order key: bucket its value range directly
+    # (4096-wide, order-preserving; balanced for the dense ids this table
+    # carries, and correctness never depends on balance).
+    numbered, _ = offset_row_number(
+        docs, F.floor(F.col("doc_id") / 4096), [F.col("doc_id")]
+    )
     return (
-        docs.select(F.floor(rn / 16).alias("batch_id"))
+        numbered.select(F.floor((F.col("rn") - 1) / 16).alias("batch_id"))
         .groupBy("batch_id")
         .agg(F.count(F.lit(1)).alias("batch_rows"))
     )
@@ -225,16 +268,17 @@ def q35_batch_ragged_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q36_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    w = Window.orderBy(shuffle_key(F.col("doc_id")), F.col("doc_id"))
-    numbered = docs.select(
-        "doc_id",
-        (F.row_number().over(w) - 1).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("total"),
+    key = shuffle_key(F.col("doc_id"))
+    numbered, total = offset_row_number(
+        docs, F.floor(key / _KEY_BUCKET_W), [key, F.col("doc_id")]
     )
-    per_shard = F.ceil(F.col("total") / 5.0).cast("bigint")
+    per_shard = math.ceil(total / 5) if total else 1
+    rn0 = F.col("rn") - 1
     return (
-        numbered.select((F.col("rn") / per_shard).cast("bigint").alias("shard_id"), "rn")
+        numbered.select((rn0 / per_shard).cast("bigint").alias("shard_id"), rn0.alias("rn"))
         .groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("shard_rows"),
@@ -398,4 +442,124 @@ def q3b_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rate").alias("rate_pct"),
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("kept").alias("n_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qp1 — composite feed pipeline: seeded shuffle (R1/R4) -> train/val split
+# (R2) -> per-epoch reshuffle (B3, seed+epoch) -> fixed-size batches with
+# ragged tails (B1/B2), reduced to per-(epoch, split, batch) audit rows.
+# One driver-gate query exercising the whole feed chain the reference
+# builds from queue runners (train.py:113-129, make_tf_record.py:155-158);
+# windows are partitioned by (epoch, split) — no global sort.
+# --------------------------------------------------------------------------
+@query(
+    "qp1_feed_pipeline",
+    oracle=f"""
+    WITH base AS (
+      SELECT d.doc_id, e.epoch,
+             CASE WHEN {sql_shuffle_key("d.doc_id")} % 10 = 0
+                  THEN 'validation' ELSE 'train' END AS split,
+             ((d.doc_id + e.epoch) * {_SHUFFLE_MULT}) % {_SHUFFLE_MOD} AS ek
+      FROM documents d CROSS JOIN (VALUES (0), (1)) AS e(epoch)
+    ), numbered AS (
+      SELECT epoch, split, doc_id, ek,
+             ROW_NUMBER() OVER (PARTITION BY epoch, split ORDER BY ek, doc_id) - 1 AS rn
+      FROM base
+    )
+    SELECT epoch, split, CAST(FLOOR(rn / 16.0) AS BIGINT) AS batch_id,
+           COUNT(*) AS batch_rows,
+           CAST(arg_min(doc_id, ek) AS BIGINT) AS first_doc
+    FROM numbered GROUP BY 1, 2, 3
+    """,
+)
+def qp1_feed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    key0 = shuffle_key(F.col("doc_id"))
+    ek = ((F.col("doc_id") + F.col("epoch")) * F.lit(_SHUFFLE_MULT)) % F.lit(
+        _SHUFFLE_MOD
+    )
+    base = docs.crossJoin(F.broadcast(epochs)).select(
+        "doc_id",
+        "epoch",
+        F.when(key0 % 10 == 0, "validation").otherwise("train").alias("split"),
+        ek.alias("ek"),
+    )
+    w = Window.partitionBy("epoch", "split").orderBy("ek", "doc_id")
+    numbered = base.withColumn("rn", F.row_number().over(w) - F.lit(1))
+    return (
+        numbered.groupBy(
+            "epoch", "split", F.floor(F.col("rn") / 16).alias("batch_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("batch_rows"),
+            F.min_by("doc_id", "ek").alias("first_doc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# qp2 — composite label/metric kernel: label dictionary (S1/P6 analog over
+# the embeddings labels), one-hot encode (M12, train.py:85), argmax (A2,
+# train.py:89-90), accuracy reduction (A1, train.py:58-59) and step math
+# (A4, train.py:115-117) in one oracle-checked result — the training-side
+# scalar surface as a single driver-gate row per label.
+# --------------------------------------------------------------------------
+@query(
+    "qp2_label_metrics",
+    oracle="""
+    WITH pred AS (
+      SELECT label,
+             CASE WHEN (list_position(embedding, list_aggregate(embedding, 'max')) - 1) % 10
+                       = label
+                  THEN 1 ELSE 0 END AS correct
+      FROM embeddings
+    ), per_label AS (
+      SELECT label, COUNT(*) AS n, CAST(SUM(correct) AS BIGINT) AS n_correct
+      FROM pred GROUP BY label
+    ), dict AS (
+      SELECT label, ROW_NUMBER() OVER (ORDER BY label) - 1 AS label_id
+      FROM (SELECT DISTINCT label FROM embeddings)
+    )
+    SELECT p.label, d.label_id, p.n, p.n_correct,
+           CAST(p.n_correct AS DOUBLE) / p.n AS accuracy,
+           CAST(CEIL(p.n / 16.0) AS BIGINT) AS steps_per_epoch,
+           CASE WHEN d.label_id % 5 = 0 THEN 1 ELSE 0 END AS oh_0,
+           CASE WHEN d.label_id % 5 = 1 THEN 1 ELSE 0 END AS oh_1,
+           CASE WHEN d.label_id % 5 = 2 THEN 1 ELSE 0 END AS oh_2,
+           CASE WHEN d.label_id % 5 = 3 THEN 1 ELSE 0 END AS oh_3,
+           CASE WHEN d.label_id % 5 = 4 THEN 1 ELSE 0 END AS oh_4
+    FROM per_label p JOIN dict d USING (label)
+    """,
+)
+def qp2_label_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = (
+        F.array_position(F.col("embedding"), F.array_max(F.col("embedding"))) - 1
+    ) % 10
+    correct = F.when(pred == F.col("label"), 1).otherwise(0)
+    per_label = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(correct).alias("n_correct")
+    )
+    dict_df = (
+        emb.select("label")
+        .distinct()
+        .withColumn(
+            "label_id",
+            (F.row_number().over(Window.orderBy("label")) - F.lit(1)).cast("bigint"),
+        )
+    )
+    one_hot = [
+        F.when(F.col("label_id") % 5 == i, 1).otherwise(0).alias(f"oh_{i}")
+        for i in range(5)
+    ]
+    return per_label.join(F.broadcast(dict_df), "label").select(
+        "label",
+        "label_id",
+        "n",
+        "n_correct",
+        (F.col("n_correct").cast("double") / F.col("n")).alias("accuracy"),
+        F.ceil(F.col("n") / 16.0).cast("bigint").alias("steps_per_epoch"),
+        *one_hot,
     )

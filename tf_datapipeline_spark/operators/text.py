@@ -206,6 +206,81 @@ def q54_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# qt0 — composite per-document text profile: token stats (q50), quality
+# ratios + flag (q51), language-ID heuristic (q52), BPE-ish token budget
+# (q53) and content fingerprint + duplicate-cluster size (q54) in ONE
+# scan — one wide oracle-checked row per document covering the five
+# mandated text ops. Everything is built-in column expressions (single
+# codegen stage); the only shuffle is the fingerprint-cluster window,
+# partitioned by the content hash.
+# --------------------------------------------------------------------------
+@query(
+    "qt0_text_profile",
+    oracle=f"""
+    SELECT doc_id,
+           n_chars,
+           CAST(length({_TOKENS_SQL}) AS INT) AS n_tokens,
+           (CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE)
+             / length(text)) AS alpha_ratio,
+           (CAST(length(list_filter({_TOKENS_SQL}, t -> t IN ({_SW_LIST}))) AS DOUBLE)
+             / length({_TOKENS_SQL})) AS stopword_ratio,
+           CASE WHEN n_chars >= 100
+                 AND length(list_filter({_TOKENS_SQL}, t -> t IN ({_SW_LIST}))) > 0
+                THEN 1 ELSE 0 END AS is_quality,
+           CASE GREATEST({_sql_lang_score('de')}, {_sql_lang_score('en')},
+                         {_sql_lang_score('es')}, {_sql_lang_score('fr')},
+                         {_sql_lang_score('zh')})
+                WHEN {_sql_lang_score('de')} THEN 'de'
+                WHEN {_sql_lang_score('en')} THEN 'en'
+                WHEN {_sql_lang_score('es')} THEN 'es'
+                WHEN {_sql_lang_score('fr')} THEN 'fr'
+                ELSE 'zh' END AS pred_lang,
+           CAST(length(regexp_extract_all(text, '{_BPE_PATTERN}')) AS INT) AS n_bpe_tokens,
+           md5(text) AS fingerprint,
+           COUNT(*) OVER (PARTITION BY md5(text)) AS cluster_size
+    FROM documents
+    """,
+)
+def qt0_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    text_len = F.length("text")
+    alpha = text_len - F.length(F.regexp_replace("text", "[a-z]", ""))
+    n_stop = F.size(F.filter(_tokens_spark(), lambda t: t.isin(*_STOPWORDS)))
+    n_tokens = F.size(_tokens_spark())
+
+    def count_markers(words):
+        return F.size(F.filter(_tokens_spark(), lambda t: t.isin(*words)))
+
+    scores = {lang: count_markers(words) for lang, words in _LANG_MARKERS.items()}
+    top = F.greatest(*[scores[lang] for lang in sorted(_LANG_MARKERS)])
+    pred = (
+        F.when(scores["de"] == top, "de")
+        .when(scores["en"] == top, "en")
+        .when(scores["es"] == top, "es")
+        .when(scores["fr"] == top, "fr")
+        .otherwise("zh")
+    )
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        (alpha.cast("double") / text_len).alias("alpha_ratio"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        F.when((F.col("n_chars") >= 100) & (n_stop > 0), 1)
+        .otherwise(0)
+        .alias("is_quality"),
+        pred.alias("pred_lang"),
+        F.regexp_count("text", F.lit(_BPE_PATTERN)).alias("n_bpe_tokens"),
+        F.md5("text").alias("fingerprint"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(F.md5("text")))
+        .alias("cluster_size"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q55 — TF-IDF: explode tokens → tf per (doc, term), df per term over the
 # corpus, rational idf N/df (no transcendental: ln differs across libm
 # builds; the ranking is monotone-equivalent). Two shuffles: one on
@@ -252,10 +327,15 @@ def q55_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q56 — string-similarity pairs: levenshtein distance within small
-# same-(lang, source) blocks. Blocked pairing keeps the candidate set
-# linear-ish; at 100 TB the block key is the partition key and no block
-# crosses executors.
+# q56 — string-similarity pairs: levenshtein distance within same-(lang,
+# source) blocks, bounded by a LENGTH-BAND blocking key: floor(len/32).
+# Edit distance >= |len_a - len_b|, so any pair worth reporting sits in
+# the same or an adjacent band — non-adjacent pairs (distance >= 32) are
+# excluded BY DESIGN, which caps block size independent of corpus skew
+# (a hot (en, common-crawl) block no longer goes O(block^2) at 100x).
+# Realized as an equi-join on (lang, source, band): the b side probes its
+# own and both neighbor bands, so each qualifying pair matches exactly
+# once and the join stays a hash join.
 # --------------------------------------------------------------------------
 @query(
     "q56_levenshtein_pairs",
@@ -267,31 +347,34 @@ def q55_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents a
     JOIN documents b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+     AND abs(CAST(FLOOR(length(a.text) / 32.0) AS BIGINT)
+             - CAST(FLOOR(length(b.text) / 32.0) AS BIGINT)) <= 1
     WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
     """,
 )
 def q56_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    band = F.floor(F.length("text") / 32)
     a = docs.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("source").alias("source_a"),
+        F.col("lang").alias("lang"),
+        F.col("source").alias("source"),
         F.col("text").alias("text_a"),
+        band.alias("band"),
     )
     b = docs.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("source").alias("source_b"),
+        F.col("lang").alias("lang"),
+        F.col("source").alias("source"),
         F.col("text").alias("text_b"),
+        F.explode(
+            F.array(band - 1, band, band + 1)
+        ).alias("band"),
     )
     lev = F.levenshtein("text_a", "text_b")
     return (
-        a.join(
-            b,
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("source_a") == F.col("source_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
+        a.join(b, ["lang", "source", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
