@@ -64,6 +64,35 @@ def test_decode_rejects_garbage():
         decode_ppm(b"nope")
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31),
+)
+def test_png_roundtrip(h, w, seed):
+    """PNG encode cycles all 5 filter types across rows; decode must
+    reconstruct every byte."""
+    from tf_datapipeline_spark.functions.imagecodec import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_png(encode_png(img))
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out, img)
+
+
+def test_png_crc_and_garbage_rejected():
+    from tf_datapipeline_spark.functions.imagecodec import decode_png, encode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+    data = bytearray(encode_png(synthetic_pixels(7)))
+    data[40] ^= 0xFF  # corrupt inside IDAT -> CRC must catch it
+    with pytest.raises(ValueError):
+        decode_png(bytes(data))
+
+
 # --------------------------------------------------------------------------
 # image kernels (reference invariants: shape / dtype / range / determinism)
 # --------------------------------------------------------------------------

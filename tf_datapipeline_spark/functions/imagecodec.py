@@ -2,16 +2,23 @@
 
 The reference decodes JPEG/PNG via TF graph ops (reference:
 make_tf_record.py:18-19, data_queue.py:29, tutorial nb cell 6). This
-container ships no image libraries, so the engine's REAL, fully-tested
-codec is PPM (P6) — a trivial uncompressed raster format implementable in
-pure numpy — and JPEG/PNG decode is gated behind an import-try on Pillow
-with a clearly-marked NotImplementedError fallback. The Spark-side
-plumbing (binary column in, decode inside an Arrow-batched pandas UDF,
-ndarray out) is identical for every format; swapping the PPM branch for a
-real JPEG decoder on a cluster with Pillow installed changes one function.
+container ships no image libraries, so the engine carries two REAL,
+fully-tested codecs:
+
+- PPM (P6): trivial uncompressed raster, pure numpy.
+- PNG (8-bit truecolor): pure stdlib — zlib inflate/deflate plus all five
+  scanline filters (None/Sub/Up/Average/Paeth) with per-chunk CRC checks.
+
+JPEG decode is gated behind an import-try on Pillow with a clearly-marked
+NotImplementedError fallback (a DCT codec is out of scope here). The
+Spark-side plumbing (binary column in, decode inside an Arrow-batched
+pandas UDF, ndarray out) is identical for every format.
 """
 
 from __future__ import annotations
+
+import struct
+import zlib
 
 import numpy as np
 
@@ -68,6 +75,146 @@ def ppm_n_bytes(height: int, width: int) -> int:
 
 
 # --------------------------------------------------------------------------
+# PNG (8-bit truecolor, non-interlaced): pure-stdlib codec.
+# Spec: RFC 2083 — signature + IHDR/IDAT/IEND chunks; each scanline is a
+# filter-type byte + w*3 filtered bytes; IDAT is the zlib stream of all
+# scanlines. The encoder cycles the filter type per row (r % 5) so every
+# decoder branch is exercised by the synthetic corpus.
+# --------------------------------------------------------------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_BPP = 3  # bytes per pixel (8-bit RGB)
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor, vectorized (a=left, b=up, c=upper-left)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array as 8-bit truecolor PNG; row r uses
+    filter type r % 5 so all five filters appear in every image."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) array, got shape {img.shape}")
+    if img.dtype != np.uint8:
+        raise ValueError(f"expected uint8, got {img.dtype}")
+    h, w = img.shape[:2]
+    flat = img.astype(np.int32).reshape(h, w * _BPP)
+    out = bytearray()
+    prev = np.zeros(w * _BPP, dtype=np.int32)
+    for r in range(h):
+        cur = flat[r]
+        left = np.concatenate([np.zeros(_BPP, dtype=np.int32), cur[:-_BPP]])
+        up = prev
+        ul = np.concatenate([np.zeros(_BPP, dtype=np.int32), up[:-_BPP]])
+        f = r % 5
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - up
+        elif f == 3:
+            filt = cur - ((left + up) >> 1)
+        else:
+            filt = cur - _paeth(left, up, ul)
+        out.append(f)
+        out.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit truecolor non-interlaced PNG to (H, W, 3) uint8.
+
+    Pure stdlib: chunk walk with CRC verification, zlib inflate, and the
+    five scanline unfilters. Reference analog: tf.image.decode_png
+    (tutorial nb cell 6; make_tf_record.py:18-19 for the jpeg twin)."""
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG variant: need 8-bit truecolor, "
+                    f"got depth={depth} color={color} interlace={interlace}"
+                )
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * _BPP
+    if len(raw) != h * (1 + stride):
+        raise ValueError(f"PNG scanline payload {len(raw)} != {h * (1 + stride)}")
+    img = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f = raw[r * (1 + stride)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (1 + stride) + 1
+        ).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 1:
+            # per-byte-lane cumulative sum reconstructs the left chain
+            cur = line.copy()
+            for lane in range(_BPP):
+                cur[lane::_BPP] = np.cumsum(cur[lane::_BPP]) & 0xFF
+        elif f == 2:
+            cur = (line + prev) & 0xFF
+        elif f in (3, 4):
+            # left-and-up dependent: sequential per byte (rows are short;
+            # a cluster codec would hand this to a native library)
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = cur[x - _BPP] if x >= _BPP else 0
+                up = int(prev[x])
+                ul = int(prev[x - _BPP]) if x >= _BPP else 0
+                if f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    pred = int(_paeth(np.int32(left), np.int32(up), np.int32(ul)))
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        img[r] = cur
+        prev = cur
+    return img.astype(np.uint8).reshape(h, w, _BPP)
+
+
+# --------------------------------------------------------------------------
 # Compressed formats: real path only when Pillow exists on the cluster.
 # --------------------------------------------------------------------------
 def decode_image(data: bytes, image_format: str) -> np.ndarray:
@@ -81,7 +228,9 @@ def decode_image(data: bytes, image_format: str) -> np.ndarray:
     fmt = image_format.lower()
     if fmt == "ppm":
         return decode_ppm(data)
-    if fmt in ("jpg", "jpeg", "png"):
+    if fmt == "png":
+        return decode_png(data)
+    if fmt in ("jpg", "jpeg"):
         if _HAVE_PIL:  # pragma: no cover - not installed in this container
             import io
 
@@ -89,8 +238,8 @@ def decode_image(data: bytes, image_format: str) -> np.ndarray:
             return arr.astype(np.uint8)
         raise NotImplementedError(
             f"{fmt} decode requires Pillow, which is not installed in this "
-            "environment; the PPM branch exercises the identical Spark "
-            "plumbing (binary column -> pandas-UDF decode -> ndarray)"
+            "environment; the PPM and PNG codecs exercise the identical "
+            "Spark plumbing (binary column -> pandas-UDF decode -> ndarray)"
         )
     raise ValueError(f"unknown image format {image_format!r}")
 

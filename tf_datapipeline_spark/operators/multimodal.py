@@ -63,7 +63,7 @@ _PPM_BYTES_SQL = (
     "9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * h * w"
 )
 
-_DOC_ID_RE = re.compile(r"/(\d+)\.ppm$")
+_DOC_ID_RE = re.compile(r"/(\d+)\.(?:ppm|png)$")
 
 
 def _doc_id_of(path: str) -> int:
@@ -174,6 +174,76 @@ def q81_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         schema="doc_id bigint, px_min int, px_max int, px_sum bigint, "
         "n_px bigint, px_mean double",
+    )
+
+
+# --------------------------------------------------------------------------
+# q8b — PNG decode end-to-end (reference S4: tf.image.decode_png, tutorial
+# nb cell 6): the synthetic corpus re-encoded as real 8-bit truecolor PNG
+# (pure-stdlib zlib + all five scanline filters, functions/imagecodec.py),
+# decoded executor-side, reduced to per-image stats the oracle recomputes
+# cell-for-cell — so inflate, CRC walk, unfiltering AND the Arrow plumbing
+# are all value-checked. Decoded dims come from the IHDR-driven reshape,
+# checked against the arithmetic dims.
+# --------------------------------------------------------------------------
+@query(
+    "q8b_png_decode",
+    oracle=f"""
+    WITH dims AS ({_DIMS_SQL}),
+    px AS (
+      SELECT d.doc_id, d.h, d.w,
+             (3*i.i + 5*j.j + 11*c.c + d.doc_id) % 256 AS v
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS i) i,
+           LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS j) j,
+           (SELECT unnest([0, 1, 2]) AS c) c
+    )
+    SELECT doc_id, h AS height, w AS width,
+           MIN(v) AS px_min, MAX(v) AS px_max, SUM(v) AS px_sum,
+           COUNT(*) AS n_px
+    FROM px GROUP BY doc_id, h, w
+    """,
+)
+def q8b_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = synthetic_corpus(spark, sf_dir, fmt="png").select(
+        "path", "image_format", "content"
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, fmt, content in zip(
+                pdf["path"], pdf["image_format"], pdf["content"]
+            ):
+                arr = decode_image(bytes(content), fmt).astype(np.int64)
+                rows.append(
+                    (
+                        _doc_id_of(path),
+                        arr.shape[0],
+                        arr.shape[1],
+                        int(arr.min()),
+                        int(arr.max()),
+                        int(arr.sum()),
+                        int(arr.size),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "height",
+                    "width",
+                    "px_min",
+                    "px_max",
+                    "px_sum",
+                    "n_px",
+                ],
+            )
+
+    return corpus.mapInPandas(
+        stats,
+        schema="doc_id bigint, height int, width int, px_min int, "
+        "px_max int, px_sum bigint, n_px bigint",
     )
 
 

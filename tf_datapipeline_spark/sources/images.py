@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tf_datapipeline_spark.catalog import load_table
-from tf_datapipeline_spark.functions.imagecodec import encode_ppm
+from tf_datapipeline_spark.functions.imagecodec import encode_png, encode_ppm
 
 CORPUS_SCHEMA = (
     "path string, class_name string, image_format string, "
@@ -55,23 +55,27 @@ def synthetic_pixels(doc_id: int) -> np.ndarray:
     return ((3 * i + 5 * j + 11 * c + doc_id) % 256).astype(np.uint8)
 
 
-def synthetic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synthetic_corpus(spark: SparkSession, sf_dir: str, fmt: str = "ppm") -> DataFrame:
     """documents -> (path, class_name, image_format, h, w, content, length)
-    with content = real PPM bytes, generated executor-side in Arrow
-    batches. Only (doc_id, lang) crosses the scan boundary (column
-    pruning); the MB-scale binary column is born inside the UDF."""
+    with content = real encoded bytes (PPM or PNG — both codecs are real),
+    generated executor-side in Arrow batches. Only (doc_id, lang) crosses
+    the scan boundary (column pruning); the MB-scale binary column is born
+    inside the UDF."""
+    if fmt not in ("ppm", "png"):
+        raise ValueError(f"unsupported synthetic corpus format {fmt!r}")
+    encode = encode_ppm if fmt == "ppm" else encode_png
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, lang in zip(pdf["doc_id"], pdf["lang"]):
                 img = synthetic_pixels(int(doc_id))
-                payload = encode_ppm(img)
+                payload = encode(img)
                 rows.append(
                     (
-                        f"corpus/{lang}/{int(doc_id)}.ppm",
+                        f"corpus/{lang}/{int(doc_id)}.{fmt}",
                         lang,
-                        "ppm",
+                        fmt,
                         img.shape[0],
                         img.shape[1],
                         payload,
