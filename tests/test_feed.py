@@ -24,7 +24,10 @@ _BATCH = 32
 # over the sf0.001 validation split — pins codec + split + shuffle +
 # augment + batching end-to-end. Recompute ONLY for an intentional
 # semantic change (see test_golden_pipeline_hash).
-GOLDEN_FEED_HASH = "4ee34e0b9bbf08a8ab0a35428d46760f6864af85d413356c6a420ba72a95720c"
+# Recomputed 2026-08-13: feed keys now derive from the unique record path
+# instead of the payload hash (duplicate payloads previously shared RNG
+# streams and tied sort keys).
+GOLDEN_FEED_HASH = "33eab21624851ff14fdccc1c9fbcadffecba3a24d53915a697d80108b471932b"
 
 
 def _records(spark):

@@ -425,6 +425,7 @@ def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(30):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -450,6 +451,14 @@ def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # returning silently would hand back WRONG (unconverged) cluster
+        # labels for any component with propagation distance > the cap
+        raise RuntimeError(
+            f"q67 label propagation did not converge ({changed} labels "
+            "still changing after 30 rounds); component diameter exceeds "
+            "the round cap"
+        )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "label")

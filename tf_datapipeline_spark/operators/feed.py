@@ -64,11 +64,12 @@ def processed_records(
                 out_rows.append((img.astype(np.float32).ravel(), int(label), int(key)))
             yield pd.DataFrame(out_rows, columns=["pixels", "label", "k"])
 
-    # stable per-record key: xxhash64 reduced below 2^31 so the
-    # multiplicative permutation key stays within ANSI bigint range
-    keyed = records.withColumn(
-        "k", F.pmod(F.xxhash64("image_encoded"), F.lit(2**31))
-    )
+    # stable per-record key from the UNIQUE record path (hashing the
+    # payload would give exact-duplicate images identical RNG streams and
+    # tied sort keys — nondeterministic relative order); xxhash64 reduced
+    # below 2^31 so the multiplicative permutation key stays within ANSI
+    # bigint range
+    keyed = records.withColumn("k", F.pmod(F.xxhash64("path"), F.lit(2**31)))
     proj = keyed.select("image_encoded", "image_format", "label", "k")
     done = proj.mapInPandas(
         proc, schema="pixels array<float>, label int, k bigint"

@@ -364,7 +364,7 @@ def q73_knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select(
         "vec_id", "embedding", norm.alias("nrm"), cell_udf("embedding").alias("cells")
     )
-    # inverted list:每 vector indexed ONLY under its single nearest cell
+    # inverted list: every vector indexed ONLY under its single nearest cell
     index = base.select(
         "vec_id", "embedding", "nrm", F.element_at("cells", 1).alias("cell")
     )

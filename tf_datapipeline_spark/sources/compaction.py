@@ -33,15 +33,13 @@ def compact_parquet_dir(
     """Rewrite `path` to ceil(data_size / target) parquet files; returns
     the new file count. Uses an overwrite of a sibling temp dir then an
     atomic-ish rename so readers never see a half-compacted directory."""
+    from tf_datapipeline_spark.sources.upsert import swap_in
+
     n_files = max(1, math.ceil(dir_data_size(path) / target_file_bytes))
     tmp = path.rstrip("/") + ".compacting"
     df = spark.read.parquet(path)
+    expected = df.count()
     # coalesce, not repartition: shrinking file count needs no shuffle
     df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    backup = path.rstrip("/") + ".old"
-    os.rename(path, backup)
-    os.rename(tmp, path)
-    import shutil
-
-    shutil.rmtree(backup)
+    swap_in(spark, tmp, path, expected)
     return n_files

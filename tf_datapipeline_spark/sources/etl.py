@@ -46,6 +46,10 @@ def records_with_split(
       of the reference's shuffle-then-slice (make_tf_record.py:155-158).
     - shard: next digit of the same key, so records spread uniformly
       across `n_shards` writer tasks per split.
+    - path rides along as the record's UNIQUE key: downstream seeded
+      shuffles/augments key on it, so exact-duplicate payloads still get
+      distinct RNG streams and a total order (the payload hash would
+      collide them).
     """
     dict_df = (
         corpus.select(F.col("class_name"))
@@ -56,6 +60,7 @@ def records_with_split(
     return (
         corpus.join(F.broadcast(dict_df), "class_name")
         .select(
+            F.col("path"),
             F.col("content").alias("image_encoded"),
             F.col("image_format"),
             F.col("label").cast("long"),
