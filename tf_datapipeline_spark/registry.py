@@ -40,6 +40,85 @@ _OPERATOR_MODULES = [
 
 _loaded = False
 
+# ---------------------------------------------------------------------------
+# Driver-gate ordering. The round driver checks the FIRST 50 queries in
+# `queries()` iteration order, so plain registration order (module by
+# module) would spend the whole window on one or two families. This list
+# pins the window to a cross-section of EVERY operator family — the
+# composite queries (qp1/qp2/qt0) fold the single-purpose checks they
+# subsume into one slot each; everything not listed stays registered (and
+# locally oracle-checked) after the window.
+# ---------------------------------------------------------------------------
+GATE_ORDER = [
+    # relational core (incl. the two sketch ops with error-bound oracles)
+    "q01_pricing_summary",
+    "q05_region_revenue",
+    "q09_topk_orders",
+    "q17_approx_distinct",
+    "q1i_heavy_hitters",
+    "q1d_date_functions",
+    "q1f_pivot",
+    # window/analytic
+    "q21_window_running",
+    "q22_topk_per_group",
+    # reference pipeline surface (composites + exact-numbering ops)
+    "qp1_feed_pipeline",
+    "qp2_label_metrics",
+    "q32_split_exact_head",
+    "q36_shard_assignment",
+    # events (batch)
+    "q40_tumbling_window",
+    "q42_sessionization",
+    "q46_session_stats",
+    "q4a_asof_join",
+    "q4r_range_join",
+    "q4v_range_join_salted",
+    "q4f_funnel",
+    "q4c_retention_cohorts",
+    # structured streaming
+    "q47_stream_tumbling_window",
+    "q48_stream_dedup_keys",
+    "q49_stream_session_window",
+    "q4s_stream_stateful_counts",
+    "q4t_stream_static_join",
+    # text analysis
+    "qt0_text_profile",
+    "q55_tfidf",
+    "q56_levenshtein_pairs",
+    "q57_corpus_prep",
+    "q58_vocabulary",
+    # deduplication
+    "q61_dedup_exact_hash",
+    "q63_minhash_lsh_pairs",
+    "q64_simhash",
+    "q65_ngram_jaccard",
+    "q66_embedding_near_dup",
+    "q67_dedup_clusters",
+    # similarity search
+    "q70_knn_bruteforce",
+    "q71_knn_ann_lsh",
+    "q72_label_centroids",
+    "q73_knn_ann_ivf",
+    # multimodal
+    "q80_image_metadata",
+    "q81_pixel_stats",
+    "q8b_png_decode",
+    "q82_augment_train",
+    "q84_etl_sharded_write",
+    "q87_binaryfile_scan",
+    "q88_eval_records",
+    "q89_resize_nearest",
+    "q8a_channel_stats",
+]
+
+
+def _gate_sorted(d: dict) -> dict:
+    """Reorder: GATE_ORDER names first (in that order), then the rest in
+    registration order."""
+    head = {n: d[n] for n in GATE_ORDER if n in d}
+    tail = {n: v for n, v in d.items() if n not in head}
+    return {**head, **tail}
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query; `oracle` is the DuckDB ANSI-SQL twin (or None for
@@ -67,9 +146,12 @@ def _load() -> None:
 
 def queries() -> dict[str, QueryFn]:
     _load()
-    return dict(_QUERIES)
+    missing = [n for n in GATE_ORDER if n not in _QUERIES]
+    assert not missing, f"GATE_ORDER names not registered: {missing}"
+    assert len(set(GATE_ORDER)) == len(GATE_ORDER), "duplicate GATE_ORDER names"
+    return _gate_sorted(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     _load()
-    return dict(_ORACLES)
+    return _gate_sorted(_ORACLES)
