@@ -64,6 +64,29 @@ def central_crop(img: np.ndarray, fraction: float) -> np.ndarray:
     return img[dh : h - dh, dw : w - dw]
 
 
+def draw_bbox(
+    img: np.ndarray,
+    y0: int,
+    x0: int,
+    y1: int,
+    x1: int,
+    color: tuple[int, int, int] = (255, 0, 0),
+) -> np.ndarray:
+    """Draw a 1-px bounding-box outline (reference M11 debug viz,
+    dataset_preprocessing.py:193-231 tf.image.draw_bounding_boxes).
+    Corners are inclusive; returns a copy."""
+    h, w = img.shape[:2]
+    if not (0 <= y0 <= y1 < h and 0 <= x0 <= x1 < w):
+        raise ValueError(f"bbox ({y0},{x0},{y1},{x1}) outside image ({h},{w})")
+    out = img.copy()
+    c = np.asarray(color, dtype=img.dtype)
+    out[y0, x0 : x1 + 1] = c
+    out[y1, x0 : x1 + 1] = c
+    out[y0 : y1 + 1, x0] = c
+    out[y0 : y1 + 1, x1] = c
+    return out
+
+
 def distorted_crop(
     img: np.ndarray,
     rng: np.random.Generator,

@@ -248,6 +248,83 @@ def q8b_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q8c — bbox debug overlay (reference M11: tf.image.draw_bounding_boxes,
+# dataset_preprocessing.py:193-231): draw a 1-px red box over the central
+# half of each image (box corners = h//4..3h//4 x w//4..3w//4, a
+# deterministic function of the dims) and reduce the annotated image to
+# pixel stats. The oracle replays the border predicate and overlay color
+# cell-for-cell, so the drawing kernel itself is value-checked — the
+# reference could only eyeball this op.
+# --------------------------------------------------------------------------
+@query(
+    "q8c_bbox_overlay",
+    oracle=f"""
+    WITH dims AS ({_DIMS_SQL}),
+    box AS (
+      SELECT doc_id, h, w,
+             h // 4 AS y0, w // 4 AS x0,
+             (3 * h) // 4 AS y1, (3 * w) // 4 AS x1
+      FROM dims
+    ),
+    grid AS (
+      SELECT b.doc_id, i.i AS i, j.j AS j,
+             CASE WHEN ((i.i = b.y0 OR i.i = b.y1) AND j.j BETWEEN b.x0 AND b.x1)
+                    OR ((j.j = b.x0 OR j.j = b.x1) AND i.i BETWEEN b.y0 AND b.y1)
+                  THEN 1 ELSE 0 END AS ib
+      FROM box b,
+           LATERAL (SELECT unnest(generate_series(0, b.h - 1)) AS i) i,
+           LATERAL (SELECT unnest(generate_series(0, b.w - 1)) AS j) j
+    ),
+    px AS (
+      SELECT doc_id, ib,
+             CASE WHEN ib = 1 THEN CASE WHEN c.c = 0 THEN 255 ELSE 0 END
+                  ELSE (3*i + 5*j + 11*c.c + doc_id) % 256 END AS v
+      FROM grid, (SELECT unnest([0, 1, 2]) AS c) c
+    )
+    SELECT doc_id, MIN(v) AS px_min, MAX(v) AS px_max, SUM(v) AS px_sum,
+           CAST(SUM(ib) // 3 AS BIGINT) AS border_px, COUNT(*) AS n_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def q8c_bbox_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.functions.imageops import draw_bbox
+
+    corpus = synthetic_corpus(spark, sf_dir).select("path", "image_format", "content")
+
+    def overlay(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, fmt, content in zip(
+                pdf["path"], pdf["image_format"], pdf["content"]
+            ):
+                arr = decode_image(bytes(content), fmt)
+                h, w = arr.shape[:2]
+                y0, x0, y1, x1 = h // 4, w // 4, (3 * h) // 4, (3 * w) // 4
+                drawn = draw_bbox(arr, y0, x0, y1, x1).astype(np.int64)
+                border = 2 * (x1 - x0 + 1) + 2 * (y1 - y0 + 1) - 4
+                rows.append(
+                    (
+                        _doc_id_of(path),
+                        int(drawn.min()),
+                        int(drawn.max()),
+                        int(drawn.sum()),
+                        border,
+                        int(drawn.size),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "px_min", "px_max", "px_sum", "border_px", "n_px"],
+            )
+
+    return corpus.mapInPandas(
+        overlay,
+        schema="doc_id bigint, px_min int, px_max int, px_sum bigint, "
+        "border_px bigint, n_px bigint",
+    )
+
+
+# --------------------------------------------------------------------------
 # q82 — fused train-time augment (reference M2-M9: distorted crop, random
 # resize method, random flip, 4-ordering color jitter, [-1,1] normalize)
 # with seeded per-row RNG (seed = f(42, doc_id) — stable under task

@@ -69,6 +69,7 @@ GATE_ORDER = [
     # events (batch)
     "q40_tumbling_window",
     "q42_sessionization",
+    "q45_json_extract",
     "q46_session_stats",
     "q4a_asof_join",
     "q4r_range_join",
@@ -77,7 +78,7 @@ GATE_ORDER = [
     "q4c_retention_cohorts",
     # structured streaming
     "q47_stream_tumbling_window",
-    "q48_stream_dedup_keys",
+    "q4u_stream_stream_join",
     "q49_stream_session_window",
     "q4s_stream_stateful_counts",
     "q4t_stream_static_join",
@@ -94,19 +95,19 @@ GATE_ORDER = [
     "q65_ngram_jaccard",
     "q66_embedding_near_dup",
     "q67_dedup_clusters",
-    # similarity search
+    # similarity search (ANN variants q71/q73 are rows-only by design —
+    # recall-tested behind the window)
     "q70_knn_bruteforce",
-    "q71_knn_ann_lsh",
     "q72_label_centroids",
-    "q73_knn_ann_ivf",
     # multimodal
     "q80_image_metadata",
     "q81_pixel_stats",
     "q8b_png_decode",
-    "q82_augment_train",
+    "q8c_bbox_overlay",
     "q84_etl_sharded_write",
+    "q85_frame_sample",
+    "q86_audio_rms",
     "q87_binaryfile_scan",
-    "q88_eval_records",
     "q89_resize_nearest",
     "q8a_channel_stats",
 ]

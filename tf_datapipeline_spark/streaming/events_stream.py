@@ -217,6 +217,58 @@ def q4s_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q4u — STREAM-STREAM inner join with event-time range: each click joined
+# to the same user's views in the preceding 5 minutes. Both sides carry
+# watermarks and the join condition bounds event-time distance, so the
+# state store can age out rows — the only shape a 100 TB/day dual-stream
+# join survives with (an unbounded-time stream-stream join keeps every
+# row in state forever). Oracle: the identical batch range join.
+# --------------------------------------------------------------------------
+@query(
+    "q4u_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = c.user_id
+     AND v.ts >= c.ts - INTERVAL '5 minutes' AND v.ts <= c.ts
+    """,
+)
+def q4u_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            """
+            v_user_id = user_id
+            AND v_ts >= c_ts - INTERVAL 5 MINUTES
+            AND v_ts <= c_ts
+            """
+        ),
+    ).select("click_id", "view_id", "user_id")
+    return run_bounded(joined, "append")
+
+
+# --------------------------------------------------------------------------
 # q4t — STREAM-STATIC enrichment join: the event stream joined per
 # micro-batch to a static dimension (nation, keyed by user_id % 25 as the
 # synthetic home-nation mapping). Stream-static joins are stateless —
