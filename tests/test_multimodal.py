@@ -54,14 +54,85 @@ def test_ppm_roundtrip(h, w, seed):
     assert np.array_equal(out, img)
 
 
-def test_jpeg_decode_is_stubbed_without_pillow():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff", "jpeg")
-
-
 def test_decode_rejects_garbage():
     with pytest.raises(ValueError):
         decode_ppm(b"nope")
+
+
+# --------------------------------------------------------------------------
+# baseline JPEG codec (functions/jpegcodec.py — reference S3,
+# make_tf_record.py:18-19)
+# --------------------------------------------------------------------------
+def test_jpeg_flat_block_roundtrip_is_bit_exact():
+    """Flat 8x8 blocks -> DC-only DCT -> quality-100 roundtrip loses
+    nothing. This is the property the q8d oracle relies on."""
+    from tf_datapipeline_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+    from tf_datapipeline_spark.sources.images import synthetic_jpeg_pixels
+
+    for doc_id in (0, 1, 7, 123, 4096):
+        gray = synthetic_jpeg_pixels(doc_id)
+        out = decode_jpeg(encode_jpeg(gray, quality=100))
+        assert out.shape == (*gray.shape, 3)
+        assert np.array_equal(out[:, :, 0], gray)
+        assert np.array_equal(out[:, :, 0], out[:, :, 1])
+        assert np.array_equal(out[:, :, 1], out[:, :, 2])
+
+
+@settings(max_examples=15, deadline=None)
+@given(h=st.integers(1, 40), w=st.integers(1, 40), seed=st.integers(0, 2**31))
+def test_jpeg_gray_roundtrip_tolerance(h, w, seed):
+    """Arbitrary grayscale at quality=100: only float-DCT rounding remains
+    (|err| <= 2), and non-multiple-of-8 dims crop back exactly."""
+    from tf_datapipeline_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert out.shape == (h, w, 3)
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 2
+
+
+@settings(max_examples=10, deadline=None)
+@given(h=st.integers(1, 32), w=st.integers(1, 32), seed=st.integers(0, 2**31))
+def test_jpeg_rgb_roundtrip_tolerance(h, w, seed):
+    """4:4:4 color at quality=100: YCbCr transform + DCT rounding only."""
+    from tf_datapipeline_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert out.shape == (h, w, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_jpeg_lower_quality_decodes_with_exact_dims():
+    from tf_datapipeline_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    img = np.random.default_rng(3).integers(0, 256, size=(33, 22, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=50))
+    assert out.shape == (33, 22, 3)
+    assert abs(float(out.mean()) - float(img.mean())) < 8.0
+
+
+def test_jpeg_rejects_non_baseline_and_garbage():
+    from tf_datapipeline_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    # flip SOF0 -> SOF2 (progressive): decoder must refuse, not mis-decode
+    data = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    idx = bytes(data).find(b"\xff\xc0")
+    data[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg(bytes(data))
+
+
+def test_decode_image_routes_jpeg_to_builtin_codec():
+    from tf_datapipeline_spark.functions.jpegcodec import encode_jpeg
+
+    img = np.full((16, 16), 77, dtype=np.uint8)
+    out = decode_image(encode_jpeg(img, quality=100), "jpeg")
+    assert (out == 77).all() and out.shape == (16, 16, 3)
 
 
 @settings(max_examples=25, deadline=None)

@@ -2,16 +2,17 @@
 
 The reference decodes JPEG/PNG via TF graph ops (reference:
 make_tf_record.py:18-19, data_queue.py:29, tutorial nb cell 6). This
-container ships no image libraries, so the engine carries two REAL,
+container ships no image libraries, so the engine carries three REAL,
 fully-tested codecs:
 
 - PPM (P6): trivial uncompressed raster, pure numpy.
 - PNG (8-bit truecolor): pure stdlib — zlib inflate/deflate plus all five
   scanline filters (None/Sub/Up/Average/Paeth) with per-chunk CRC checks.
+- Baseline JPEG (functions/jpegcodec.py): sequential DCT with the Annex-K
+  huffman/quant tables, grayscale and 4:4:4 color; Pillow, when present,
+  is only a fallback for non-baseline variants.
 
-JPEG decode is gated behind an import-try on Pillow with a clearly-marked
-NotImplementedError fallback (a DCT codec is out of scope here). The
-Spark-side plumbing (binary column in, decode inside an Arrow-batched
+The Spark-side plumbing (binary column in, decode inside an Arrow-batched
 pandas UDF, ndarray out) is identical for every format.
 """
 
@@ -215,15 +216,18 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
-# Compressed formats: real path only when Pillow exists on the cluster.
+# Format dispatch. All three codecs are real and pure-stdlib/numpy; Pillow,
+# when present on a cluster, serves only as a fallback for JPEG variants
+# the baseline decoder rejects (progressive, subsampled).
 # --------------------------------------------------------------------------
 def decode_image(data: bytes, image_format: str) -> np.ndarray:
     """Decode an encoded image payload to (H, W, 3) uint8.
 
     Reference analog: tf.image.decode_jpeg / decode_png
-    (make_tf_record.py:18-19, tutorial nb cell 6). PPM is always
-    available; jpeg/png require Pillow (STUB: NotImplementedError when the
-    library is absent, as in this container).
+    (make_tf_record.py:18-19, tutorial nb cell 6). PPM, PNG (8-bit
+    truecolor) and baseline JPEG (functions/jpegcodec.py) decode with no
+    third-party dependency; non-baseline JPEG falls back to Pillow when
+    installed and raises a clear error otherwise.
     """
     fmt = image_format.lower()
     if fmt == "ppm":
@@ -231,16 +235,17 @@ def decode_image(data: bytes, image_format: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(data)
     if fmt in ("jpg", "jpeg"):
-        if _HAVE_PIL:  # pragma: no cover - not installed in this container
-            import io
+        from tf_datapipeline_spark.functions.jpegcodec import decode_jpeg
 
-            arr = np.asarray(_PILImage.open(io.BytesIO(data)).convert("RGB"))
-            return arr.astype(np.uint8)
-        raise NotImplementedError(
-            f"{fmt} decode requires Pillow, which is not installed in this "
-            "environment; the PPM and PNG codecs exercise the identical "
-            "Spark plumbing (binary column -> pandas-UDF decode -> ndarray)"
-        )
+        try:
+            return decode_jpeg(data)
+        except ValueError:
+            if _HAVE_PIL:  # pragma: no cover - not installed in this container
+                import io
+
+                arr = np.asarray(_PILImage.open(io.BytesIO(data)).convert("RGB"))
+                return arr.astype(np.uint8)
+            raise
     raise ValueError(f"unknown image format {image_format!r}")
 
 

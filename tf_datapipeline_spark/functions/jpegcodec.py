@@ -1,0 +1,551 @@
+"""Pure-stdlib baseline JPEG codec (ITU-T T.81 / ISO 10918-1).
+
+The reference decodes JPEG via a TF graph op (reference:
+make_tf_record.py:18-19 ``tf.image.decode_jpeg``; data_queue.py:29). This
+container ships no image libraries, so the engine carries a REAL baseline
+codec: sequential DCT, huffman entropy coding with the Annex-K standard
+tables, 8-bit precision, grayscale (1 component) and 4:4:4 YCbCr color
+(3 components, no chroma subsampling). Progressive (SOF2) and subsampled
+streams raise a clear error.
+
+Everything here is public-spec knowledge: marker structure and huffman
+table layout from T.81 Annex B/C/F, the standard quantization and huffman
+tables from Annex K, the JFIF APP0 header from the JFIF 1.02 spec.
+
+Exactness property used by the oracle-checked corpus (operators/
+multimodal.py q8d): an image made of FLAT 8x8 blocks has a DC-only DCT
+(AC coefficients are exactly zero), and with a unit quantization table the
+DC coefficient 8*(v-128) is stored without rounding loss — so grayscale
+flat-block JPEGs round-trip BIT-EXACTLY, and DuckDB can re-derive every
+decoded pixel in SQL. Arbitrary images round-trip within a small tolerance
+(float DCT + quantization), pinned by tests/test_jpegcodec.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Tables (ITU-T T.81 Annex K).
+# --------------------------------------------------------------------------
+
+# Zigzag scan order: _ZIGZAG[k] = flat index into the 8x8 block of the k-th
+# coefficient in zigzag order.
+_ZIGZAG = np.array(
+    [
+        0,  1,  8, 16,  9,  2,  3, 10,
+       17, 24, 32, 25, 18, 11,  4,  5,
+       12, 19, 26, 33, 40, 48, 41, 34,
+       27, 20, 13,  6,  7, 14, 21, 28,
+       35, 42, 49, 56, 57, 50, 43, 36,
+       29, 22, 15, 23, 30, 37, 44, 51,
+       58, 59, 52, 45, 38, 31, 39, 46,
+       53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# Standard luminance / chrominance quantization tables (Annex K.1), in
+# natural (row-major) order.
+_STD_QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_STD_QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Standard huffman tables (Annex K.3): (BITS counts per code length 1..16,
+# HUFFVAL symbol list).
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# Orthonormal 8-point DCT-II matrix: FDCT(B) = D @ B @ D.T (after level
+# shift), IDCT(C) = D.T @ C @ D. Matches T.81 Annex A up to the standard
+# 1/4 * C(u)C(v) scaling folded into the matrix.
+_D = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _D[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _build_huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 Annex C canonical code assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_huffman_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol lookup for the decoder."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+_ENC_DC = (_build_huffman_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+           _build_huffman_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
+_ENC_AC = (_build_huffman_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
+           _build_huffman_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS))
+
+
+def _magnitude_category(v: int) -> int:
+    """SSSS category: number of bits to represent |v| (T.81 F.1.2.1.1)."""
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with 0xFF -> 0xFF 0x00 byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._nbits += length
+        while self._nbits >= 8:
+            byte = (self._acc >> (self._nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self._nbits -= 8
+        self._acc &= (1 << self._nbits) - 1
+
+    def flush(self) -> None:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with byte unstuffing;
+    stops at any non-stuffing marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._nbits = 0
+
+    def read_bit(self) -> int:
+        if self._nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("JPEG entropy stream truncated at 0xFF")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                    )
+            self._acc = byte
+            self._nbits = 8
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code in JPEG stream")
+
+
+def quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """(luma, chroma) quantization tables scaled per the IJG quality
+    convention; quality=100 yields all-ones tables (lossless DC for flat
+    blocks)."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    luma = np.clip((_STD_QUANT_LUMA * scale + 50) // 100, 1, 255)
+    chroma = np.clip((_STD_QUANT_CHROMA * scale + 50) // 100, 1, 255)
+    return luma.astype(np.int64), chroma.astype(np.int64)
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    """JFIF full-range RGB -> YCbCr (float, unclamped)."""
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """JFIF YCbCr -> RGB uint8 with clamping."""
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _pad_to_blocks(plane: np.ndarray) -> np.ndarray:
+    """Edge-replicate pad a 2-D plane to multiples of 8 (T.81 A.2.4 lets the
+    encoder choose the fill; edge replication minimizes ringing)."""
+    h, w = plane.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _dht_payload(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+    return bytes([tc << 4 | th] + bits + vals)
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 100) -> bytes:
+    """Encode (H, W) or (H, W, 1) grayscale, or (H, W, 3) RGB, as baseline
+    JFIF. Grayscale streams carry 1 component (no color transform); RGB is
+    4:4:4 YCbCr. quality=100 -> unit quant tables."""
+    if img.dtype != np.uint8:
+        raise ValueError(f"expected uint8, got {img.dtype}")
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[..., 0]
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError(f"expected (H,W), (H,W,1) or (H,W,3), got {img.shape}")
+    h, w = img.shape[:2]
+    qluma, qchroma = quant_tables(quality)
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    # DQT (zigzag order per B.2.4.1)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes(
+        int(x) for x in qluma[_ZIGZAG]
+    )
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([1]) + bytes(
+            int(x) for x in qchroma[_ZIGZAG]
+        )
+    # SOF0 (baseline sequential)
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        # component id, sampling 1x1 (no subsampling), quant table id
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT
+    for tc, th, bits, vals in (
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+    ) + (() if gray else (
+        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    )):
+        payload = _dht_payload(tc, th, bits, vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    # SOS
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        td_ta = 0x00 if ci == 0 else 0x11
+        sos += bytes([ci + 1, td_ta])
+    sos += bytes([0, 63, 0])  # spectral selection + approximation (baseline)
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    if gray:
+        planes = [_pad_to_blocks(img.astype(np.float64))]
+        quants = [qluma]
+    else:
+        ycc = _rgb_to_ycbcr(img)
+        planes = [_pad_to_blocks(ycc[..., c]) for c in range(3)]
+        quants = [qluma, qchroma, qchroma]
+
+    # Interleaved MCU scan: with 1x1 sampling an MCU is one block per
+    # component (T.81 A.2.3).
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    ph, pw = planes[0].shape
+    q2ds = [q.reshape(8, 8).astype(np.float64) for q in quants]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci in range(ncomp):
+                tbl = 0 if ci == 0 else 1
+                block = planes[ci][by : by + 8, bx : bx + 8] - 128.0
+                coeffs = _D @ block @ _D.T
+                zz = np.round(coeffs / q2ds[ci]).astype(np.int64).ravel()[_ZIGZAG]
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                cat = _magnitude_category(diff)
+                code, length = _ENC_DC[tbl][cat]
+                writer.write(code, length)
+                if cat:
+                    writer.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        zc, zl = _ENC_AC[tbl][0xF0]
+                        writer.write(zc, zl)
+                        run -= 16
+                    size = _magnitude_category(v)
+                    ac, al = _ENC_AC[tbl][(run << 4) | size]
+                    writer.write(ac, al)
+                    writer.write(v if v >= 0 else v + (1 << size) - 1, size)
+                    run = 0
+                if run:
+                    ec, el = _ENC_AC[tbl][0x00]
+                    writer.write(ec, el)
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _extend(v: int, size: int) -> int:
+    """EXTEND (T.81 F.2.2.1): map size-bit magnitude to signed value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline sequential JFIF stream to (H, W, 3) uint8.
+
+    Grayscale streams are replicated across 3 channels (matching the
+    ``convert("RGB")`` contract of decode_image). Supports 8-bit baseline
+    (SOF0), 1 or 3 components, 1x1 sampling; progressive and subsampled
+    streams raise ValueError. Reference analog: tf.image.decode_jpeg
+    (make_tf_record.py:18-19)."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict[tuple[int, int], int]] = {}
+    huff_ac: dict[int, dict[tuple[int, int], int]] = {}
+    h = w = None
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
+    restart_interval = 0
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT: one or more tables per segment
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported (baseline)")
+                zz = np.frombuffer(payload[p + 1 : p + 65], dtype=np.uint8).astype(
+                    np.int64
+                )
+                qtables[tq] = zz[_UNZIGZAG]
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            precision = payload[0]
+            if precision != 8:
+                raise ValueError(f"unsupported precision {precision}")
+            h, w = struct.unpack(">HH", payload[1:5])
+            ncomp = payload[5]
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError(
+                        "chroma subsampling unsupported: this codec handles "
+                        f"1x1 sampling only (got 0x{samp:02X})"
+                    )
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG coding process (SOF marker 0x{marker:02X}); "
+                "only baseline sequential (SOF0) is implemented"
+            )
+        elif marker == 0xC4:  # DHT: one or more tables per segment
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                nvals = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + nvals])
+                table = _build_huffman_decoder(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                p += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = payload[0]
+            scan = []
+            for si in range(ns):
+                cs, tdta = payload[1 + 2 * si : 3 + 2 * si]
+                idx = next(i for i, (cid, _) in enumerate(comps) if cid == cs)
+                scan.append((idx, tdta >> 4, tdta & 0x0F))
+            break
+        # APPn / COM / others: skipped via seglen
+    else:
+        raise ValueError("JPEG without SOS marker")
+
+    if h is None or not scan:
+        raise ValueError("JPEG missing SOF0 or SOS")
+    ncomp = len(comps)
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in range(ncomp)]
+    reader = _BitReader(data, pos)
+    preds = [0] * ncomp
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # RSTn marker: byte-align and consume the marker
+                reader._nbits = 0
+                if (
+                    reader.pos + 2 <= len(reader.data)
+                    and reader.data[reader.pos] == 0xFF
+                    and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7
+                ):
+                    reader.pos += 2
+                preds = [0] * ncomp
+            for idx, td, ta in scan:
+                zz = np.zeros(64, dtype=np.int64)
+                sym = reader.read_symbol(huff_dc[td])
+                if sym:
+                    diff = _extend(reader.read_bits(sym), sym)
+                else:
+                    diff = 0
+                preds[idx] += diff
+                zz[0] = preds[idx]
+                k = 1
+                while k < 64:
+                    rs = reader.read_symbol(huff_ac[ta])
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = rs >> 4, rs & 0x0F
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC coefficient index out of range")
+                    zz[k] = _extend(reader.read_bits(size), size)
+                    k += 1
+                quant = qtables[comps[idx][1]]
+                coeffs = (zz[_UNZIGZAG] * quant).reshape(8, 8).astype(np.float64)
+                block = _D.T @ coeffs @ _D + 128.0
+                planes[idx][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+            mcu += 1
+
+    cropped = [p[:h, :w] for p in planes]
+    if ncomp == 1:
+        gray = np.clip(np.round(cropped[0]), 0, 255).astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    ycc = np.stack(cropped, axis=-1)
+    return _ycbcr_to_rgb(ycc)

@@ -63,7 +63,7 @@ _PPM_BYTES_SQL = (
     "9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * h * w"
 )
 
-_DOC_ID_RE = re.compile(r"/(\d+)\.(?:ppm|png)$")
+_DOC_ID_RE = re.compile(r"/(\d+)\.(?:ppm|png|jpe?g)$")
 
 
 def _doc_id_of(path: str) -> int:
@@ -321,6 +321,80 @@ def q8c_bbox_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
         overlay,
         schema="doc_id bigint, px_min int, px_max int, px_sum bigint, "
         "border_px bigint, n_px bigint",
+    )
+
+
+# --------------------------------------------------------------------------
+# q8d — JPEG decode end-to-end (reference S3: tf.image.decode_jpeg,
+# make_tf_record.py:18-19): the flat-block grayscale corpus encoded as
+# REAL baseline JFIF (huffman + DCT, functions/jpegcodec.py) at quality
+# 100, decoded executor-side. Flat 8x8 blocks have a DC-only DCT, so the
+# roundtrip is bit-exact and the oracle re-derives every decoded pixel —
+# value-level verification of a lossy-format codec. Dims come from the
+# decoded array (SOF0-driven), checked against the arithmetic dims.
+# --------------------------------------------------------------------------
+@query(
+    "q8d_jpeg_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 * (1 + (doc_id * 7919) % 4) AS h,
+             8 * (1 + (doc_id * 104729) % 4) AS w
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.h, d.w,
+             (37 * (i.i // 8) + 59 * (j.j // 8) + d.doc_id) % 256 AS v
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS i) i,
+           LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS j) j
+    )
+    SELECT doc_id, h AS height, w AS width,
+           MIN(v) AS px_min, MAX(v) AS px_max,
+           3 * SUM(v) AS px_sum, 3 * COUNT(*) AS n_px
+    FROM px GROUP BY doc_id, h, w
+    """,
+)
+def q8d_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = synthetic_corpus(spark, sf_dir, fmt="jpeg").select(
+        "path", "image_format", "content"
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, fmt, content in zip(
+                pdf["path"], pdf["image_format"], pdf["content"]
+            ):
+                arr = decode_image(bytes(content), fmt).astype(np.int64)
+                rows.append(
+                    (
+                        _doc_id_of(path),
+                        arr.shape[0],
+                        arr.shape[1],
+                        int(arr.min()),
+                        int(arr.max()),
+                        int(arr.sum()),
+                        int(arr.size),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "height",
+                    "width",
+                    "px_min",
+                    "px_max",
+                    "px_sum",
+                    "n_px",
+                ],
+            )
+
+    return corpus.mapInPandas(
+        stats,
+        schema="doc_id bigint, height int, width int, px_min int, "
+        "px_max int, px_sum bigint, n_px bigint",
     )
 
 

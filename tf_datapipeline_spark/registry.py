@@ -109,7 +109,12 @@ GATE_ORDER = [
     "q86_audio_rms",
     "q87_binaryfile_scan",
     "q89_resize_nearest",
-    "q8a_channel_stats",
+    # q8d (baseline JPEG decode, bit-exact flat-block corpus) takes the
+    # last slot over q8a_channel_stats: q8a's per-channel reduction is
+    # largely subsumed by q81's pixel stats, while q8d is the only driver
+    # row exercising the huffman/DCT codec (reference S3). q8a stays
+    # registered and locally oracle-checked behind the window.
+    "q8d_jpeg_decode",
 ]
 
 

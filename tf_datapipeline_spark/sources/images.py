@@ -21,6 +21,13 @@ Synthetic image spec (shared with the SQL oracle — keep in sync):
     width         = 8 + (doc_id * 104729) % 25          (8..32)
     pixel[i,j,c]  = (3*i + 5*j + 11*c + doc_id) % 256
     class_name    = documents.lang, path = corpus/<lang>/<doc_id>.ppm
+
+JPEG synthetic spec (fmt="jpeg"; flat 8x8 grayscale blocks, so the DCT is
+DC-only and the quality-100 roundtrip is BIT-EXACT — the property that
+lets DuckDB verify a lossy-format decoder cell-for-cell):
+    height        = 8 * (1 + (doc_id * 7919)   % 4)     (8/16/24/32)
+    width         = 8 * (1 + (doc_id * 104729) % 4)
+    pixel[i,j,*]  = (37*(i//8) + 59*(j//8) + doc_id) % 256   (gray, x3)
 """
 
 from __future__ import annotations
@@ -34,6 +41,7 @@ from pyspark.sql import functions as F
 
 from tf_datapipeline_spark.catalog import load_table
 from tf_datapipeline_spark.functions.imagecodec import encode_png, encode_ppm
+from tf_datapipeline_spark.functions.jpegcodec import encode_jpeg
 
 CORPUS_SCHEMA = (
     "path string, class_name string, image_format string, "
@@ -55,22 +63,42 @@ def synthetic_pixels(doc_id: int) -> np.ndarray:
     return ((3 * i + 5 * j + 11 * c + doc_id) % 256).astype(np.uint8)
 
 
+def synthetic_jpeg_dims(doc_id: int) -> tuple[int, int]:
+    """(height, width) of the flat-block JPEG image — 8-multiples so every
+    block is full (no encoder edge padding enters the decoded crop)."""
+    return 8 * (1 + (doc_id * 7919) % 4), 8 * (1 + (doc_id * 104729) % 4)
+
+
+def synthetic_jpeg_pixels(doc_id: int) -> np.ndarray:
+    """Grayscale (H, W) uint8 image of flat 8x8 blocks: block (bi, bj) is
+    the constant (37*bi + 59*bj + doc_id) % 256. DC-only DCT -> the
+    quality-100 JPEG roundtrip is bit-exact (functions/jpegcodec.py)."""
+    h, w = synthetic_jpeg_dims(doc_id)
+    bi = np.arange(h, dtype=np.int64)[:, None] // 8
+    bj = np.arange(w, dtype=np.int64)[None, :] // 8
+    return ((37 * bi + 59 * bj + doc_id) % 256).astype(np.uint8)
+
+
 def synthetic_corpus(spark: SparkSession, sf_dir: str, fmt: str = "ppm") -> DataFrame:
     """documents -> (path, class_name, image_format, h, w, content, length)
     with content = real encoded bytes (PPM or PNG — both codecs are real),
     generated executor-side in Arrow batches. Only (doc_id, lang) crosses
     the scan boundary (column pruning); the MB-scale binary column is born
     inside the UDF."""
-    if fmt not in ("ppm", "png"):
+    if fmt not in ("ppm", "png", "jpeg"):
         raise ValueError(f"unsupported synthetic corpus format {fmt!r}")
-    encode = encode_ppm if fmt == "ppm" else encode_png
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, lang in zip(pdf["doc_id"], pdf["lang"]):
-                img = synthetic_pixels(int(doc_id))
-                payload = encode(img)
+                if fmt == "jpeg":
+                    gray = synthetic_jpeg_pixels(int(doc_id))
+                    img = np.repeat(gray[:, :, None], 3, axis=2)
+                    payload = encode_jpeg(gray, quality=100)
+                else:
+                    img = synthetic_pixels(int(doc_id))
+                    payload = (encode_ppm if fmt == "ppm" else encode_png)(img)
                 rows.append(
                     (
                         f"corpus/{lang}/{int(doc_id)}.{fmt}",
