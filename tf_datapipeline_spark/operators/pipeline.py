@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from tf_datapipeline_spark.catalog import load_table
 from tf_datapipeline_spark.registry import query
+from tf_datapipeline_spark.functions.texthash import sql_hash32, sql_hash32_dialect
 
 # Knuth's multiplicative constant (2^32 / phi); modulus 2^32.
 _SHUFFLE_MULT = 2654435761
@@ -562,4 +563,93 @@ def qp2_label_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_correct").cast("double") / F.col("n")).alias("accuracy"),
         F.ceil(F.col("n") / 16.0).cast("bigint").alias("steps_per_epoch"),
         *one_hot,
+    )
+
+
+# --------------------------------------------------------------------------
+# q3c — stratified hash sampling: per-stratum (lang) keep rates applied via
+# the cross-engine md5 hash32 (functions/texthash.py), so the SAME rows
+# are kept in Spark and DuckDB and the oracle is exact — no RNG, no
+# sampleBy approximation. At 100 TB this is a narrow filter (scan ->
+# filter, no shuffle); rates live in the expression, not a join.
+# --------------------------------------------------------------------------
+_STRATA_RATES = {"en": 50, "de": 30, "es": 30, "fr": 20, "zh": 10}  # % kept
+
+
+@query(
+    "q3c_stratified_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, source, n_chars,
+             {sql_hash32("'strat-' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM keyed
+      WHERE bucket < CASE lang
+          {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items())}
+          ELSE 0 END
+    )
+    SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM kept GROUP BY lang
+    """,
+)
+def q3c_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.expr(
+            sql_hash32_dialect("'strat-' || CAST(doc_id AS STRING)", "spark")
+        )
+        % 100
+    )
+    rate = F.create_map(
+        *[x for k, v in _STRATA_RATES.items() for x in (F.lit(k), F.lit(v))]
+    )
+    kept = docs.filter(bucket < F.coalesce(rate[F.col("lang")], F.lit(0)))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q3d — deterministic reservoir sample: exactly k docs per stratum, chosen
+# by rank over the same cross-engine hash — the distributed analog of
+# reservoir sampling (uniform exact-k without a global pass; Vitter 1985
+# semantics, made deterministic/retry-stable by hash ranking). One
+# partial-aggregated shuffle on lang; rank is a per-stratum window, never
+# a global sort.
+# --------------------------------------------------------------------------
+_RESERVOIR_K = 8
+
+
+@query(
+    "q3d_reservoir_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             {sql_hash32("'resv-' || CAST(doc_id AS VARCHAR)")} AS hk
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_RESERVOIR_K}
+    """,
+)
+def q3d_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hk = F.expr(sql_hash32_dialect("'resv-' || CAST(doc_id AS STRING)", "spark"))
+    w = Window.partitionBy("lang").orderBy(F.col("hk").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", "n_chars", hk.alias("hk"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _RESERVOIR_K)
+        .select("lang", "doc_id", "n_chars", "rk")
     )

@@ -464,3 +464,217 @@ def q58_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# q59 — Gopher-style quality filter (Rae et al. 2021, "Scaling Language
+# Models", Appendix A1.1 — public rule set): word-count bounds, mean word
+# length bounds, minimum stopword hits, and a repetition signal (the most
+# frequent word's share of the document). The per-(doc, token) counts are
+# one partial-aggregated shuffle keyed by doc_id — at 100 TB this is the
+# standard explode->combine shape, no driver involvement.
+# --------------------------------------------------------------------------
+_G_MIN_WORDS, _G_MAX_WORDS = 20, 100_000
+_G_MIN_MWL, _G_MAX_MWL = 3.0, 10.0
+_G_MIN_STOP = 2
+_G_MAX_TOP_FRAC = 0.2
+
+
+@query(
+    "q59_gopher_filter",
+    oracle=f"""
+    WITH tc AS (
+      SELECT doc_id, token, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents)
+      WHERE token <> ''
+      GROUP BY doc_id, token
+    ),
+    rep AS (
+      SELECT doc_id, MAX(c) AS top_count, SUM(c) AS n_words
+      FROM tc GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(list_filter({_TOKENS_SQL}, t -> t <> ''),
+                                          t -> length(t))) AS BIGINT) AS char_sum,
+             CAST(length(list_filter({_TOKENS_SQL}, t -> t IN ({_SW_LIST})))
+                  AS BIGINT) AS stop_hits
+      FROM documents
+    )
+    SELECT r.doc_id,
+           CAST(r.n_words AS BIGINT) AS n_words,
+           CAST(b.char_sum AS DOUBLE) / r.n_words AS mean_word_len,
+           b.stop_hits,
+           CAST(r.top_count AS DOUBLE) / r.n_words AS top_word_frac,
+           CASE WHEN r.n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}
+                 AND CAST(b.char_sum AS DOUBLE) / r.n_words
+                     BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL}
+                 AND b.stop_hits >= {_G_MIN_STOP}
+                 AND CAST(r.top_count AS DOUBLE) / r.n_words <= {_G_MAX_TOP_FRAC}
+                THEN 1 ELSE 0 END AS keep
+    FROM rep r JOIN base b USING (doc_id)
+    """,
+)
+def q59_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens_spark()).alias("token")).filter(
+        F.col("token") != ""
+    )
+    rep = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_count"), F.sum("c").alias("n_words"))
+    )
+    nonempty = F.filter(_tokens_spark(), lambda t: t != "")
+    base = docs.select(
+        "doc_id",
+        F.aggregate(
+            nonempty, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+        ).alias("char_sum"),
+        F.size(F.filter(_tokens_spark(), lambda t: t.isin(*_STOPWORDS)))
+        .cast("bigint")
+        .alias("stop_hits"),
+    )
+    mwl = F.col("char_sum").cast("double") / F.col("n_words")
+    top_frac = F.col("top_count").cast("double") / F.col("n_words")
+    return rep.join(base, "doc_id").select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        "stop_hits",
+        top_frac.alias("top_word_frac"),
+        F.when(
+            F.col("n_words").between(_G_MIN_WORDS, _G_MAX_WORDS)
+            & mwl.between(_G_MIN_MWL, _G_MAX_MWL)
+            & (F.col("stop_hits") >= _G_MIN_STOP)
+            & (top_frac <= _G_MAX_TOP_FRAC),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q5a — within-document repetition profile (the n-gram half of Gopher's
+# repetition rules): bigram count, the most frequent bigram's share, and
+# the fraction of bigram mass in bigrams occurring more than once. Bigrams
+# are built array-side (1-indexed element access — identical semantics in
+# Spark SQL and DuckDB) then explode->aggregate per doc_id.
+# --------------------------------------------------------------------------
+_BIGRAMS_SPARK = (
+    "transform(sequence(1, size(toks) - 1), "
+    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+)
+_BIGRAMS_DUCK = (
+    "list_transform(generate_series(1, length(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i + 1])"
+)
+
+
+@query(
+    "q5a_repetition_profile",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter({_TOKENS_SQL}, x -> x <> '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, unnest({_BIGRAMS_DUCK}) AS bigram FROM t
+      WHERE length(toks) >= 2
+    ),
+    bc AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+             AS dup_bigram_frac
+    FROM bc GROUP BY doc_id
+    """,
+)
+def q5a_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.filter(_tokens_spark(), lambda x: x != "").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bg = t.select("doc_id", F.explode(F.expr(_BIGRAMS_SPARK)).alias("bigram"))
+    bc = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    return bc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.max("c").cast("bigint").alias("top_bigram_count"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c")
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q5b — PII scrub. The synthetic corpus carries no PII, so the op injects a
+# DETERMINISTIC email + phone per doc (derived from doc_id with identical
+# arithmetic in both dialects), then scrubs with the engine's regex
+# kernels — so match counting, replacement, and the scrubbed text itself
+# (md5-hashed) are all value-checked cross-engine. Patterns stay within
+# the syntax Java regex and RE2 share.
+# --------------------------------------------------------------------------
+_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "q5b_pii_scrub",
+    oracle=f"""
+    WITH pii AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call '
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+               AS pii_text
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id, pii_text,
+             regexp_replace(regexp_replace(pii_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+      FROM pii
+    )
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(pii_text, '{_EMAIL_RE}')) AS INT)
+             AS n_emails,
+           CAST(length(regexp_extract_all(pii_text, '{_PHONE_RE}')) AS INT)
+             AS n_phones,
+           length(clean) AS clean_len,
+           md5(clean) AS clean_md5
+    FROM scrubbed
+    """,
+)
+def q5b_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call "),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("doc_id") * 7) % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("doc_id") * 13) % 10000).cast("string"), 4, "0"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(pii_text, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(pii_text, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(pii_text, F.lit(_PHONE_RE)).alias("n_phones"),
+        F.length(clean).alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )

@@ -299,3 +299,32 @@ def q4t_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 6).alias("sum_value"))
     )
     return run_bounded(agg, "complete")
+
+
+# --------------------------------------------------------------------------
+# q4w — STREAMING dedup with BOUNDED state: dropDuplicatesWithinWatermark
+# keyed on (user_id, event_type, minute bucket). Unlike q48's plain
+# dropDuplicates (state grows with the key universe forever), state here
+# is evicted once the watermark passes a key's bucket — the only shape
+# that survives an unbounded 100 TB stream. The minute bucket makes the
+# semantics exact: any two duplicates of a key are < 60s apart, far
+# inside the 2h watermark, so exactly one row per key is emitted and the
+# batch oracle is a plain SELECT DISTINCT.
+# --------------------------------------------------------------------------
+@query(
+    "q4w_stream_dedup_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           time_bucket(INTERVAL '1 minute', ts) AS minute_start
+    FROM events
+    """,
+)
+def q4w_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    deduped = (
+        ev.withColumn("minute_start", F.date_trunc("minute", F.col("ts")))
+        .withWatermark("minute_start", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute_start"])
+        .select("user_id", "event_type", "minute_start")
+    )
+    return run_bounded(deduped, "append")
