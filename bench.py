@@ -83,16 +83,21 @@ def main() -> None:
             return None
         return time.perf_counter() - t0
 
-    # two passes, keep the min: pass 1 pays JIT/partition-index warmup,
-    # pass 2 is the steady-state an always-on engine actually delivers.
+    # up to three passes, keep the min: pass 1 pays JIT/partition-index
+    # warmup, later passes are the steady state an always-on engine
+    # actually delivers. The shared host stalls individual queries for
+    # multi-second stretches at random (BENCH_NOTES.md); a third pass
+    # makes it overwhelmingly unlikely the same query is hit every time.
+    # Extra passes are skipped if the run is already over budget.
+    bench_start = time.perf_counter()
     timings: dict[str, float] = {}
-    first_pass_total = 0.0
     for name in HEADLINE + EXTRA:
         t = run_once(name)
         if t is not None:
             timings[name] = t
-            first_pass_total += t
-    if first_pass_total < 150:
+    for _ in range(2):
+        if time.perf_counter() - bench_start > 150:
+            break
         for name in list(timings):
             t = run_once(name)
             if t is not None:

@@ -448,9 +448,15 @@ def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the superseded checkpoint's blocks would otherwise stay pinned in
+        # the block manager for the life of the session — one leak per round
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    # the result below derives only from the final `labels` checkpoint,
+    # so the edge list's blocks can be released now
+    pairs.unpersist()
     if changed != 0:
         # returning silently would hand back WRONG (unconverged) cluster
         # labels for any component with propagation distance > the cap
