@@ -136,9 +136,20 @@ def test_exact_numbering_has_no_single_partition_exchange(spark):
         "q32_split_exact_head",
         "q35_batch_ragged_tail",
         "q36_shard_assignment",
+        "q5d_sequence_packing",
     ):
         plan = formatted_plan(_q(name, spark))
         assert "SinglePartition" not in plan, (name, plan)
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    """q5c's overlap join must broadcast the (tiny) benchmark n-gram set —
+    a shuffle join here would re-exchange the full corpus gram stream."""
+    from tf_datapipeline_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(_q("q5c_contamination", spark))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_salted_range_join_exchanges_on_salt(spark):

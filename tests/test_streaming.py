@@ -160,3 +160,55 @@ def test_dedup_clusters_consistent_with_pairs(spark):
         members.setdefault(cl, []).append(doc)
     for cl, docs in members.items():
         assert cl == min(docs), (cl, docs)
+
+
+def test_rollup_merge_resumes_from_checkpoint(spark):
+    """q4x's foreachBatch rollup across two availableNow runs sharing a
+    checkpoint: run 2 must process ONLY the file added after run 1 (a
+    re-read would double-count), and the merged table must equal the
+    one-shot batch aggregate over everything — the restartable
+    incremental-ETL contract (S10 checkpoint semantics)."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from tf_datapipeline_spark.streaming.events_stream import (
+        _ROLLUP_SCHEMA,
+        run_rollup_stream,
+    )
+
+    root = scratch_dir("rollup_resume_src/x").rsplit("/", 1)[0]
+    out = scratch_dir("rollup_resume_out/x").rsplit("/", 1)[0]
+    ck = scratch_dir("rollup_resume_ck/x").rsplit("/", 1)[0]
+    for d in (root, out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    spark.createDataFrame([], _ROLLUP_SCHEMA).write.mode("overwrite").parquet(out)
+
+    def write_slice(fname: str, rows: list[tuple[int, float]]) -> None:
+        uid = pa.array([r[0] for r in rows], type=pa.int64())
+        v = pa.array([r[1] for r in rows], type=pa.float64())
+        pq.write_table(pa.table({"user_id": uid, "value": v}), os.path.join(root, fname))
+
+    def drain() -> None:
+        src = (
+            spark.readStream.schema("user_id bigint, value double")
+            .format("parquet")
+            .load(root)
+        )
+        run_rollup_stream(spark, src, out, ck)
+
+    write_slice("s1.parquet", [(1, 1.25), (1, 2.5), (2, 10.0)])
+    drain()
+    first = {r.user_id: r for r in spark.read.parquet(out).collect()}
+    assert first[1].n_events == 2 and float(first[1].sum_value) == 3.75
+    assert first[2].n_events == 1
+
+    write_slice("s2.parquet", [(1, 0.25), (3, 7.0)])
+    drain()
+    final = {r.user_id: r for r in spark.read.parquet(out).collect()}
+    # user 1 merged across runs; a checkpoint re-read would give n=4
+    assert final[1].n_events == 3 and float(final[1].sum_value) == 4.0
+    # user 2 untouched by run 2; user 3 inserted by run 2
+    assert final[2].n_events == 1 and float(final[2].sum_value) == 10.0
+    assert final[3].n_events == 1 and float(final[3].sum_value) == 7.0

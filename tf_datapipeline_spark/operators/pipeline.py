@@ -39,6 +39,45 @@ def sql_shuffle_key(expr: str, seed: int = 0) -> str:
     return f"((({expr}) + {seed}) * {_SHUFFLE_MULT}) % {_SHUFFLE_MOD}"
 
 
+def offset_running_sum(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[Column | str],
+    value: Column,
+    sum_name: str = "running_sum",
+) -> DataFrame:
+    """Exclusive global running sum of `value` WITHOUT an unpartitioned
+    window — the same two-pass partition-offset shape as
+    `offset_row_number`: (1) per-bucket value sums -> driver prefix sum
+    (one tiny row per bucket), (2) within-bucket exclusive running sum +
+    broadcast-joined bucket offset. `bucket` must be a monotone function
+    of the leading order key. Row r gets sum(value) over all rows
+    strictly before r in the global order."""
+    spark = df.sparkSession
+    b = df.withColumn("_b", bucket.cast("bigint")).withColumn(
+        "_v", value.cast("bigint")
+    )
+    sums = {
+        r["_b"]: r["s"]
+        for r in b.groupBy("_b").agg(F.sum("_v").alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for k in sorted(sums):
+        offsets.append((k, acc))
+        acc += sums[k]
+    odf = spark.createDataFrame(offsets or [(0, 0)], "_b bigint, _off bigint")
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(odf), "_b")
+        .withColumn(sum_name, F.coalesce(F.sum("_v").over(w), F.lit(0)) + F.col("_off"))
+        .drop("_b", "_v", "_off")
+    )
+
+
 def offset_row_number(
     df: DataFrame,
     bucket: Column,

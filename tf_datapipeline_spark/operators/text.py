@@ -678,3 +678,139 @@ def q5b_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).alias("clean_len"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# q5c — benchmark-contamination check: word-5-gram overlap between the
+# training corpus and a held-out "benchmark" slice (here: doc_id % 23 ==
+# 0, standing in for an eval set) — the decontamination step every LLM
+# training pipeline runs (e.g. GPT-3 appendix C / PaLM §6 describe
+# 13-gram variants of exactly this). Scale shape: the benchmark n-gram
+# set is tiny relative to the corpus -> DISTINCT then broadcast; the
+# corpus side explodes distinct per-doc grams and the overlap count is a
+# partial-aggregated groupBy(doc_id) — no all-pairs comparison anywhere.
+# At 100 TB the only shuffle is the corpus-gram dedup per doc (map-local
+# array_distinct, no exchange) plus the final per-doc count.
+# --------------------------------------------------------------------------
+_CONTAM_N = 5  # words per gram
+_CONTAM_MIN_OVERLAP = 3  # distinct shared grams => contaminated
+_CONTAM_MOD = 23  # doc_id % _CONTAM_MOD == 0 -> benchmark slice
+
+
+def _grams_spark():
+    toks = _tokens_spark()
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= _CONTAM_N,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (_CONTAM_N - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, _CONTAM_N)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+@query(
+    "q5c_contamination",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, lang, t,
+             unnest(generate_series(1, greatest(len(t) - {_CONTAM_N - 1}, 0))) AS i
+      FROM (SELECT doc_id, lang, {_TOKENS_SQL} AS t FROM documents)
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, lang,
+             array_to_string(t[i:i+{_CONTAM_N - 1}], ' ') AS g
+      FROM pos
+    ),
+    bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % {_CONTAM_MOD} = 0
+    )
+    SELECT c.doc_id, c.lang, COUNT(*) AS n_overlap,
+           CAST(COUNT(*) >= {_CONTAM_MIN_OVERLAP} AS INT) AS contaminated
+    FROM grams c JOIN bench b USING (g)
+    WHERE c.doc_id % {_CONTAM_MOD} <> 0
+    GROUP BY 1, 2
+    """,
+)
+def q5c_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", "lang", F.explode(_grams_spark()).alias("g")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % _CONTAM_MOD == 0).select("g").distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % _CONTAM_MOD != 0)
+    n = F.count(F.lit(1))
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "lang")
+        .agg(
+            n.alias("n_overlap"),
+            (n >= _CONTAM_MIN_OVERLAP).cast("int").alias("contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q5d — sequence packing: concat-then-chunk layout for a fixed context
+# length (B=512 tokens). Documents are laid end-to-end in doc_id order;
+# each doc occupies token positions [start_tok, start_tok + n_tokens) and
+# is cut into context chunks of 512 — the packing layout LLM trainers
+# feed (docs spanning a chunk boundary are split across sequences). The
+# global exclusive running sum uses the two-pass partition-offset shape
+# (offset_running_sum): per-bucket sums -> driver prefix -> partitioned
+# window; no `Exchange SinglePartition` anywhere, so the layout job
+# scales to a 100 TB corpus.
+# --------------------------------------------------------------------------
+_PACK_B = 512
+
+
+@query(
+    "q5d_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, CAST(length({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS start_tok
+      FROM d
+    )
+    SELECT doc_id, n_tokens, start_tok,
+           start_tok // {_PACK_B} AS chunk_first,
+           (start_tok + n_tokens - 1) // {_PACK_B} AS chunk_last,
+           (start_tok + n_tokens - 1) // {_PACK_B} - start_tok // {_PACK_B} + 1
+             AS n_chunks
+    FROM c
+    """,
+)
+def q5d_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.operators.pipeline import offset_running_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(_tokens_spark()).cast("bigint").alias("n_tokens")
+    )
+    # doc_id is the order key; its high bits are an order-preserving bucket
+    c = offset_running_sum(
+        d,
+        bucket=F.col("doc_id") / 4096,
+        order_cols=["doc_id"],
+        value=F.col("n_tokens"),
+        sum_name="start_tok",
+    )
+    first = F.expr(f"start_tok DIV {_PACK_B}")
+    last = F.expr(f"(start_tok + n_tokens - 1) DIV {_PACK_B}")
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        first.alias("chunk_first"),
+        last.alias("chunk_last"),
+        (last - first + 1).alias("n_chunks"),
+    )

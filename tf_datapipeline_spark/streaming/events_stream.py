@@ -328,3 +328,89 @@ def q4w_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "minute_start")
     )
     return run_bounded(deduped, "append")
+
+
+# --------------------------------------------------------------------------
+# q4x — STREAMING incremental rollup maintenance: foreachBatch merges each
+# micro-batch's partial per-user aggregate into a materialized parquet
+# rollup table (MERGE via sources/upsert.py — only keys touched by the
+# batch are rewritten). This is the incremental-ETL sink shape (the
+# reference's eval-metrics accumulation S10/A3 writ large): an always-on
+# stream keeps a queryable rollup current without ever recomputing
+# history. Exactness across merges: the table stores DECIMAL(28,6)
+# partials (decimal addition is associative), so N incremental merges
+# produce bit-identical sums to the one-shot batch aggregate the oracle
+# computes; the double cast happens once, on read-out.
+# checkpointLocation makes the merge restartable: a resumed run re-reads
+# only unprocessed files (pinned by tests/test_streaming.py's
+# checkpoint-resume test).
+# --------------------------------------------------------------------------
+def q4x_rollup_merge(out: str):
+    """foreachBatch body: merge a batch's per-user partials into `out`."""
+    from pyspark.sql import types as T
+
+    dec = T.DecimalType(28, 6)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        from tf_datapipeline_spark.sources.upsert import upsert_parquet
+
+        sess = batch_df.sparkSession
+        delta = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(dec)).cast(dec).alias("sum_value"),
+        )
+        target = sess.read.parquet(out)
+        touched = target.join(delta.select("user_id"), "user_id", "left_semi")
+        updates = (
+            touched.unionByName(delta)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").cast(dec).alias("sum_value"),
+            )
+        )
+        upsert_parquet(sess, out, updates, ["user_id"])
+
+    return merge
+
+
+def run_rollup_stream(spark: SparkSession, src: DataFrame, out: str, ck: str) -> None:
+    """Drain `src` through the foreachBatch rollup merge into `out`."""
+    q = (
+        src.writeStream.foreachBatch(q4x_rollup_merge(out))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+_ROLLUP_SCHEMA = "user_id bigint, n_events bigint, sum_value decimal(28,6)"
+
+
+@query(
+    "q4x_stream_incremental_rollup",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events, {sql_dsum("value", 6)} AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def q4x_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from tf_datapipeline_spark.sources.etl import scratch_dir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = scratch_dir(f"rollup_{tag}")
+    ck = scratch_dir(f"rollup_{tag}_ck")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    spark.createDataFrame([], _ROLLUP_SCHEMA).write.mode("overwrite").parquet(out)
+
+    run_rollup_stream(spark, read_events_stream(spark, sf_dir), out, ck)
+    return spark.read.parquet(out).select(
+        "user_id",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
