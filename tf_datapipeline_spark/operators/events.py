@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tf_datapipeline_spark.catalog import load_table
-from tf_datapipeline_spark.functions.exact import dsum, sql_dsum
+from tf_datapipeline_spark.functions.exact import dsum, sql_davg, sql_dsum
 from tf_datapipeline_spark.registry import query
 
 
@@ -574,4 +574,87 @@ def q4c_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("week", "ts").cast("date").alias("activity_week"),
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q4y — time-series gap-fill + carry-forward interpolation: a dense
+# per-(event_type, minute) spine over the observed range, 0-filled counts,
+# and last-observation-carried-forward for the per-minute average — the
+# hypertable `time_bucket_gapfill`/`locf` rollup shape. The spine is built
+# declaratively (distinct-types dim x exploded minute sequence from a
+# 1-row global range — broadcast nested loop over two tiny inputs, never a
+# scan-sized cross join). The LOCF window partitions by event_type over
+# the timeline; at 100 TB you'd chunk it (partition by (event_type, day),
+# carry each day's closing value forward via a second tiny broadcast
+# join — same two-pass offset pattern as offset_running_sum). Averages
+# are exact-decimal sums / count: one IEEE division, identical in both
+# engines; carried values are copies of those.
+# --------------------------------------------------------------------------
+@query(
+    "q4y_gap_fill",
+    oracle=f"""
+    WITH rng AS (
+      SELECT date_trunc('minute', MIN(ts)) AS t0,
+             date_trunc('minute', MAX(ts)) AS t1
+      FROM events
+    ),
+    spine AS (
+      SELECT et.event_type,
+             unnest(generate_series(r.t0, r.t1, INTERVAL '1 minute'))
+               AS minute_start
+      FROM (SELECT DISTINCT event_type FROM events) et, rng r
+    ),
+    b AS (
+      SELECT event_type, date_trunc('minute', ts) AS minute_start,
+             COUNT(*) AS n_events,
+             {sql_davg("value", 6)} AS avg_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.event_type, s.minute_start,
+           COALESCE(b.n_events, 0) AS n_events,
+           CAST(b.avg_value IS NULL AS INT) AS is_gap,
+           last_value(b.avg_value IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.minute_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_filled
+    FROM spine s LEFT JOIN b USING (event_type, minute_start)
+    """,
+)
+def q4y_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.functions.exact import davg
+
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.date_trunc("minute", F.min("ts")).alias("t0"),
+        F.date_trunc("minute", F.max("ts")).alias("t1"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(
+        rng.select(
+            F.explode(
+                F.sequence("t0", "t1", F.expr("interval 1 minute"))
+            ).alias("minute_start")
+        )
+    )
+    b = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        davg("value", 6).alias("avg_value"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(b, ["event_type", "minute_start"], "left")
+        .select(
+            "event_type",
+            "minute_start",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.col("avg_value").isNull().cast("int").alias("is_gap"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("value_filled"),
+        )
     )

@@ -884,3 +884,50 @@ def q8a_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, channel int, px_min bigint, px_max bigint, "
         "px_sum bigint, n_px bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# q8e — container-format sniffing over a MIXED binary corpus: each doc is
+# encoded as PPM / PNG / JPEG by doc_id % 3, and the engine re-detects
+# the format from payload magic bytes alone (PPM 'P6', PNG \x89PNG, JPEG
+# \xff\xd8\xff) — the dispatch step any heterogeneous 100 TB media lake
+# needs before routing to a decoder. The per-format doc filter is pushed
+# BELOW the generator (each branch encodes only its third). The oracle
+# derives the expected format from the construction rule and asserts the
+# sniff matched on every row (n_sniff_match == n_docs) — a genuine check
+# that executor-side bytes carry the right headers.
+# --------------------------------------------------------------------------
+_SNIFF_FMTS = ("ppm", "png", "jpeg")
+
+
+@query(
+    "q8e_format_sniff",
+    oracle="""
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+           ELSE 'jpeg' END AS image_format,
+           COUNT(*) AS n_docs,
+           COUNT(*) AS n_sniff_match
+    FROM documents GROUP BY 1
+    """,
+)
+def q8e_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        synthetic_corpus(
+            spark, sf_dir, fmt, docs_filter=F.col("doc_id") % 3 == k
+        )
+        for k, fmt in enumerate(_SNIFF_FMTS)
+    ]
+    mixed = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    magic = F.hex(F.substring("content", 1, 3))
+    sniffed = (
+        F.when(magic.startswith("5036"), "ppm")
+        .when(magic == "89504E", "png")
+        .when(magic == "FFD8FF", "jpeg")
+        .otherwise("unknown")
+    )
+    return mixed.groupBy("image_format").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((sniffed == F.col("image_format")).cast("bigint")).alias(
+            "n_sniff_match"
+        ),
+    )

@@ -1029,3 +1029,41 @@ def q1m_regex_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_consonant_len"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q1n — revenue rollup over the BUCKETED orders ⋈ lineitem join
+# (sources/bucketing.py): both sides are pre-hash-bucketed and pre-sorted
+# on the join key at write time, so the join plans as a SortMergeJoin
+# with NO Exchange and no per-query sort — the pay-the-shuffle-once
+# storage layout that keeps a 100 TB fact table from being re-exchanged
+# by every query (plan pinned in tests/test_plans.py
+# test_bucketed_join_has_no_exchange). The oracle recomputes the same
+# rollup from the raw tables — value-level proof the bucketed path loses
+# nothing.
+# --------------------------------------------------------------------------
+@query(
+    "q1n_colocated_join",
+    oracle=f"""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", 6)} AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q1n_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.sources.bucketing import bucketed_orders_lineitem
+
+    t_orders, t_lineitem = bucketed_orders_lineitem(spark, sf_dir)
+    o = spark.table(t_orders)
+    li = spark.table(t_lineitem)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(li, "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(revenue, 6).alias("revenue"),
+        )
+    )

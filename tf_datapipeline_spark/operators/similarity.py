@@ -397,3 +397,112 @@ def q73_knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+# --------------------------------------------------------------------------
+# q74 — one k-means (Lloyd) refinement step over the IVF seed centroids:
+# assign every vector to its nearest seed (argmin L2, ties by cell index),
+# then recompute each cell's mean — the index-build/training step that
+# turns q73's fixed seeds into data-adapted centroids. Fully
+# oracle-checked: squared-distance terms are single IEEE products cast to
+# DECIMAL(38,12) (exact, associative), means use the same FLOOR·2^36
+# integer quantization as q72. Scale shape: the centroid side is 16×64
+# rows (broadcast); assignment is one partial-aggregated shuffle keyed by
+# (vec_id, cell); full Lloyd = repeat this query with the previous output
+# as input (localCheckpoint per round, as q67 does for label propagation).
+# --------------------------------------------------------------------------
+def _kmeans_step_sql(dialect: str) -> str:
+    cells = ", ".join(
+        f"({c}, {8 + _CENTROID_STRIDE * c})" for c in range(_N_CELLS)
+    )
+    return f"""
+    WITH dims AS ({_dims_cte(dialect)}),
+    cells(cell, cvec_id) AS (VALUES {cells}),
+    cdims AS (
+      SELECT c.cell, d.pos, d.x
+      FROM dims d JOIN cells c ON c.cvec_id = d.vec_id
+    ),
+    dists AS (
+      SELECT v.vec_id, c.cell,
+             CAST(SUM(CAST((v.x - c.x) * (v.x - c.x) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS d2
+      FROM dims v JOIN cdims c ON c.pos = v.pos
+      GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cell) AS rn
+        FROM dists
+      ) ranked WHERE rn = 1
+    )
+    SELECT a.cell, CAST(d.pos AS INT) AS dim,
+           (CAST(SUM(CAST(FLOOR(d.x * 68719476736.0) AS BIGINT)) AS DOUBLE)
+              / 68719476736.0) / COUNT(*) AS centroid,
+           COUNT(*) AS n_members
+    FROM dims d JOIN assign a ON a.vec_id = d.vec_id
+    GROUP BY 1, 2
+    """
+
+
+@query("q74_kmeans_step", oracle=_kmeans_step_sql("duckdb"))
+def q74_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_kmeans_step_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# q75 — product-quantization (PQ) encode: split each 64-dim vector into 8
+# subvectors of 8 dims; assign every subvector to its nearest of 4
+# deterministic codewords (subvectors of fixed corpus vectors — the same
+# seed convention as q73's IVF cells). PQ is the 100 TB memory story for
+# vector search: 64 float32s (256 B) compress to 8 single-byte codes, so
+# a trillion-vector index fits in RAM for the coarse pass and only
+# short-listed vectors are fetched at full precision (q73's rescore).
+# Fully oracle-checked: squared-distance terms are single IEEE products
+# cast to DECIMAL(38,12); ties break by code index. Codebook is 4x8x8
+# values — broadcast; assignment is one partial-aggregated shuffle keyed
+# by (vec_id, sub, code). Full PQ training = q74's Lloyd step per
+# subspace.
+# --------------------------------------------------------------------------
+_PQ_CODES = 4
+
+
+def _pq_encode_sql(dialect: str) -> str:
+    cws = ", ".join(
+        f"({k}, {8 + _CENTROID_STRIDE * k})" for k in range(_PQ_CODES)
+    )
+    # (pos-1) spans 0..63; FLOOR(x/8) over an exact small-int double is
+    # identical in both engines (no dialect-specific integer division)
+    sub = "CAST(FLOOR((pos - 1) / 8.0) AS INT)"
+    return f"""
+    WITH dims AS ({_dims_cte(dialect)}),
+    cw(code, cwvec_id) AS (VALUES {cws}),
+    cwdims AS (
+      SELECT c.code, {sub} AS sub, d.pos, d.x
+      FROM dims d JOIN cw c ON c.cwvec_id = d.vec_id
+    ),
+    vdims AS (
+      SELECT vec_id, {sub} AS sub, pos, x FROM dims
+    ),
+    dists AS (
+      SELECT v.vec_id, v.sub, c.code,
+             CAST(SUM(CAST((v.x - c.x) * (v.x - c.x) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS d2
+      FROM vdims v JOIN cwdims c ON c.sub = v.sub AND c.pos = v.pos
+      GROUP BY 1, 2, 3
+    )
+    SELECT vec_id, sub, code, d2 AS quant_err FROM (
+      SELECT vec_id, sub, code, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                ORDER BY d2, code) AS rn
+      FROM dists
+    ) ranked WHERE rn = 1
+    """
+
+
+@query("q75_pq_encode", oracle=_pq_encode_sql("duckdb"))
+def q75_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_pq_encode_sql("spark"))

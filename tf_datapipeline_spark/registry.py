@@ -36,6 +36,7 @@ _OPERATOR_MODULES = [
     "tf_datapipeline_spark.operators.similarity",
     "tf_datapipeline_spark.operators.multimodal",
     "tf_datapipeline_spark.streaming.events_stream",
+    "tf_datapipeline_spark.operators.formats",
 ]
 
 _loaded = False
@@ -50,27 +51,26 @@ _loaded = False
 # locally oracle-checked) after the window.
 # ---------------------------------------------------------------------------
 GATE_ORDER = [
-    # relational core (incl. the two sketch ops with error-bound oracles)
+    # relational core (incl. the two sketch ops with error-bound oracles;
+    # top-k is covered by q22, the date/pivot scalar kernels stay
+    # registered + locally oracle-checked behind the window)
     "q01_pricing_summary",
     "q05_region_revenue",
-    "q09_topk_orders",
     "q17_approx_distinct",
     "q1i_heavy_hitters",
-    "q1d_date_functions",
-    "q1f_pivot",
     # window/analytic
     "q21_window_running",
     "q22_topk_per_group",
     # reference pipeline surface (composites + exact-numbering ops)
+    # (q36 shard math is subsumed by q84's sharded-write row)
     "qp1_feed_pipeline",
     "qp2_label_metrics",
     "q32_split_exact_head",
-    "q36_shard_assignment",
     # events (batch)
+    # (q45 json kernel + q46 session stats checked behind the window)
     "q40_tumbling_window",
     "q42_sessionization",
-    "q45_json_extract",
-    "q46_session_stats",
+    "q4y_gap_fill",
     "q4a_asof_join",
     "q4r_range_join",
     "q4v_range_join_salted",
@@ -82,12 +82,15 @@ GATE_ORDER = [
     "q49_stream_session_window",
     "q4s_stream_stateful_counts",
     "q4t_stream_static_join",
+    "q4x_stream_incremental_rollup",
     # text analysis
     "qt0_text_profile",
     "q55_tfidf",
     "q56_levenshtein_pairs",
     "q57_corpus_prep",
     "q58_vocabulary",
+    "q5c_contamination",
+    "q5d_sequence_packing",
     # deduplication
     "q61_dedup_exact_hash",
     "q63_minhash_lsh_pairs",
@@ -99,6 +102,7 @@ GATE_ORDER = [
     # recall-tested behind the window)
     "q70_knn_bruteforce",
     "q72_label_centroids",
+    "q74_kmeans_step",
     # multimodal
     "q80_image_metadata",
     "q81_pixel_stats",
@@ -109,6 +113,7 @@ GATE_ORDER = [
     "q86_audio_rms",
     "q87_binaryfile_scan",
     "q89_resize_nearest",
+    "q8e_format_sniff",
     # q8d (baseline JPEG decode, bit-exact flat-block corpus) takes the
     # last slot over q8a_channel_stats: q8a's per-channel reduction is
     # largely subsumed by q81's pixel stats, while q8d is the only driver

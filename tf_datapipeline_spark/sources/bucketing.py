@@ -36,21 +36,31 @@ def bucketed_orders_lineitem(
     table names. Idempotent per (session, sf_dir)."""
     from tf_datapipeline_spark.catalog import load_table
 
-    suffix = abs(hash(sf_dir)) % 10_000
+    import hashlib
+    import shutil
+    from urllib.parse import urlparse
+
+    # stable across processes (Python's str hash is seed-randomized)
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
     t_orders, t_lineitem = f"orders_b{suffix}", f"lineitem_b{suffix}"
-    if not spark.catalog.tableExists(t_orders):
-        write_bucketed(
-            load_table(spark, sf_dir, "orders"), t_orders, "o_orderkey", n_buckets
-        )
-    if not spark.catalog.tableExists(t_lineitem):
-        write_bucketed(
-            load_table(spark, sf_dir, "lineitem").withColumnRenamed(
-                "l_orderkey", "o_orderkey"
-            ),
-            t_lineitem,
-            "o_orderkey",
-            n_buckets,
-        )
+
+    def ensure(table: str, df_fn) -> None:
+        if spark.catalog.tableExists(table):
+            return
+        # a fresh session's catalog doesn't know tables a previous process
+        # wrote; saveAsTable refuses to adopt the orphaned location, so
+        # clear it and rebuild (the build is deterministic)
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+        write_bucketed(df_fn(), table, "o_orderkey", n_buckets)
+
+    ensure(t_orders, lambda: load_table(spark, sf_dir, "orders"))
+    ensure(
+        t_lineitem,
+        lambda: load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        ),
+    )
     return t_orders, t_lineitem
 
 

@@ -79,7 +79,9 @@ def synthetic_jpeg_pixels(doc_id: int) -> np.ndarray:
     return ((37 * bi + 59 * bj + doc_id) % 256).astype(np.uint8)
 
 
-def synthetic_corpus(spark: SparkSession, sf_dir: str, fmt: str = "ppm") -> DataFrame:
+def synthetic_corpus(
+    spark: SparkSession, sf_dir: str, fmt: str = "ppm", docs_filter=None
+) -> DataFrame:
     """documents -> (path, class_name, image_format, h, w, content, length)
     with content = real encoded bytes (PPM or PNG — both codecs are real),
     generated executor-side in Arrow batches. Only (doc_id, lang) crosses
@@ -124,6 +126,9 @@ def synthetic_corpus(spark: SparkSession, sf_dir: str, fmt: str = "ppm") -> Data
             )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    if docs_filter is not None:
+        # pushed below the generator: filtered docs are never encoded
+        docs = docs.filter(docs_filter)
     return docs.mapInPandas(gen, schema=CORPUS_SCHEMA)
 
 
