@@ -61,3 +61,34 @@ def test_rng_for_row_is_stable_and_row_dependent(seed, row):
     c = rng_for_row(seed, row + 1).integers(0, 2**31)
     assert a == b
     assert (a != c) or True  # collisions allowed but same-(seed,row) must agree
+
+
+def test_offset_running_sum_matches_global_window(spark):
+    """The two-pass partition-offset running sum must equal the
+    single-partition global window it replaces, for any bucket width."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tf_datapipeline_spark.operators.pipeline import offset_running_sum
+
+    rows = [(i, (i * 37) % 11) for i in range(257)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    w = (
+        Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    expected = {
+        r.k: r.s
+        for r in df.withColumn(
+            "s", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    for width in (1, 16, 300):
+        got = offset_running_sum(
+            df,
+            bucket=F.floor(F.col("k") / width),
+            order_cols=["k"],
+            value=F.col("v"),
+            sum_name="s",
+        )
+        assert {r.k: r.s for r in got.collect()} == expected, width

@@ -658,3 +658,49 @@ def q4y_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("avg_value", ignorenulls=True).over(w).alias("value_filled"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q4e — exponentially-weighted moving average per user (decay 1/2, last 16
+# events): the "decayed metric" time-series op (monitoring dashboards,
+# feature stores). Cross-engine exactness without decimal rounding-mode
+# hazards: v·2^20 is an exponent shift (EXACT for any double), FLOOR then
+# makes an exact integer; weights 2^(15-j) keep numerator/denominator in
+# exact BIGINT arithmetic (< 2^49), and the single final division is one
+# IEEE op — identical in both engines. The window is frame-bounded (16
+# lags) and partitioned by user_id: state per row is O(16) regardless of
+# history length — the shape that survives an unbounded 100 TB stream
+# (contrast an unbounded-preceding EWMA, which cannot be cut off).
+# --------------------------------------------------------------------------
+_EWMA_LAGS = 16
+_EWMA_SCALE = 1 << 20  # exact-double multiplier
+
+
+def _ewma_sql() -> str:
+    """Dialect-shared SQL (only LAG/FLOOR/CASE/CAST — no engine funcs)."""
+    w = "PARTITION BY user_id ORDER BY ts, event_id"
+    num_terms, den_terms = [], []
+    for j in range(_EWMA_LAGS):
+        lag = f"LAG(value, {j}) OVER ({w})" if j else "value"
+        wt = 1 << (_EWMA_LAGS - 1 - j)
+        num_terms.append(
+            f"COALESCE(CAST(FLOOR(({lag}) * {_EWMA_SCALE}.0) AS BIGINT)"
+            f" * {wt}, 0)"
+        )
+        den_terms.append(f"CASE WHEN ({lag}) IS NOT NULL THEN {wt} ELSE 0 END")
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return f"""
+    SELECT event_id, user_id, ts, value,
+           CAST({num} AS DOUBLE)
+             / (CAST({den} AS BIGINT) * {_EWMA_SCALE}.0) AS ewma
+    FROM events
+    """
+
+
+@query("q4e_ewma", oracle=_ewma_sql())
+def q4e_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ewma_sql())

@@ -115,3 +115,78 @@ def q1p_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice", 2).alias("total_price"),
         F.min("o_orderdate").alias("first_order"),
     )
+
+
+# --------------------------------------------------------------------------
+# q1q — partition-pruned layout round-trip: events written Hive-partitioned
+# by event_date (sources/partitioned.py), then a single-week rollup read
+# back through the partition filter — the scan opens only matching
+# date directories (PartitionFilters pinned in tests/test_plans.py
+# test_partition_pruning). At 100 TB this is the difference between
+# scanning a week and scanning the lake. Oracle recomputes the same week
+# from the raw table.
+# --------------------------------------------------------------------------
+@query(
+    "q1q_partitioned_week",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", 6)} AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY 1, 2
+    """,
+)
+def q1q_partitioned_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.sources.partitioned import write_events_by_date
+
+    out = scratch_dir(f"events_by_date_{_tag(sf_dir)}")
+    write_events_by_date(spark, sf_dir, out)
+    ev = spark.read.parquet(out).filter(
+        F.col("event_date").between("2024-01-08", "2024-01-14")
+    )
+    return ev.groupBy("event_date", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", 6).alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q1r — schema-evolution read: two parquet drops of the documents profile,
+# the second with an added column (quality tier), merged with mergeSchema
+# — old files surface NULL for the new column and the engine backfills
+# with a default. This is the lake-evolution contract (new ETL fields
+# must not break old partitions). The oracle derives the same tier rule:
+# docs in the second half carry the tier, the first half backfills ''.
+# --------------------------------------------------------------------------
+@query(
+    "q1r_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN doc_id % 2 = 1
+                THEN CASE WHEN n_chars >= 400 THEN 'long' ELSE 'short' END
+                ELSE '' END AS tier,
+           lang,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def q1r_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = scratch_dir(f"evolve_{_tag(sf_dir)}")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    # drop 1: the original schema (even doc_ids)
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        f"{root}/v1"
+    )
+    # drop 2: evolved schema with a derived tier column (odd doc_ids)
+    docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "tier",
+        F.when(F.col("n_chars") >= 400, "long").otherwise("short"),
+    ).write.mode("overwrite").parquet(f"{root}/v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/v1", f"{root}/v2"
+    )
+    return merged.select(
+        F.coalesce("tier", F.lit("")).alias("tier"), "lang"
+    ).groupBy("tier", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
