@@ -64,3 +64,16 @@ def test_ivf_recall_and_pruning(spark):
     # gaussian data recall tracks the scan fraction — guard the floor.
     assert avg >= 0.25, f"avg recall {avg:.2f}, per-query {recalls}"
     assert sim.q73_knn_ann_ivf(spark, SF_ORACLE).count() <= 8 * 5
+
+
+def test_pq_ann_recall(spark):
+    """q76's PQ-ADC coarse pass + exact rescore must recover a reasonable
+    share of the exact top-k (random gaussian corpus: PQ with 4 codewords
+    per sub is coarse, but the 4x overfetch + rescore restores ranking
+    among whatever the coarse pass admits)."""
+    exact = _topk_sets(sim.q70_knn_bruteforce(spark, SF_ORACLE))
+    pq = _topk_sets(sim.q76_pq_ann(spark, SF_ORACLE))
+    assert pq.keys() == exact.keys()
+    recalls = [len(exact[q] & pq[q]) / len(exact[q]) for q in exact]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.3, f"avg recall {avg:.2f}, per-query {recalls}"

@@ -931,3 +931,80 @@ def q8e_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sniff_match"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q8f — perceptual image hash (aHash): decode, nearest-downsample to 8x8
+# with the real kernel, channel-sum to gray, threshold each cell against
+# the 64-cell mean, pack 64 bits — the content-addressable fingerprint
+# image dedup pipelines bucket on (near-identical images differ in a few
+# bits; exact bucketing on the hash + hamming verify is the image twin of
+# MinHash-LSH). Determinism: gray values and the 64x threshold comparison
+# are exact integers (64*g > sum avoids any division); bits pack via
+# POWER(2,k) which is exact for k<=31 in either engine (hash split into
+# lo/hi 32-bit halves to stay inside BIGINT). The oracle replays decode +
+# resize arithmetically over a SQL grid — the whole binary path is
+# value-checked.
+# --------------------------------------------------------------------------
+_AH = 8
+
+
+def _ahash_oracle() -> str:
+    si = f"LEAST(CAST(FLOOR((ti.i + 0.5) * (d.h / {_AH}.0)) AS BIGINT), d.h - 1)"
+    sj = f"LEAST(CAST(FLOOR((tj.j + 0.5) * (d.w / {_AH}.0)) AS BIGINT), d.w - 1)"
+    gray = " + ".join(
+        f"((3*{si} + 5*{sj} + {11 * c} + d.doc_id) % 256)" for c in range(3)
+    )
+    return f"""
+    WITH dims AS ({_DIMS_SQL}),
+    grid AS (
+      SELECT d.doc_id, (ti.i * {_AH} + tj.j) AS bit_idx, {gray} AS gray
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, {_AH - 1})) AS i) ti,
+           LATERAL (SELECT unnest(generate_series(0, {_AH - 1})) AS j) tj
+    ),
+    tot AS (
+      SELECT doc_id, SUM(gray) AS g_sum FROM grid GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           SUM(CASE WHEN 64 * g.gray > t.g_sum THEN 1 ELSE 0 END) AS n_bits,
+           SUM(CASE WHEN 64 * g.gray > t.g_sum AND g.bit_idx < 32
+                    THEN CAST(POWER(2.0, g.bit_idx) AS BIGINT) ELSE 0 END)
+             AS hash_lo,
+           SUM(CASE WHEN 64 * g.gray > t.g_sum AND g.bit_idx >= 32
+                    THEN CAST(POWER(2.0, g.bit_idx - 32) AS BIGINT) ELSE 0 END)
+             AS hash_hi
+    FROM grid g JOIN tot t ON t.doc_id = g.doc_id
+    GROUP BY g.doc_id
+    """
+
+
+@query("q8f_image_ahash", oracle=_ahash_oracle())
+def q8f_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.functions.imagecodec import decode_image
+    from tf_datapipeline_spark.functions.imageops import resize_nearest
+
+    corpus = synthetic_corpus(spark, sf_dir).select(
+        "path", "image_format", "content"
+    )
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, fmt, content in zip(
+                pdf["path"], pdf["image_format"], pdf["content"]
+            ):
+                arr = decode_image(bytes(content), fmt).astype(np.int64)
+                gray = resize_nearest(arr, _AH, _AH).sum(axis=2)
+                total = int(gray.sum())
+                bits = (64 * gray.flatten() > total)
+                lo = sum(1 << k for k in range(32) if bits[k])
+                hi = sum(1 << (k - 32) for k in range(32, 64) if bits[k])
+                rows.append((_doc_id_of(path), int(bits.sum()), lo, hi))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bits", "hash_lo", "hash_hi"]
+            )
+
+    return corpus.mapInPandas(
+        ahash, schema="doc_id bigint, n_bits bigint, hash_lo bigint, hash_hi bigint"
+    )

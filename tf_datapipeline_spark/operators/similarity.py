@@ -466,7 +466,7 @@ def q74_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by (vec_id, sub, code). Full PQ training = q74's Lloyd step per
 # subspace.
 # --------------------------------------------------------------------------
-_PQ_CODES = 4
+_PQ_CODES = 8
 
 
 def _pq_encode_sql(dialect: str) -> str:
@@ -506,3 +506,100 @@ def _pq_encode_sql(dialect: str) -> str:
 def q75_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_pq_encode_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# q76 — PQ-ANN search (ADC: asymmetric distance computation): score every
+# vector against each query using ONLY its 8 PQ codes — per query, a
+# 8-sub x 4-code lookup table of exact subvector distances (256 tiny
+# rows, broadcast), summed per vector via an equi-join on (sub, code) —
+# then overfetch 4x top-k candidates by approximate distance and rescore
+# them exactly (q70's cosine). This is the production trillion-vector
+# shape: the coarse pass touches 8 bytes per vector, full precision is
+# read only for the short list. Deterministic end-to-end (exact decimal
+# subvector distances, FLOOR-quantized ADC sums, ties by vec_id) — so
+# unlike typical ANN this one is fully ORACLE-CHECKED, not rows-only.
+# --------------------------------------------------------------------------
+_PQ_TOPK = _TOP_K
+_PQ_OVERFETCH = 8 * _TOP_K
+
+
+def _pq_ann_sql(dialect: str) -> str:
+    cws = ", ".join(
+        f"({k}, {8 + _CENTROID_STRIDE * k})" for k in range(_PQ_CODES)
+    )
+    sub = "CAST(FLOOR((pos - 1) / 8.0) AS INT)"
+    return f"""
+    WITH dims AS ({_dims_cte(dialect)}),
+    cw(code, cwvec_id) AS (VALUES {cws}),
+    cwdims AS (
+      SELECT c.code, {sub} AS sub, d.pos, d.x
+      FROM dims d JOIN cw c ON c.cwvec_id = d.vec_id
+    ),
+    vdims AS (
+      SELECT vec_id, {sub} AS sub, pos, x FROM dims
+    ),
+    dists AS (
+      SELECT v.vec_id, v.sub, c.code,
+             CAST(SUM(CAST((v.x - c.x) * (v.x - c.x) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS d2
+      FROM vdims v JOIN cwdims c ON c.sub = v.sub AND c.pos = v.pos
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, code) AS rn
+        FROM dists
+      ) ranked WHERE rn = 1
+    ),
+    adc AS (
+      SELECT vec_id AS query_id, sub, code,
+             CAST(FLOOR(d2 * 1073741824.0) AS BIGINT) AS d2q
+      FROM dists WHERE vec_id < {_N_QUERIES}
+    ),
+    approx AS (
+      SELECT a.query_id, k.vec_id, SUM(a.d2q) AS ad2
+      FROM codes k JOIN adc a ON a.sub = k.sub AND a.code = k.code
+      WHERE k.vec_id <> a.query_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ad2, vec_id) AS crn
+        FROM approx
+      ) c WHERE crn <= {_PQ_OVERFETCH}
+    ),
+    norms AS (
+      SELECT vec_id,
+             SQRT(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      FROM dims GROUP BY vec_id
+    ),
+    rescored AS (
+      SELECT c.query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST(q.x * d.x AS DECIMAL(38,12))) AS DOUBLE)
+               / (nq.nrm * nn.nrm) AS cos_sim
+      FROM cand c
+      JOIN dims q ON q.vec_id = c.query_id
+      JOIN dims d ON d.vec_id = c.vec_id AND d.pos = q.pos
+      JOIN norms nq ON nq.vec_id = c.query_id
+      JOIN norms nn ON nn.vec_id = c.vec_id
+      GROUP BY c.query_id, c.vec_id, nq.nrm, nn.nrm
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank,
+             cos_sim
+      FROM rescored
+    ) final WHERE rank <= {_PQ_TOPK}
+    """
+
+
+@query("q76_pq_ann", oracle=_pq_ann_sql("duckdb"))
+def q76_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_pq_ann_sql("spark"))

@@ -814,3 +814,88 @@ def q5d_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         last.alias("chunk_last"),
         (last - first + 1).alias("n_chunks"),
     )
+
+
+# --------------------------------------------------------------------------
+# q5e — statistical bigram-LM quality score: estimate P(w2|w1) from the
+# corpus itself (c(w1 w2) / c(w1 ·)) and score each document by the mean
+# conditional probability over its bigram occurrences — the perplexity
+# proxy LLM pipelines use to rank text quality (log-free so no libm
+# divergence; higher = more predictable text). Exactness: counts are
+# exact integers, P is one IEEE division, and the mean quantizes each P
+# by FLOOR(P·2^30) (an exact exponent-shift product, no decimal
+# rounding-mode tie) before the exact integer sum. Scale shape: the
+# bigram-count model is a partial-aggregated groupBy; the score join is
+# an equi-join on (w1, w2) — at 100 TB the model would be pruned to
+# top-K prefixes and broadcast in shards, same join key.
+# --------------------------------------------------------------------------
+_LM_SCALE = 1 << 30
+
+
+def _bigrams_spark():
+    toks = _tokens_spark()
+    pair = lambda i: F.struct(
+        F.element_at(toks, i).alias("w1"),
+        F.element_at(toks, i + 1).alias("w2"),
+    )
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1), pair),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
+@query(
+    "q5e_bigram_lm",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM pos
+    ),
+    c2 AS (
+      SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1
+    ),
+    p AS (
+      SELECT c2.w1, c2.w2,
+             CAST(FLOOR((CAST(n2 AS DOUBLE) / n1) * {_LM_SCALE}.0)
+                  AS BIGINT) AS pq
+      FROM c2 JOIN c1 ON c1.w1 = c2.w1
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(p.pq) AS DOUBLE) / ({_LM_SCALE}.0 * COUNT(*)) AS lm_score
+    FROM bg b JOIN p ON p.w1 = b.w1 AND p.w2 = b.w2
+    GROUP BY 1
+    """,
+)
+def q5e_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.explode(_bigrams_spark()).alias("b")
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    p = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.floor(
+            (F.col("n2").cast("double") / F.col("n1")) * _LM_SCALE
+        ).cast("bigint").alias("pq"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        bg.join(p, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            n.alias("n_bigrams"),
+            (F.sum("pq").cast("double") / (F.lit(float(_LM_SCALE)) * n)).alias(
+                "lm_score"
+            ),
+        )
+    )

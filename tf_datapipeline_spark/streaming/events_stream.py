@@ -414,3 +414,34 @@ def q4x_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_events",
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# q4j — STREAMING sliding window (10 min width / 5 min slide), bounded
+# run: same oracle as batch q41 — each event lands in two overlapping
+# windows, and on bounded input the incremental plan must agree with the
+# batch assignment value-for-value.
+# --------------------------------------------------------------------------
+@query(
+    "q4j_stream_sliding_window",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS window_start,
+             value
+      FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events, {sql_dsum("value", 6)} AS sum_value
+    FROM assigned GROUP BY 1
+    """,
+)
+def q4j_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+    return run_bounded(agg, "complete")
