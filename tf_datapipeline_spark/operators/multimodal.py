@@ -1008,3 +1008,87 @@ def q8f_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.mapInPandas(
         ahash, schema="doc_id bigint, n_bits bigint, hash_lo bigint, hash_hi bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# q8g — audio zero-crossing rate + peak per window: the second classic
+# time-domain audio feature pair (ZCR tracks noisiness/pitch, peak tracks
+# clipping headroom) over the same synthetic PCM windows as q86. ZCR
+# counts strict sign alternations between consecutive samples (zeros
+# carry the previous sign, i.e. only +/- to -/+ transitions count) — all
+# integer arithmetic, value-level oracle.
+# --------------------------------------------------------------------------
+@query(
+    "q8g_audio_zcr",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, 4 + doc_id % 7 AS n_windows FROM documents),
+    win AS (
+      SELECT doc_id, i.i AS window_idx
+      FROM w, LATERAL (SELECT unnest(generate_series(0, w.n_windows - 1)) AS i) i
+    ),
+    s AS (
+      SELECT doc_id, window_idx, t.t AS t,
+             ((doc_id*31 + (window_idx*{_WIN} + t.t)*17) % 256) - 128 AS v
+      FROM win, LATERAL (SELECT unnest(generate_series(0, {_WIN - 1})) AS t) t
+    ),
+    sgn AS (
+      SELECT doc_id, window_idx, t, v,
+             CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sg
+      FROM s
+    ),
+    carried AS (
+      SELECT doc_id, window_idx, t, v,
+             MAX(CASE WHEN sg <> 0 THEN t END)
+               OVER (PARTITION BY doc_id, window_idx ORDER BY t) AS last_sig_t
+      FROM sgn
+    ),
+    eff AS (
+      SELECT c.doc_id, c.window_idx, c.t, c.v,
+             CASE WHEN b.v > 0 THEN 1 WHEN b.v < 0 THEN -1 ELSE 0 END AS esg
+      FROM carried c
+      LEFT JOIN s b ON b.doc_id = c.doc_id AND b.window_idx = c.window_idx
+                   AND b.t = c.last_sig_t
+    ),
+    lagd AS (
+      SELECT doc_id, window_idx, v,
+             esg * LAG(esg) OVER (PARTITION BY doc_id, window_idx
+                                  ORDER BY t) AS sg_prod
+      FROM eff
+    )
+    SELECT doc_id, window_idx,
+           SUM(CASE WHEN sg_prod = -1 THEN 1 ELSE 0 END) AS n_crossings,
+           MAX(ABS(v)) AS peak
+    FROM lagd
+    GROUP BY doc_id, window_idx
+    """,
+)
+def q8g_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def zcr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                wave = synthetic_waveform(doc_id).reshape(-1, _WIN)
+                for window_idx, win in enumerate(wave):
+                    sg = np.sign(win)
+                    # zeros carry the previous nonzero sign
+                    eff = sg.copy()
+                    for t in range(1, len(eff)):
+                        if eff[t] == 0:
+                            eff[t] = eff[t - 1]
+                    crossings = int(np.sum(eff[1:] * eff[:-1] == -1))
+                    rows.append(
+                        (doc_id, window_idx, crossings, int(np.abs(win).max()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "window_idx", "n_crossings", "peak"]
+            )
+
+    return docs.mapInPandas(
+        zcr,
+        schema="doc_id bigint, window_idx bigint, n_crossings bigint, peak bigint",
+    )

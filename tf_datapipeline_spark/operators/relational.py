@@ -1067,3 +1067,43 @@ def q1n_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(revenue, 6).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q1s — MODE (most frequent value) per group, deterministic tie-break by
+# value: counts are a partial-aggregated groupBy and the per-group argmax
+# is a row_number over (count DESC, value) — never a driver-side pass.
+# The same shape computes any per-group argmax over an aggregate at
+# 100 TB (two shuffles: count, then per-group top-1).
+# --------------------------------------------------------------------------
+@query(
+    "q1s_mode_kernel",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+      FROM orders GROUP BY 1, 2
+    ) ranked WHERE rn = 1
+    """,
+)
+def q1s_mode_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )
