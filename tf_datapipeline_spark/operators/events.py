@@ -704,3 +704,94 @@ def q4e_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_ewma_sql())
+
+
+# --------------------------------------------------------------------------
+# q4k — top-k per event-time window: hourly tumbling windows, the 3 most
+# frequent event types in each (count DESC, type ASC tie-break). The rank
+# runs over (window, type) COUNTS — cardinality = windows × types, already
+# reduced by the partial agg — so the window function never sees raw
+# events. At 100 TB: one shuffle on (window, type) for the count, one on
+# window for the per-window top-k; both keys are uniform in time.
+# --------------------------------------------------------------------------
+@query(
+    "q4k_window_topk",
+    oracle="""
+    SELECT window_start, event_type, n_events, rnk
+    FROM (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_type, COUNT(*) AS n_events,
+             ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '1 hour', ts)
+                                ORDER BY COUNT(*) DESC, event_type) AS rnk
+      FROM events GROUP BY 1, 2
+    ) ranked
+    WHERE rnk <= 3
+    """,
+)
+def q4k_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# q4l — robust outliers via MAD (median absolute deviation) per event
+# type: med = median(value), mad = median(|value - med|), outlier when
+# |value - med| > 3·mad. Three per-type aggregates + a broadcast join
+# back of the tiny per-type stats — raw events never join each other.
+# Exact medians are oracle-checkable (both engines interpolate the two
+# middle doubles with one IEEE (a+b)/2); the 100 TB variant swaps
+# median → approx_percentile with a documented error bound, same plan
+# shape.
+# --------------------------------------------------------------------------
+@query(
+    "q4l_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, MEDIAN(value) AS med
+      FROM events GROUP BY 1
+    ),
+    mad AS (
+      SELECT e.event_type, MEDIAN(ABS(e.value - m.med)) AS mad
+      FROM events e JOIN med m ON m.event_type = e.event_type
+      GROUP BY 1
+    )
+    SELECT e.event_type,
+           ANY_VALUE(m.med) AS med,
+           ANY_VALUE(d.mad) AS mad,
+           COUNT(*) FILTER (WHERE ABS(e.value - m.med) > 3 * d.mad)
+             AS n_outliers,
+           COUNT(*) AS n_events
+    FROM events e
+    JOIN med m ON m.event_type = e.event_type
+    JOIN mad d ON d.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q4l_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.any_value("mad").alias("mad"),
+            F.count_if(F.col("adev") > 3 * F.col("mad")).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

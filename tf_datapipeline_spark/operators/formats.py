@@ -190,3 +190,42 @@ def q1r_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         F.coalesce("tier", F.lit("")).alias("tier"), "lang"
     ).groupBy("tier", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --------------------------------------------------------------------------
+# q1t — ORC round-trip: orders written as ORC (Spark's second columnar
+# container, zlib-striped), read back with an explicit schema, filtered —
+# the filter reaches the ORC reader as a search argument (ORC predicate
+# pushdown skips non-matching stripes, the columnar-scan analog of q1q's
+# partition pruning) — then rolled up. Oracle computes the same rollup
+# from the raw parquet, so the ORC codec path (types, timestamps, float
+# round-trip) is value-checked end to end.
+# --------------------------------------------------------------------------
+@query(
+    "q1t_orc_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", 2)} AS total_price,
+           CAST(MAX(o_orderdate) AS TIMESTAMP) AS last_order
+    FROM orders
+    WHERE o_totalprice > 150000
+    GROUP BY 1
+    """,
+)
+def q1t_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir(f"orc_{_tag(sf_dir)}/orders")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(path)
+    # ORC is self-describing; the embedded schema preserves the parquet
+    # source's TIMESTAMP_NTZ exactly (an explicit LTZ schema would fail
+    # the reader's type-compatibility check).
+    orders = spark.read.orc(path)
+    return (
+        orders.filter(F.col("o_totalprice") > 150000)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("total_price"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )

@@ -1107,3 +1107,68 @@ def q1s_mode_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q1u — correlated scalar subquery (TPC-H Q17 shape): lines whose quantity
+# is below half the average quantity for their part. Written as SQL so
+# Catalyst's decorrelation kicks in: the correlated AVG becomes a
+# per-partkey aggregate joined back on l_partkey — one extra shuffle, no
+# per-row re-scan. Cross-engine float safety: l_quantity is integer-valued
+# (1..50), so SUM in double is exact at any order and AVG (sum/count) is
+# bit-identical in both engines; the outer SUM uses the exact-decimal
+# kernel.
+# --------------------------------------------------------------------------
+_CORRELATED_SQL = f"""
+    SELECT p.p_brand,
+           COUNT(*) AS n_small_lines,
+           {sql_dsum("l.l_extendedprice", 2)} AS total_price
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (
+        SELECT 0.5 * AVG(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY p.p_brand
+"""
+
+
+@query("q1u_correlated_subquery", oracle=_CORRELATED_SQL)
+def q1u_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CORRELATED_SQL)
+
+
+# --------------------------------------------------------------------------
+# q1v — EXISTS / NOT EXISTS subqueries: suppliers with at least one
+# high-revenue line (EXISTS → left-semi join) and no heavily-discounted
+# returned line (NOT EXISTS → left-anti join). Catalyst rewrites both
+# subqueries into joins on l_suppkey; supplier is the small side and both
+# probes shuffle once on l_suppkey — no per-supplier re-scan.
+# --------------------------------------------------------------------------
+_EXISTS_SQL = """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_suppkey = s.s_suppkey
+          AND l.l_extendedprice * (1 - l.l_discount) > 20000
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_suppkey = s.s_suppkey
+          AND l2.l_returnflag = 'R' AND l2.l_quantity >= 49
+          AND l2.l_extendedprice > 90000
+    )
+"""
+
+
+@query("q1v_exists_subquery", oracle=_EXISTS_SQL)
+def q1v_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)

@@ -11,7 +11,7 @@ are exact integers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tf_datapipeline_spark.catalog import load_table
@@ -899,3 +899,53 @@ def q5e_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q5f — corpus top n-grams: whitespace bigrams across all documents, the
+# global 20 most frequent (count DESC, bigram ASC). The bigram build is
+# an array transform (JVM codegen, no explode-then-self-join); the global
+# top-k is orderBy+limit → TakeOrderedAndProject, a per-partition heap +
+# driver merge of 20-row heads — never a single-task global sort of the
+# full n-gram distribution. The rank decorates only the final 20 rows.
+# --------------------------------------------------------------------------
+@query(
+    "q5f_top_ngrams",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_TOKENS_SQL} AS tokens FROM documents
+    ),
+    idx AS (
+      SELECT tokens, unnest(generate_series(1, length(tokens) - 1)) AS i
+      FROM toks
+    ),
+    counts AS (
+      SELECT tokens[i] || ' ' || tokens[i + 1] AS bigram, COUNT(*) AS n
+      FROM idx GROUP BY 1
+    )
+    SELECT bigram, n, rnk FROM (
+      SELECT bigram, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS rnk
+      FROM counts
+    ) ranked WHERE rnk <= 20
+    """,
+)
+def q5f_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(_tokens_spark().alias("tokens"))
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("tokens") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(tokens) - 1), "
+                    "i -> concat(element_at(tokens, i), ' ', "
+                    "element_at(tokens, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("bigram")).limit(20)
+    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    return top.withColumn("rnk", F.row_number().over(w))
