@@ -44,17 +44,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects. Read nanos as long (legacy conf) and truncate to
-    microseconds — the same ns→µs truncation DuckDB applies, so both
-    engines see identical timestamps. The conf only affects NANOS fields
-    (Spark cannot read them any other way)."""
+    """Normalize events.ts to TIMESTAMP_NTZ — in ONE place, for every
+    storage variant the driver testdata has used:
+
+    - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it;
+      read raw nanos as long (legacy conf, which only affects NANOS
+      fields) and truncate to micros — the same ns→µs truncation DuckDB
+      applies.
+    - parquet TIMESTAMP(µs) without timezone: Spark reads TIMESTAMP_NTZ
+      natively; pass through.
+    - tz-aware TIMESTAMP: cast to NTZ (the session timezone is pinned to
+      UTC in session.py, so the cast is value-preserving).
+
+    TIMESTAMP_NTZ is the canonical type because it is exactly what DuckDB
+    reads for naive parquet timestamps — oracle twins then agree on both
+    values AND type (the driver's value hash is type-sensitive)."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) footer read as raw nanos
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        )
+    elif ts_type == "timestamp":  # tz-aware storage; UTC session => no-op cast
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

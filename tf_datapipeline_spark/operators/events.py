@@ -18,9 +18,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from tf_datapipeline_spark.catalog import load_table
 from tf_datapipeline_spark.functions.exact import dsum, sql_davg, sql_dsum
 from tf_datapipeline_spark.registry import query
+
+
+def _epoch_us(c: Column | str) -> Column:
+    """Epoch microseconds from a ts column that may be TIMESTAMP or
+    TIMESTAMP_NTZ (the catalog normalizes events.ts to NTZ; unix_micros
+    rejects NTZ, and the session timezone is pinned to UTC so the
+    NTZ→TIMESTAMP cast is value-preserving)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def _epoch_s(c: Column | str) -> Column:
+    """Epoch seconds (truncated toward the epoch), matching DuckDB's
+    date_diff('second', ...) boundary-count semantics on subtraction."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("timestamp").cast("long")
 
 
 # --------------------------------------------------------------------------
@@ -114,7 +132,7 @@ def q42_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     # micros-precision gap: cast('long') truncates to seconds, which would
     # disagree with the oracle's exact interval compare when a gap is
     # exactly 1800s at whole-second resolution but longer in micros
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    gap = _epoch_us("ts") - _epoch_us(F.lag(F.col("ts")).over(w))
     flagged = ev.select(
         "user_id",
         "ts",
@@ -337,7 +355,7 @@ _RANGE_S = 300
 )
 def q4r_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    bucket = (F.col("ts").cast("long") / _RANGE_S).cast("bigint")
+    bucket = (_epoch_s("ts") / _RANGE_S).cast("bigint")
     a = ev.select(
         F.col("event_id").alias("event_a"),
         "user_id",
@@ -356,8 +374,8 @@ def q4r_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coarse prefilter; seconds-truncated compares would admit pairs the
     # true interval excludes)
     pairs = a.join(b, ["user_id", "b"]).filter(
-        (F.unix_micros("ts_b") >= F.unix_micros("ts_a"))
-        & (F.unix_micros("ts_b") - F.unix_micros("ts_a") <= _RANGE_S * 1_000_000)
+        (_epoch_us("ts_b") >= _epoch_us("ts_a"))
+        & (_epoch_us("ts_b") - _epoch_us("ts_a") <= _RANGE_S * 1_000_000)
         & (F.col("event_a") < F.col("event_b"))
     )
     # no distinct needed: a pair matches exactly one of the two bucket
@@ -366,7 +384,7 @@ def q4r_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_a",
         "event_b",
         "user_id",
-        (F.col("ts_b").cast("long") - F.col("ts_a").cast("long")).alias("gap_s"),
+        (_epoch_s("ts_b") - _epoch_s("ts_a")).alias("gap_s"),
     )
 
 
@@ -395,7 +413,7 @@ def q4v_range_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tf_datapipeline_spark.operators.skew import salted_join
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    bucket = (F.col("ts").cast("long") / _RANGE_S).cast("bigint")
+    bucket = (_epoch_s("ts") / _RANGE_S).cast("bigint")
     jk = F.concat_ws("#", "user_id", "b")
     a = ev.select(
         F.col("event_id").alias("event_a"),
@@ -416,15 +434,15 @@ def q4v_range_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = salted_join(
         a, b, "jk", n_salts=4, salt_source=F.xxhash64("event_a")
     ).filter(
-        (F.unix_micros("ts_b") >= F.unix_micros("ts_a"))
-        & (F.unix_micros("ts_b") - F.unix_micros("ts_a") <= _RANGE_S * 1_000_000)
+        (_epoch_us("ts_b") >= _epoch_us("ts_a"))
+        & (_epoch_us("ts_b") - _epoch_us("ts_a") <= _RANGE_S * 1_000_000)
         & (F.col("event_a") < F.col("event_b"))
     )
     return pairs.select(
         "event_a",
         "event_b",
         "user_id",
-        (F.col("ts_b").cast("long") - F.col("ts_a").cast("long")).alias("gap_s"),
+        (_epoch_s("ts_b") - _epoch_s("ts_a")).alias("gap_s"),
     )
 
 

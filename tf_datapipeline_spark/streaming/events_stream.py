@@ -32,8 +32,8 @@ from tf_datapipeline_spark.catalog import table_path
 from tf_datapipeline_spark.functions.exact import dsum, sql_dsum
 from tf_datapipeline_spark.registry import query
 
-_EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+_EVENTS_SCHEMA_TMPL = (
+    "event_id bigint, ts {ts_type}, user_id bigint, event_type string, "
     "value double, props string"
 )
 
@@ -41,20 +41,47 @@ _sink_counter = itertools.count()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet. ts is TIMESTAMP(NANOS)
-    in the footer (unreadable by the vectorized reader) — read as long
-    (legacy conf) and truncate to micros, identically to the batch
-    catalog loader."""
+    """File-source stream over the events parquet, with ts carrying the
+    SAME event-time instants as the batch catalog loader (batch and
+    streaming MUST agree — a divergence here is a silent wrong answer at
+    any scale).
+
+    The stream source needs a schema up front, and the driver testdata
+    has stored ts two ways across rounds (TIMESTAMP(NANOS), readable only
+    as raw-nanos bigint under the legacy conf; plain TIMESTAMP(µs) no-tz,
+    which Spark reads as TIMESTAMP_NTZ natively) — so sniff the actual
+    storage type from the batch reader's footer-derived schema (a
+    metadata-only operation) instead of hard-coding one era's recipe.
+
+    One type wrinkle: withWatermark rejects TIMESTAMP_NTZ, so the stream
+    carries ts as TIMESTAMP (tz-aware; the session timezone is pinned to
+    UTC, so the cast preserves the instant). Queries that OUTPUT
+    timestamp columns cast them back to TIMESTAMP_NTZ at the edge via
+    `_ntz` so streaming results are type-identical to the batch twins
+    (catalog normalizes batch events.ts to NTZ — what DuckDB reads for
+    naive parquet timestamps)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_ts = dict(spark.read.parquet(table_path(sf_dir, "events")).dtypes)["ts"]
+    ts_decl = "bigint" if raw_ts == "bigint" else raw_ts
     # the file stream source wants a DIRECTORY; select the single table
     # file via glob filter (a production stream would watch a drop dir).
     sdf = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(_EVENTS_SCHEMA_TMPL.format(ts_type=ts_decl))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if raw_ts == "bigint":  # TIMESTAMP(NANOS) read as raw nanos
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:  # NTZ (or already tz-aware): carry as tz-aware for watermarks
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sdf
+
+
+def _ntz(name: str, alias: str):
+    """Cast a tz-aware output timestamp back to TIMESTAMP_NTZ (UTC
+    session) so streaming results are type-identical to batch/oracle."""
+    return F.col(name).cast("timestamp_ntz").alias(alias)
 
 
 def run_bounded(sdf: DataFrame, output_mode: str) -> DataFrame:
@@ -96,9 +123,7 @@ def q47_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 6).alias("sum_value"))
-        .select(
-            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
-        )
+        .select(_ntz("w.start", "window_start"), "event_type", "n_events", "sum_value")
     )
     # complete mode: emit every window, including those still above the
     # final watermark (append mode would hold the tail back in state).
@@ -162,8 +187,8 @@ def q49_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            _ntz("w.start", "session_start"),
+            _ntz("w.end", "session_end"),
             "n_events",
         )
     )
@@ -325,7 +350,7 @@ def q4w_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("minute_start", F.date_trunc("minute", F.col("ts")))
         .withWatermark("minute_start", "2 hours")
         .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute_start"])
-        .select("user_id", "event_type", "minute_start")
+        .select("user_id", "event_type", _ntz("minute_start", "minute_start"))
     )
     return run_bounded(deduped, "append")
 
@@ -442,6 +467,6 @@ def q4j_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 6).alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .select(_ntz("w.start", "window_start"), "n_events", "sum_value")
     )
     return run_bounded(agg, "complete")
