@@ -32,6 +32,47 @@ def test_every_query_runs(spark):
         df.limit(5).collect()
 
 
+def test_harness_is_type_sensitive(spark):
+    """The local gate must catch DuckDB width divergence (HUGEINT from an
+    uncast SUM vs Spark bigint) — the class that cost round 2 seven
+    driver rows on bit-identical values. compare() has to fail an
+    intentionally uncast SUM twin BEFORE any value comparison."""
+    df = spark.range(3).selectExpr("sum(id) AS s")
+    with pytest.raises(AssertionError, match="type-width"):
+        compare(df, "SELECT SUM(r_regionkey) AS s FROM region", SF_SMOKE, "uncast")
+
+
+def test_events_ts_is_ntz(spark):
+    """events.ts must load as TIMESTAMP_NTZ — the exact type DuckDB reads
+    for the driver testdata's naive parquet timestamps — regardless of the
+    storage era (nanos-bigint legacy vs plain microseconds). Guards the
+    round-2 regression where a type drift broke 6 gate rows + 12 tests."""
+    from pyspark.sql.types import TimestampNTZType
+
+    from tf_datapipeline_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampNTZType)
+
+
+def test_batch_equals_streaming_windows(spark):
+    """Batch q40 and streaming q47 share one oracle; they must also agree
+    with each other row-for-row AND schema-for-schema — a divergence here
+    is the silent event-time corruption class (round 2's stream reader
+    divided microseconds by 1000 and only the oracle caught it)."""
+    from tf_datapipeline_spark.operators.events import q40_tumbling_window
+    from tf_datapipeline_spark.streaming.events_stream import (
+        q47_stream_tumbling_window,
+    )
+
+    batch = q40_tumbling_window(spark, SF_SMOKE)
+    stream = q47_stream_tumbling_window(spark, SF_SMOKE)
+    assert batch.dtypes == stream.dtypes
+    assert sorted(map(tuple, batch.collect())) == sorted(
+        map(tuple, stream.collect())
+    )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -18,7 +18,7 @@ multimodal.py q8d): an image made of FLAT 8x8 blocks has a DC-only DCT
 DC coefficient 8*(v-128) is stored without rounding loss — so grayscale
 flat-block JPEGs round-trip BIT-EXACTLY, and DuckDB can re-derive every
 decoded pixel in SQL. Arbitrary images round-trip within a small tolerance
-(float DCT + quantization), pinned by tests/test_jpegcodec.py.
+(float DCT + quantization), pinned by tests/test_multimodal.py.
 """
 
 from __future__ import annotations

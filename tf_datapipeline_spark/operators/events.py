@@ -121,7 +121,8 @@ def q41_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
-    SELECT user_id, session_id, COUNT(*) AS n_events,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
            MIN(ts) AS session_start, MAX(ts) AS session_end
     FROM sessions GROUP BY 1, 2
     """,
@@ -670,7 +671,9 @@ def q4y_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine.join(b, ["event_type", "minute_start"], "left")
         .select(
             "event_type",
-            "minute_start",
+            # date_trunc returns tz-aware TIMESTAMP even for NTZ input;
+            # back to NTZ (UTC session) to match the oracle's type exactly
+            F.col("minute_start").cast("timestamp_ntz").alias("minute_start"),
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
             F.col("avg_value").isNull().cast("int").alias("is_gap"),
             F.last("avg_value", ignorenulls=True).over(w).alias("value_filled"),
@@ -735,7 +738,7 @@ def q4e_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q4k_window_topk",
     oracle="""
-    SELECT window_start, event_type, n_events, rnk
+    SELECT window_start, event_type, n_events, CAST(rnk AS INTEGER) AS rnk
     FROM (
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
              event_type, COUNT(*) AS n_events,

@@ -113,7 +113,7 @@ def q1p_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", 2).alias("total_price"),
-        F.min("o_orderdate").alias("first_order"),
+        F.min("o_orderdate").cast("timestamp_ntz").alias("first_order"),
     )
 
 

@@ -148,7 +148,9 @@ def q80_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
            LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS j) j,
            (SELECT unnest([0, 1, 2]) AS c) c
     )
-    SELECT doc_id, MIN(v) AS px_min, MAX(v) AS px_max, SUM(v) AS px_sum,
+    SELECT doc_id, CAST(MIN(v) AS INTEGER) AS px_min,
+           CAST(MAX(v) AS INTEGER) AS px_max,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
            COUNT(*) AS n_px, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS px_mean
     FROM px GROUP BY doc_id
     """,
@@ -198,8 +200,9 @@ def q81_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS j) j,
            (SELECT unnest([0, 1, 2]) AS c) c
     )
-    SELECT doc_id, h AS height, w AS width,
-           MIN(v) AS px_min, MAX(v) AS px_max, SUM(v) AS px_sum,
+    SELECT doc_id, CAST(h AS INTEGER) AS height, CAST(w AS INTEGER) AS width,
+           CAST(MIN(v) AS INTEGER) AS px_min, CAST(MAX(v) AS INTEGER) AS px_max,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
            COUNT(*) AS n_px
     FROM px GROUP BY doc_id, h, w
     """,
@@ -281,7 +284,9 @@ def q8b_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE (3*i + 5*j + 11*c.c + doc_id) % 256 END AS v
       FROM grid, (SELECT unnest([0, 1, 2]) AS c) c
     )
-    SELECT doc_id, MIN(v) AS px_min, MAX(v) AS px_max, SUM(v) AS px_sum,
+    SELECT doc_id, CAST(MIN(v) AS INTEGER) AS px_min,
+           CAST(MAX(v) AS INTEGER) AS px_max,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
            CAST(SUM(ib) // 3 AS BIGINT) AS border_px, COUNT(*) AS n_px
     FROM px GROUP BY doc_id
     """,
@@ -349,9 +354,9 @@ def q8c_bbox_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
            LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS i) i,
            LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS j) j
     )
-    SELECT doc_id, h AS height, w AS width,
-           MIN(v) AS px_min, MAX(v) AS px_max,
-           3 * SUM(v) AS px_sum, 3 * COUNT(*) AS n_px
+    SELECT doc_id, CAST(h AS INTEGER) AS height, CAST(w AS INTEGER) AS width,
+           CAST(MIN(v) AS INTEGER) AS px_min, CAST(MAX(v) AS INTEGER) AS px_max,
+           CAST(3 * SUM(v) AS BIGINT) AS px_sum, 3 * COUNT(*) AS n_px
     FROM px GROUP BY doc_id, h, w
     """,
 )
@@ -540,7 +545,7 @@ def _etl_oracle() -> str:
     SELECT split, COUNT(*) AS n_rows, COUNT(DISTINCT shard) AS n_shards,
            COUNT(DISTINCT label) AS n_labels,
            MIN(label) AS min_label, MAX(label) AS max_label,
-           SUM(n_bytes) AS total_bytes
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
     FROM rec GROUP BY split
     """
 
@@ -585,7 +590,8 @@ def q84_etl_sharded_write(spark: SparkSession, sf_dir: str) -> DataFrame:
            LATERAL (SELECT unnest(generate_series(0, f.w - 1)) AS j) j,
            (SELECT unnest([0, 1, 2]) AS c) c
     )
-    SELECT doc_id, frame_idx, w * 3 AS frame_n_bytes, SUM(v) AS byte_sum
+    SELECT doc_id, frame_idx, w * 3 AS frame_n_bytes,
+           CAST(SUM(v) AS BIGINT) AS byte_sum
     FROM b GROUP BY doc_id, frame_idx, w
     """,
 )
@@ -805,7 +811,7 @@ _RSZ = 16
     SELECT doc_id,
            MIN((3*si + 5*sj + 11*c + doc_id) % 256) AS px_min,
            MAX((3*si + 5*sj + 11*c + doc_id) % 256) AS px_max,
-           SUM((3*si + 5*sj + 11*c + doc_id) % 256) AS px_sum,
+           CAST(SUM((3*si + 5*sj + 11*c + doc_id) % 256) AS BIGINT) AS px_sum,
            COUNT(*) AS n_px
     FROM grid GROUP BY doc_id
     """,
@@ -857,7 +863,7 @@ def q89_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT unnest([0, 1, 2]) AS c) c
     )
     SELECT doc_id, channel, MIN(v) AS px_min, MAX(v) AS px_max,
-           SUM(v) AS px_sum, COUNT(*) AS n_px
+           CAST(SUM(v) AS BIGINT) AS px_sum, COUNT(*) AS n_px
     FROM px GROUP BY doc_id, channel
     """,
 )
@@ -967,12 +973,14 @@ def _ahash_oracle() -> str:
       SELECT doc_id, SUM(gray) AS g_sum FROM grid GROUP BY doc_id
     )
     SELECT g.doc_id,
-           SUM(CASE WHEN 64 * g.gray > t.g_sum THEN 1 ELSE 0 END) AS n_bits,
-           SUM(CASE WHEN 64 * g.gray > t.g_sum AND g.bit_idx < 32
+           CAST(SUM(CASE WHEN 64 * g.gray > t.g_sum THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bits,
+           CAST(SUM(CASE WHEN 64 * g.gray > t.g_sum AND g.bit_idx < 32
                     THEN CAST(POWER(2.0, g.bit_idx) AS BIGINT) ELSE 0 END)
-             AS hash_lo,
-           SUM(CASE WHEN 64 * g.gray > t.g_sum AND g.bit_idx >= 32
+                AS BIGINT) AS hash_lo,
+           CAST(SUM(CASE WHEN 64 * g.gray > t.g_sum AND g.bit_idx >= 32
                     THEN CAST(POWER(2.0, g.bit_idx - 32) AS BIGINT) ELSE 0 END)
+                AS BIGINT)
              AS hash_hi
     FROM grid g JOIN tot t ON t.doc_id = g.doc_id
     GROUP BY g.doc_id
@@ -1056,7 +1064,8 @@ def q8f_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM eff
     )
     SELECT doc_id, window_idx,
-           SUM(CASE WHEN sg_prod = -1 THEN 1 ELSE 0 END) AS n_crossings,
+           CAST(SUM(CASE WHEN sg_prod = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_crossings,
            MAX(ABS(v)) AS peak
     FROM lagd
     GROUP BY doc_id, window_idx

@@ -125,7 +125,8 @@ def offset_row_number(
     "q30_label_dictionary",
     oracle="""
     WITH dict AS (
-      SELECT lang, ROW_NUMBER() OVER (ORDER BY lang) - 1 AS label_id
+      SELECT lang,
+             CAST(ROW_NUMBER() OVER (ORDER BY lang) - 1 AS INTEGER) AS label_id
       FROM (SELECT DISTINCT lang FROM documents)
     )
     SELECT d.doc_id, d.lang, dict.label_id
@@ -629,7 +630,7 @@ _STRATA_RATES = {"en": 50, "de": 30, "es": 30, "fr": 20, "zh": 10}  # % kept
           {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items())}
           ELSE 0 END
     )
-    SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept,
+    SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
     FROM kept GROUP BY lang
     """,

@@ -514,8 +514,8 @@ def q17_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_grouping_sets",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           GROUPING(l_returnflag) AS g_flag,
-           GROUPING(l_linestatus) AS g_status,
+           CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status,
            {sql_dsum("l_quantity")} AS sum_qty,
            COUNT(*) AS n
     FROM lineitem
@@ -716,7 +716,7 @@ def q1d_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1e_array_functions",
     oracle="""
     SELECT vec_id,
-           len(embedding) AS dim,
+           CAST(len(embedding) AS INTEGER) AS dim,
            CAST(list_min(embedding) AS DOUBLE) AS min_elem,
            CAST(list_max(embedding) AS DOUBLE) AS max_elem,
            CAST(embedding[1] AS DOUBLE) AS first_elem,

@@ -73,7 +73,7 @@ def _knn_sql(dialect: str) -> str:
       JOIN norms nq ON nq.vec_id = d.query_id
       JOIN norms nn ON nn.vec_id = d.neighbor_id
     )
-    SELECT query_id, neighbor_id, rank, cos_sim
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim
     FROM scored WHERE rank <= {_TOP_K}
     """
 
@@ -589,7 +589,8 @@ def _pq_ann_sql(dialect: str) -> str:
       JOIN norms nn ON nn.vec_id = c.vec_id
       GROUP BY c.query_id, c.vec_id, nq.nrm, nn.nrm
     )
-    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim
+    FROM (
       SELECT query_id, neighbor_id,
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY cos_sim DESC, neighbor_id) AS rank,

@@ -127,7 +127,7 @@ def _sql_lang_score(lang: str) -> str:
            CASE GREATEST(s_de, s_en, s_es, s_fr, s_zh)
                 WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
                 WHEN s_fr THEN 'fr' ELSE 'zh' END AS pred_lang,
-           GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS top_score
+           CAST(GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS INTEGER) AS top_score
     FROM scored
     """,
 )
@@ -341,7 +341,7 @@ def q55_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q56_levenshtein_pairs",
     oracle="""
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           levenshtein(a.text, b.text) AS edit_distance,
+           CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_distance,
            1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
                  / GREATEST(length(a.text), length(b.text)) AS similarity
     FROM documents a
@@ -650,7 +650,7 @@ _PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
              AS n_emails,
            CAST(length(regexp_extract_all(pii_text, '{_PHONE_RE}')) AS INT)
              AS n_phones,
-           length(clean) AS clean_len,
+           CAST(length(clean) AS INTEGER) AS clean_len,
            md5(clean) AS clean_md5
     FROM scrubbed
     """,
@@ -923,7 +923,7 @@ def q5e_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT tokens[i] || ' ' || tokens[i + 1] AS bigram, COUNT(*) AS n
       FROM idx GROUP BY 1
     )
-    SELECT bigram, n, rnk FROM (
+    SELECT bigram, n, CAST(rnk AS INTEGER) AS rnk FROM (
       SELECT bigram, n,
              ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS rnk
       FROM counts

@@ -25,9 +25,9 @@ from tf_datapipeline_spark.registry import query
     "q20_window_rank",
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice,
-           ROW_NUMBER()  OVER w AS rn,
-           RANK()        OVER w AS rnk,
-           DENSE_RANK()  OVER w AS drnk,
+           CAST(ROW_NUMBER()  OVER w AS INTEGER) AS rn,
+           CAST(RANK()        OVER w AS INTEGER) AS rnk,
+           CAST(DENSE_RANK()  OVER w AS INTEGER) AS drnk,
            LAG(o_totalprice)  OVER w AS prev_price,
            LEAD(o_totalprice) OVER w AS next_price
     FROM orders
@@ -100,7 +100,9 @@ def q21_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q22_topk_per_group",
     oracle="""
-    SELECT * FROM (
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           CAST(rn AS INTEGER) AS rn
+    FROM (
       SELECT l_orderkey, l_linenumber, l_extendedprice,
              ROW_NUMBER() OVER (PARTITION BY l_orderkey
                                 ORDER BY l_extendedprice DESC, l_linenumber) AS rn
@@ -133,7 +135,7 @@ def q22_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment, c_custkey, c_acctbal,
            PERCENT_RANK() OVER w AS pct_rank,
            CUME_DIST()    OVER w AS cume,
-           NTILE(4)       OVER w AS quartile
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
     """,
@@ -221,7 +223,7 @@ def q25_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q26_ntile_frames",
     oracle="""
     SELECT c_mktsegment, c_custkey, c_acctbal,
-           NTILE(4) OVER w AS balance_quartile,
+           CAST(NTILE(4) OVER w AS INTEGER) AS balance_quartile,
            FIRST_VALUE(c_custkey) OVER w AS richest_custkey,
            NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_mktsegment
                                          ORDER BY c_acctbal DESC, c_custkey
