@@ -125,9 +125,55 @@ def q47_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 6).alias("sum_value"))
         .select(_ntz("w.start", "window_start"), "event_type", "n_events", "sum_value")
     )
-    # complete mode: emit every window, including those still above the
-    # final watermark (append mode would hold the tail back in state).
+    # complete mode is the BOUNDED-HARNESS shape: it emits every window,
+    # including those still above the final watermark, so the result can
+    # equal the batch oracle exactly. It keeps all windows in the state
+    # store, which an unbounded production stream must not do — the
+    # production default is q4p below (append + watermark: state is
+    # flushed and evicted as the watermark passes each window, so state
+    # size is bounded by the watermark delay regardless of stream length).
     return run_bounded(agg, "complete")
+
+
+# --------------------------------------------------------------------------
+# q4p — the PRODUCTION-SHAPE tumbling window: append output mode, so a
+# window is emitted exactly once — when the watermark (max event time
+# seen minus 1 hour) passes its end — and its state is evicted. This is
+# the only window-agg shape whose state store stays bounded on an
+# unbounded 100 TB/day stream (complete mode, q47, retains every window
+# forever and exists here only so the bounded harness can check exact
+# batch equality). On a bounded availableNow run the final no-data
+# micro-batch advances the watermark to max(ts) - 1h and flushes every
+# window whose end <= that cutoff; the tail windows are (correctly)
+# still in state when the query stops, and the oracle models exactly
+# that emission rule.
+# --------------------------------------------------------------------------
+@query(
+    "q4p_stream_append_windows",
+    oracle=f"""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL '1 hour' AS cutoff FROM events),
+    agg AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+             event_type,
+             COUNT(*) AS n_events,
+             {sql_dsum("value", 6)} AS sum_value
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT a.window_start, a.event_type, a.n_events, a.sum_value
+    FROM agg a, wm
+    WHERE a.window_start + INTERVAL '5 minutes' <= wm.cutoff
+    """,
+)
+def q4p_stream_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 6).alias("sum_value"))
+        .select(_ntz("w.start", "window_start"), "event_type", "n_events", "sum_value")
+    )
+    return run_bounded(agg, "append")
 
 
 # --------------------------------------------------------------------------
@@ -192,6 +238,10 @@ def q49_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+    # complete mode = bounded-harness shape (exact batch equality); the
+    # production shape is append + watermark eviction, demonstrated by
+    # q4p for tumbling windows — session windows flush identically once
+    # the watermark passes session_end.
     return run_bounded(agg, "complete")
 
 
