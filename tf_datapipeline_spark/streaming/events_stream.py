@@ -246,6 +246,59 @@ def q49_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q4q — PRODUCTION-SHAPE sessionization: append mode + watermark, the
+# session twin of q4p. A session is emitted exactly once — when the
+# watermark (max event time - 1h) passes its end (last event + 30 min
+# gap) — and its state is evicted; sessions still inside the watermark
+# horizon stay in state (bounded by delay + gap, not stream length).
+# Complete-mode q49 is the bounded-harness twin. The oracle replays the
+# same gaps-and-islands sessionization and keeps exactly the sessions
+# the flush rule emits.
+# --------------------------------------------------------------------------
+@query(
+    "q4q_stream_append_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), rolled AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL '30 minutes' AS session_end,
+             COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM rolled
+    WHERE session_end <= (SELECT MAX(ts) - INTERVAL '1 hour' FROM events)
+    """,
+)
+def q4q_stream_append_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            _ntz("w.start", "session_start"),
+            _ntz("w.end", "session_end"),
+            "n_events",
+        )
+    )
+    return run_bounded(agg, "append")
+
+
+# --------------------------------------------------------------------------
 # q4s — CUSTOM stateful operator via applyInPandasWithState: per-user
 # running event counter + value sum held in explicit state across
 # micro-batches (the general form for operators Spark's built-in
