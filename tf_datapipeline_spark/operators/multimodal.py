@@ -567,6 +567,44 @@ def q84_etl_sharded_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q8h — NATIVE TFRecord container round-trip (reference S6/S7, the actual
+# on-disk format of make_tf_record.py:126 / data_queue.py:10-36): the
+# synthetic corpus is split/sharded with the same permutation key as q84,
+# written as real framed tf.train.Example .tfrecord shards
+# (sources/tfrecord.py: pure-stdlib CRC32C framing + protobuf wire
+# format, reference shard naming make_tf_record.py:94-97), scanned back
+# via binaryFile + mapInPandas parse, and audited with the same
+# aggregate as the Parquet ETL twin — so framing, CRCs, protobuf
+# encode/decode AND the shard fan-out are all value-checked against
+# arithmetic the oracle re-derives from the documents table alone.
+# --------------------------------------------------------------------------
+@query("q8h_tfrecord_roundtrip", oracle=_etl_oracle())
+def q8h_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.sources.etl import records_with_split
+    from tf_datapipeline_spark.sources.tfrecord import (
+        read_tfrecords,
+        write_tfrecords,
+    )
+
+    import shutil
+
+    corpus = synthetic_corpus(spark, sf_dir)
+    out_dir = scratch_dir(f"tfr_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out_dir, ignore_errors=True)  # no stale shards across runs
+    # materialize the manifest => every shard file is written before the scan
+    write_tfrecords(records_with_split(corpus), out_dir).collect()
+    rec = read_tfrecords(spark, out_dir)
+    return rec.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("shard").alias("n_shards"),
+        F.countDistinct("label").alias("n_labels"),
+        F.min("label").alias("min_label"),
+        F.max("label").alias("max_label"),
+        F.sum(F.length("image_encoded")).alias("total_bytes"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q85 — video-style frame sampling: the payload is treated as H frames of
 # W*3 bytes (a raster row = a "frame"); keep every 3rd frame and reduce
 # each to a byte-sum "feature". Real video decode would swap the
