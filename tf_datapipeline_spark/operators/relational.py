@@ -1172,3 +1172,64 @@ def q1v_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_EXISTS_SQL)
+
+
+# --------------------------------------------------------------------------
+# q1w — APPROX QUANTILES (mergeable rank sketch): per-group
+# percentile_approx (Greenwald-Khanna-style summary: map-side partial
+# sketches merge associatively — ONE pass, no sort) for p50/p95 of
+# l_extendedprice. At 100 TB this is the only affordable quantile shape:
+# an exact median needs a global sort or a full value histogram; the
+# sketch ships kilobytes per partition. Verified like q17's HLL row: the
+# sketch's published RANK guarantee (|rank(v) - p*n| <= n/accuracy) is
+# checked by ranking the returned values against the real data in a
+# second pass, and the oracle (which cannot replay an engine-specific
+# sketch) pins the group cardinalities plus the always-true bound flags.
+# The check pass is harness machinery — production runs only the sketch.
+# --------------------------------------------------------------------------
+_PA_ACC = 1000  # rank error <= n / _PA_ACC
+
+
+@query(
+    "q1w_approx_quantiles",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_rows, 1 AS p50_ok, 1 AS p95_ok
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q1w_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    sketch = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], _PA_ACC).alias("qs"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        "l_returnflag",
+        "n_rows",
+        F.col("qs")[0].alias("v50"),
+        F.col("qs")[1].alias("v95"),
+    )
+
+    def rank_ok(v, p):
+        # rank guarantee: #(x < v) <= p*n + eps AND #(x <= v) >= p*n - eps,
+        # with eps = ceil(n/accuracy) — the sketch rounds its error budget
+        # UP to whole ranks (observed exactly at the boundary: n=1962,
+        # acc=1000 admits rank error 2, not 1.962)
+        eps = F.ceil(F.col("n_rows") / _PA_ACC)
+        lt = F.sum((F.col("l_extendedprice") < v).cast("long"))
+        le = F.sum((F.col("l_extendedprice") <= v).cast("long"))
+        return (
+            (lt <= p * F.col("n_rows") + eps)
+            & (le >= p * F.col("n_rows") - eps)
+        ).cast("int")
+
+    checked = (
+        li.join(F.broadcast(sketch), "l_returnflag")
+        .groupBy("l_returnflag", "n_rows", "v50", "v95")
+        .agg(
+            rank_ok(F.col("v50"), 0.5).alias("p50_ok"),
+            rank_ok(F.col("v95"), 0.95).alias("p95_ok"),
+        )
+    )
+    return checked.select("l_returnflag", "n_rows", "p50_ok", "p95_ok")
