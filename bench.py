@@ -91,6 +91,7 @@ def main() -> None:
     # Extra passes are skipped if the run is already over budget.
     bench_start = time.perf_counter()
     timings: dict[str, float] = {}
+    passes = 1
     for name in HEADLINE + EXTRA:
         t = run_once(name)
         if t is not None:
@@ -98,6 +99,7 @@ def main() -> None:
     for _ in range(2):
         if time.perf_counter() - bench_start > 150:
             break
+        passes += 1
         for name in list(timings):
             t = run_once(name)
             if t is not None:
@@ -113,6 +115,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extra_total": extra_total,
+                # min over this many full passes (r1 recorded 1 pass, r2
+                # min-of-2 — state it so cross-round ratios are honest)
+                "passes": passes,
                 "sf": sf_dir,
                 **({"failures": failures} if failures else {}),
             }

@@ -332,6 +332,77 @@ def q4a_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q4g — COGROUPED-MAP as-of join: the same semantics (and oracle) as q4a,
+# implemented through Spark's dual-input custom operator —
+# `clicks.groupBy(user).cogroup(views.groupBy(user)).applyInPandas(...)`
+# with pandas merge_asof per user. One shuffle on user_id for EACH side,
+# then an Arrow-batched per-key kernel; this is the general form for
+# per-key logic over two aligned inputs that built-in joins can't express
+# (custom matching, per-key models, conformance checks). For plain as-of
+# semantics the JVM-side window carry (q4a) is the production default —
+# no Python boundary — so this row exists to pin the cogroup operator
+# class itself against a value-checking oracle.
+# --------------------------------------------------------------------------
+@query(
+    "q4g_cogroup_asof",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, ts, MAX(event_id) AS r_event_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           r.r_event_id AS prior_view_id, r.ts AS prior_view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q4g_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("r_event_id"))
+    )
+
+    def merge(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        left = left.sort_values(["ts", "event_id"])
+        if right.empty:
+            out = left.assign(
+                prior_view_id=pd.Series(dtype="Int64"),
+                prior_view_ts=pd.Series(dtype=left["ts"].dtype),
+            )
+        else:
+            right = right.sort_values("ts").rename(columns={"ts": "v_ts"})
+            out = pd.merge_asof(
+                left,
+                right[["v_ts", "r_event_id"]],
+                left_on="ts",
+                right_on="v_ts",
+                direction="backward",  # latest view at-or-before the click
+            )
+            out["prior_view_id"] = out["r_event_id"].astype("Int64")
+            out["prior_view_ts"] = out["v_ts"]
+        return out[["event_id", "user_id", "ts", "prior_view_id", "prior_view_ts"]]
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema=(
+                "event_id bigint, user_id bigint, ts timestamp_ntz, "
+                "prior_view_id bigint, prior_view_ts timestamp_ntz"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q4r — RANGE JOIN (temporal proximity): ordered pairs of a user's events
 # within 5 minutes of each other. A naive inequality join is a per-user
 # cartesian; the scalable form buckets time into 5-minute cells and
