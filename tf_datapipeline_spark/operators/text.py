@@ -949,3 +949,58 @@ def q5f_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.desc("n"), F.asc("bigram")).limit(20)
     w = Window.orderBy(F.desc("n"), F.asc("bigram"))
     return top.withColumn("rnk", F.row_number().over(w))
+
+
+# --------------------------------------------------------------------------
+# q5g — DOCUMENT CHUNKING with overlap (context-window prep): every doc
+# split into 256-char chunks on a 192-char stride (64-char overlap) — the
+# standard shape for packing long documents into model context windows
+# with continuity across boundaries. Entirely JVM-side (sequence →
+# explode → substring: whole-stage codegen, no Python), embarrassingly
+# parallel — no shuffle at all until a downstream consumer groups. Chunk
+# text is reduced to (len, md5) so the oracle compares content without
+# hauling full strings through the harness; empty docs still yield one
+# (empty) chunk in both engines via the greatest() guard — Spark's
+# sequence(0, -1) would DESCEND where generate_series(0,-1) is empty.
+# --------------------------------------------------------------------------
+_CHUNK, _STRIDE = 256, 192
+
+
+@query(
+    "q5g_doc_chunking",
+    oracle=f"""
+    WITH c AS (
+      SELECT d.doc_id, i.i AS chunk_id,
+             substr(d.text, CAST(i.i * {_STRIDE} + 1 AS BIGINT), {_CHUNK}) AS chunk
+      FROM documents d,
+           LATERAL (SELECT unnest(generate_series(
+                      0, (greatest(length(d.text), 1) - 1) // {_STRIDE})) AS i) i
+    )
+    SELECT doc_id, chunk_id,
+           CAST(length(chunk) AS INTEGER) AS chunk_len,
+           md5(chunk) AS chunk_md5
+    FROM c
+    """,
+)
+def q5g_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.expr(
+            f"explode(sequence(0L, CAST(greatest(length(text), 1) - 1 AS LONG)"
+            f" DIV {_STRIDE})) AS chunk_id"
+        ),
+        "text",
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.expr(
+            f"substring(text, CAST(chunk_id * {_STRIDE} + 1 AS INT), {_CHUNK})"
+        ).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.length("chunk").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
