@@ -107,3 +107,27 @@ def test_spark_tfrecord_roundtrip(spark, tmp_path):
     )
     assert sorted(map(tuple, src.collect())) == sorted(map(tuple, got.collect()))
     assert got.select(key).distinct().count() == src.count() == got.count()
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _feature = st.one_of(
+        st.binary(max_size=64),
+        st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=1,
+                 max_size=8),
+    )
+
+    @given(st.dictionaries(
+        st.text(min_size=1, max_size=20).filter(lambda s: "\x00" not in s),
+        _feature, max_size=6,
+    ))
+    @settings(max_examples=200, deadline=None)
+    def test_example_roundtrip_property(feats):
+        got = decode_example(encode_example(feats))
+        assert set(got) == set(feats)
+        for k, v in feats.items():
+            assert got[k] == ([v] if isinstance(v, bytes) else v)
+except ImportError:  # hypothesis is baked in, but stay import-safe
+    pass
