@@ -8,7 +8,14 @@ partition count or plan shape. This matters beyond the correctness gate —
 it also makes results stable across reruns of a 1000-executor job.
 
 The cost is a decimal-typed partial aggregate (still map-side combinable,
-still whole-stage codegen'd in Spark) — negligible next to the shuffle.
+still whole-stage codegen'd in Spark). Measured honestly: on the sf0.1
+local bench the 8-aggregate q01 runs ~6.7x slower than plain double sums
+(1.70s vs 0.26s, decimal widths 18 and 28 within 6% of each other — the
+accumulator, decimal(p+10), is 128-bit either way). The tempting fast
+path — sum pre-scaled BIGINTs, long-backed — was evaluated and rejected:
+int64 overflows at ~1e9 rows of 1e9-scale addends, far below the 1e14-row
+headroom this module guarantees; at cluster scale the relative overhead
+shrinks as shuffle/IO grow, and correctness-at-any-scale is the contract.
 
 Per-row float arithmetic (a*b, a/b, comparisons) is left as plain double:
 single IEEE ops are deterministic and identical across engines.
