@@ -214,3 +214,40 @@ def test_no_accidental_cross_products(spark):
         assert "CartesianProduct" not in joins, (name, joins)
         if "BroadcastNestedLoopJoin" in joins:
             assert name in nlj_allowed, (name, joins)
+
+
+def test_chunking_has_no_exchange(spark):
+    """q5g (document chunking) is embarrassingly parallel — sequence/
+    explode/substring per row. Any Exchange in its plan means a shuffle
+    crept into a map-only pipeline (a 100 TB scan would pay it for
+    nothing)."""
+    from tf_datapipeline_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(_q("q5g_doc_chunking", spark))
+    assert "Exchange" not in plan, plan
+
+
+def test_multigrain_rollup_partial_aggregates(spark):
+    """q4d fans each event out to 3 (grain, bucket) cells; the partial
+    HashAggregate must sit below the single Exchange so the shuffle
+    carries cells, not the 3x-expanded event rows."""
+    from tf_datapipeline_spark.plans.inspect import formatted_plan
+
+    import re
+
+    plan = formatted_plan(_q("q4d_multigrain_rollup", spark))
+    # exactly one shuffle (each operator appears once as "(n) <Op>" in the
+    # formatted detail section; the tree repeats them without numbers)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    # map-side partial aggregate below it
+    assert "partial_sum" in plan and "partial_count" in plan, plan
+
+
+def test_quantile_check_broadcasts_sketch(spark):
+    """q1w's verification pass joins lineitem back against the 3-row
+    sketch result — that side must broadcast (shuffling the fact table to
+    rank-check 3 rows would invert the cost model)."""
+    from tf_datapipeline_spark.plans.inspect import join_strategies
+
+    joins = join_strategies(_q("q1w_approx_quantiles", spark))
+    assert joins and all(j == "BroadcastHashJoin" for j in joins), joins
