@@ -79,3 +79,65 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_events_nanos_era_compat(spark, tmp_path):
+    """Round 1's testdata stored events.ts as TIMESTAMP(NANOS); round 2's
+    regeneration switched to plain microseconds and broke 6 gate rows.
+    Both batch and streaming readers must keep handling BOTH eras: this
+    synthesizes a nanos-era events table and checks the catalog
+    normalizes it to the same TIMESTAMP_NTZ microsecond instants the
+    current era produces (nanos truncate, never divide-shift)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampNTZType
+
+    from tf_datapipeline_spark.catalog import load_table
+    from tf_datapipeline_spark.streaming.events_stream import (
+        read_events_stream,
+        run_bounded,
+    )
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [
+                    1704067200_123456789,  # .123456789s -> truncates to .123456
+                    1704067260_000000001,
+                    1704067320_999999999,  # never rounds up
+                ],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([1, 2, 1], pa.int64()),
+            "event_type": pa.array(["click", "view", "click"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(['{"k":1}', '{"k":2}', '{"k":3}']),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"), store_schema=False)
+
+    ev = load_table(spark, str(tmp_path), "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampNTZType)
+    micros = [
+        r.ts.isoformat() for r in ev.orderBy("event_id").collect()
+    ]
+    assert micros == [
+        "2024-01-01T00:00:00.123456",
+        "2024-01-01T00:01:00",
+        "2024-01-01T00:02:00.999999",
+    ]
+
+    streamed = run_bounded(
+        read_events_stream(spark, str(tmp_path)).select("event_id", "ts"),
+        "append",
+    )
+    got = {
+        r.event_id: r.ts.replace(tzinfo=None).isoformat()
+        for r in streamed.collect()
+    }
+    assert got == {
+        1: "2024-01-01T00:00:00.123456",
+        2: "2024-01-01T00:01:00",
+        3: "2024-01-01T00:02:00.999999",
+    }
