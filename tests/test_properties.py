@@ -92,3 +92,36 @@ def test_offset_running_sum_matches_global_window(spark):
             sum_name="s",
         )
         assert {r.k: r.s for r in got.collect()} == expected, width
+
+
+def test_connected_components_long_chain(spark):
+    """A 400-node chain has propagation diameter 399 — plain neighbor-min
+    label propagation could never converge inside 30 rounds. Pointer
+    jumping must collapse it (O(log diameter) rounds) and label every
+    node with the chain's minimum id."""
+    from pyspark.sql import functions as F
+
+    from tf_datapipeline_spark.operators.dedup import connected_components
+
+    n = 400
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    edges = chain.unionByName(
+        chain.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = connected_components(edges, max_rounds=30)
+    got = {r.doc_id: r.label for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_multiple_components(spark):
+    """Three disjoint components (chain, triangle, isolated edge) must
+    each take their own minimum as label."""
+    from tf_datapipeline_spark.operators.dedup import connected_components
+
+    raw = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)]
+    pairs = spark.createDataFrame(raw, "doc_a long, doc_b long")
+    edges = pairs.union(pairs.selectExpr("doc_b AS doc_a", "doc_a AS doc_b"))
+    labels = {r.doc_id: r.label for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

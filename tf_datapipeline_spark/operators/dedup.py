@@ -407,18 +407,25 @@ def _clusters_oracle() -> str:
     """
 
 
-@query("q67_dedup_clusters", oracle=_clusters_oracle())
-def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _materialize_sig(spark, sf_dir)
-    pairs = spark.sql(_lsh_pairs_body()).select("doc_a", "doc_b").localCheckpoint()
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).distinct()
-    # label propagation to fixpoint: label(v) <- min(label(v), labels of
-    # neighbors); near-dup components have tiny diameters so this loop is
-    # a handful of rounds even at corpus scale.
+def connected_components(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Distributed connected components over a directed edge list
+    (doc_a, doc_b); returns (doc_id, label) with label = min node id in
+    the component. Each round combines:
+
+    1. neighbor-min propagation — label(v) <- min over v's neighbors'
+       labels (the classic diameter-bounded step), and
+    2. pointer jumping — label(v) <- label(label(v)): labels are always
+       real node ids of the same component, so shortcutting through the
+       label graph HALVES the remaining propagation distance.
+
+    Together rounds are O(log diameter): `max_rounds`=30 covers a
+    component diameter of ~2^30, so a pathological near-dup CHAIN
+    (incremental edits at 100 TB scale) converges where plain
+    propagation's rounds-=-diameter would hit the cap and raise.
+    Per round: two small-key joins on (doc_id, label) pairs only, a
+    localCheckpoint to truncate lineage, and one count for the
+    convergence check; superseded checkpoints are released each round.
+    Raises on non-convergence rather than returning wrong labels."""
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -426,18 +433,33 @@ def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     changed = -1
-    for _ in range(30):
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a")
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # synchronous pointer doubling: jump through the PREVIOUS round's
+        # label map (a checkpointed leaf — jumping through `stepped`
+        # itself would self-join one lineage and trip Catalyst's
+        # attribute rewrite)
+        jump = labels.select(
+            F.col("doc_id").alias("j_id"), F.col("label").alias("j_label")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            stepped.join(jump, stepped.label == jump.j_id, "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("j_label"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
@@ -454,17 +476,29 @@ def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    # the result below derives only from the final `labels` checkpoint,
-    # so the edge list's blocks can be released now
-    pairs.unpersist()
     if changed != 0:
         # returning silently would hand back WRONG (unconverged) cluster
-        # labels for any component with propagation distance > the cap
+        # labels for any component the cap cut short
         raise RuntimeError(
-            f"q67 label propagation did not converge ({changed} labels "
-            "still changing after 30 rounds); component diameter exceeds "
-            "the round cap"
+            f"label propagation did not converge ({changed} labels still "
+            f"changing after {max_rounds} rounds)"
         )
+    return labels
+
+
+@query("q67_dedup_clusters", oracle=_clusters_oracle())
+def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _materialize_sig(spark, sf_dir)
+    pairs = spark.sql(_lsh_pairs_body()).select("doc_a", "doc_b").localCheckpoint()
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).distinct()
+    labels = connected_components(edges)
+    # the result derives only from the final labels checkpoint, so the
+    # edge list's blocks can be released now
+    pairs.unpersist()
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "label")
