@@ -109,7 +109,13 @@ GATE_ORDER = [
     "q8b_png_decode",
     "q8c_bbox_overlay",
     "q84_etl_sharded_write",
-    "q85_frame_sample",
+    # q8h (native TFRecord container round-trip, round 3) takes q85's
+    # slot: the frame-sample's mapInPandas byte-slicing plumbing is
+    # already evidenced in-gate by q86's audio windows, while q8h is the
+    # only row exercising the real S6/S7 container format (the one item
+    # the r2 verdict listed as missing). q85 stays registered and locally
+    # oracle-checked behind the window.
+    "q8h_tfrecord_roundtrip",
     "q86_audio_rms",
     "q87_binaryfile_scan",
     "q89_resize_nearest",
