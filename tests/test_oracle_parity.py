@@ -141,3 +141,45 @@ def test_events_nanos_era_compat(spark, tmp_path):
         2: "2024-01-01T00:01:00",
         3: "2024-01-01T00:02:00.999999",
     }
+
+
+def test_events_tzaware_era_compat(spark, tmp_path):
+    """Third storage era the catalog guards: tz-aware TIMESTAMP. Under
+    the UTC session the cast to TIMESTAMP_NTZ must preserve the instant
+    exactly — batch and streaming alike."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampNTZType
+
+    from tf_datapipeline_spark.catalog import load_table
+    from tf_datapipeline_spark.streaming.events_stream import (
+        read_events_stream,
+        run_bounded,
+    )
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [1704067200_123456, 1704067260_000001], pa.timestamp("us", tz="UTC")
+            ),
+            "user_id": pa.array([1, 2], pa.int64()),
+            "event_type": pa.array(["click", "view"]),
+            "value": pa.array([1.0, 2.0]),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    ev = load_table(spark, str(tmp_path), "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampNTZType)
+    batch = [r.ts.isoformat() for r in ev.orderBy("event_id").collect()]
+    assert batch == ["2024-01-01T00:00:00.123456", "2024-01-01T00:01:00.000001"]
+
+    streamed = run_bounded(
+        read_events_stream(spark, str(tmp_path)).select("event_id", "ts"), "append"
+    )
+    got = {
+        r.event_id: r.ts.replace(tzinfo=None).isoformat() for r in streamed.collect()
+    }
+    assert got == {1: "2024-01-01T00:00:00.123456", 2: "2024-01-01T00:01:00.000001"}

@@ -15,10 +15,8 @@ scale: fine); late-data filter broadcasts one scalar (the max watermark).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-
-from pyspark.sql import Column
 
 from tf_datapipeline_spark.catalog import load_table
 from tf_datapipeline_spark.functions.exact import dsum, sql_davg, sql_dsum
