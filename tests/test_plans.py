@@ -251,3 +251,20 @@ def test_quantile_check_broadcasts_sketch(spark):
 
     joins = join_strategies(_q("q1w_approx_quantiles", spark))
     assert joins and all(j == "BroadcastHashJoin" for j in joins), joins
+
+
+def test_no_row_wise_python_udfs(spark):
+    """Engine-wide UDF audit: no batch query may plan a BatchEvalPython
+    (row-at-a-time Python UDF — the 10-100x slow path). Python is allowed
+    only Arrow-batched: MapInPandas / FlatMapGroupsInPandas (decode,
+    augment, cogroup kernels) and ArrowEvalPython (vectorized pandas_udf
+    array kernels)."""
+    from tf_datapipeline_spark.plans.inspect import formatted_plan
+
+    for name, fn in sorted(registry.queries().items()):
+        if "stream" in name:
+            continue  # streaming results come from a memory sink scan
+        plan = formatted_plan(fn(spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan, (
+            f"{name} plans a row-at-a-time Python UDF"
+        )
