@@ -37,6 +37,7 @@ _OPERATOR_MODULES = [
     "tf_datapipeline_spark.operators.multimodal",
     "tf_datapipeline_spark.streaming.events_stream",
     "tf_datapipeline_spark.operators.formats",
+    "tf_datapipeline_spark.operators.prep",
 ]
 
 _loaded = False
