@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tf_datapipeline_spark.catalog import load_table
+from tf_datapipeline_spark.functions.texthash import sql_hash32
 from tf_datapipeline_spark.registry import query
 
 # Whitespace-token split shared by several ops (lazy: building a Column
@@ -1003,4 +1004,89 @@ def q5g_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_id",
         F.length("chunk").alias("chunk_len"),
         F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q5h — WINNOWING fingerprints (rolling-hash document fingerprinting,
+# Schleimer/Wilkerson/Aiken 2003 — the MOSS algorithm): hash every
+# 8-char k-gram, slide a 4-position window, keep each window's minimum
+# hash; the DISTINCT minima are the document's fingerprints. Guarantees
+# any shared substring >= k+w-1 chars yields a shared fingerprint —
+# the position-robust near-dup primitive (vs q54's whole-doc md5, which
+# any single edit breaks). The rolling-hash O(1) update is a CPU
+# optimization; the OUTPUT is defined by per-position k-gram hashes,
+# which both engines compute identically via the shared md5-prefix
+# hash32 (functions/texthash.py), all codegen scalar work. Shuffle
+# shape: positions explode map-side; one shuffle on doc_id for the
+# window + the distinct/rollup — no cross-doc comparison anywhere.
+# --------------------------------------------------------------------------
+_WIN_K = 8  # k-gram chars
+_WIN_W = 4  # winnow window positions
+
+
+@query(
+    "q5h_winnow_fingerprint",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id,
+             unnest(generate_series(1, length(text) - {_WIN_K - 1})) AS i,
+             text
+      FROM documents WHERE length(text) >= {_WIN_K}
+    ),
+    hashed AS (
+      SELECT doc_id, i,
+             {sql_hash32(f"substr(text, CAST(i AS INT), {_WIN_K})")} AS h,
+             MAX(i) OVER (PARTITION BY doc_id) AS n_pos
+      FROM pos
+    ),
+    winnowed AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                                   AND {_WIN_W - 1} FOLLOWING) AS fp
+      FROM hashed
+      QUALIFY i <= n_pos - {_WIN_W - 1}
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM winnowed)
+    SELECT doc_id, COUNT(*) AS n_fingerprints,
+           CAST(SUM(fp) AS BIGINT) AS fp_sum,
+           CAST(MIN(fp) AS BIGINT) AS fp_min,
+           CAST(MAX(fp) AS BIGINT) AS fp_max
+    FROM fps GROUP BY doc_id
+    """,
+)
+def q5h_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= _WIN_K
+    )
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (_WIN_K - 1))
+        ).alias("i"),
+    )
+    hashed = pos.select(
+        "doc_id",
+        "i",
+        F.expr(sql_hash32(f"substr(text, CAST(i AS INT), {_WIN_K})")).alias("h"),
+        F.max("i").over(Window.partitionBy("doc_id")).alias("n_pos"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    winnowed = (
+        hashed.withColumn("fp", F.min("h").over(w))
+        .filter(F.col("i") <= F.col("n_pos") - (_WIN_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return winnowed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum("fp").cast("bigint").alias("fp_sum"),
+        F.min("fp").cast("bigint").alias("fp_min"),
+        F.max("fp").cast("bigint").alias("fp_max"),
     )
