@@ -183,3 +183,17 @@ def test_events_tzaware_era_compat(spark, tmp_path):
         r.event_id: r.ts.replace(tzinfo=None).isoformat() for r in streamed.collect()
     }
     assert got == {1: "2024-01-01T00:00:00.123456", 2: "2024-01-01T00:01:00.000001"}
+
+
+def test_gate_window_is_gate_order():
+    """The driver value-checks the FIRST 50 entries of queries() — that
+    slice must be exactly GATE_ORDER (the curated cross-family window),
+    in order, and every one must carry an oracle twin (a rows-only row
+    in the window would waste a value-check slot)."""
+    from tf_datapipeline_spark import registry
+
+    names = list(registry.queries())
+    assert names[: len(registry.GATE_ORDER)] == registry.GATE_ORDER
+    oracled = set(registry.oracle_sql())
+    missing = [n for n in registry.GATE_ORDER if n not in oracled]
+    assert not missing, f"gate rows without oracles: {missing}"
