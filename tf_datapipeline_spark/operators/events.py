@@ -930,3 +930,51 @@ def q4d_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grain", "bucket")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 6).alias("sum_value"))
     )
+
+
+# --------------------------------------------------------------------------
+# q4i — time-RANGE window frame: per event, the count/sum of the SAME
+# user's events in the trailing hour (inclusive) — the per-event sliding
+# aggregate (rate limiting, velocity features) that bucketed windows
+# (q40/q41) can't express: every row gets its own frame. Spark's
+# rangeBetween needs a numeric ordering column, so the frame is defined
+# on epoch microseconds — identical ordering and bounds to the oracle's
+# RANGE BETWEEN INTERVAL clause, including the all-peers-at-equal-ts
+# rule. One shuffle on user_id; frame evaluation is a sliding two-pointer
+# pass within each sorted partition.
+# --------------------------------------------------------------------------
+_RANGE_FRAME_US = 3_600 * 1_000_000  # 1 hour
+
+
+@query(
+    "q4i_range_frame",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_trailing_hour,
+           {{dsum}} AS sum_trailing_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """.format(
+        dsum="CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)"
+    ),
+)
+def q4i_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(_epoch_us("ts"))
+        .rangeBetween(-_RANGE_FRAME_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+        F.sum(F.col("value").cast(T.DecimalType(28, 6)))
+        .over(w)
+        .cast("double")
+        .alias("sum_trailing_hour"),
+    )
