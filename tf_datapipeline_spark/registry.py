@@ -54,10 +54,13 @@ _loaded = False
 GATE_ORDER = [
     # relational core (incl. the two sketch ops with error-bound oracles;
     # top-k is covered by q22, the date/pivot scalar kernels stay
-    # registered + locally oracle-checked behind the window)
+    # registered + locally oracle-checked behind the window). Round 4
+    # rotates q17 (approx-distinct sketch) out for q1w (approx-quantile
+    # sketch) — the same error-bound-oracle class, previously unseen by
+    # the driver; q17 stays locally checked.
     "q01_pricing_summary",
     "q05_region_revenue",
-    "q17_approx_distinct",
+    "q1w_approx_quantiles",
     "q1i_heavy_hitters",
     # window/analytic
     "q21_window_running",
@@ -67,28 +70,40 @@ GATE_ORDER = [
     "qp1_feed_pipeline",
     "qp2_label_metrics",
     "q32_split_exact_head",
-    # events (batch)
-    # (q45 json kernel + q46 session stats checked behind the window)
-    "q40_tumbling_window",
+    # events (batch). Round-4 rotation: q40 -> q4d (the multi-grain
+    # rollup computes tumbling minute/hour/day windows in one pass, so
+    # tumbling-window semantics stay evidenced while the hypertable
+    # shape gains a driver row); q4a -> q4g (same ASOF oracle, but the
+    # cogrouped applyInPandas merge_asof operator class gets the row);
+    # q4f -> q4i (time-RANGE trailing-hour frame, new operator class).
+    # q40/q4a/q4f stay registered + locally oracle-checked.
+    "q4d_multigrain_rollup",
     "q42_sessionization",
     "q4y_gap_fill",
-    "q4a_asof_join",
+    "q4g_cogroup_asof",
     "q4r_range_join",
     "q4v_range_join_salted",
-    "q4f_funnel",
+    "q4i_range_frame",
     "q4c_retention_cohorts",
-    # structured streaming
-    "q47_stream_tumbling_window",
+    # structured streaming. Round-4 rotation: the append-mode production
+    # twins take the complete-mode slots (same oracles, stronger
+    # semantics — watermark flush + state eviction): q47 -> q4p,
+    # q49 -> q4q. q47/q49 stay locally checked, and
+    # test_batch_equals_streaming_windows still pins q40 == q47.
+    "q4p_stream_append_windows",
     "q4u_stream_stream_join",
-    "q49_stream_session_window",
+    "q4q_stream_append_sessions",
     "q4s_stream_stateful_counts",
     "q4t_stream_static_join",
     "q4x_stream_incremental_rollup",
-    # text analysis
-    "qt0_text_profile",
+    # text analysis. Round-4 rotation: qt0 -> qt1 (the end-to-end prep
+    # composite subsumes the profile; recursive-CTE oracle), q56 -> q5g
+    # (overlapping context-window chunking), q57 -> q5h (winnowing
+    # fingerprints; qt1 already replays the corpus-prep filter chain).
+    "qt1_prep_pipeline",
     "q55_tfidf",
-    "q56_levenshtein_pairs",
-    "q57_corpus_prep",
+    "q5g_doc_chunking",
+    "q5h_winnow_fingerprint",
     "q58_vocabulary",
     "q5c_contamination",
     "q5d_sequence_packing",
