@@ -107,10 +107,8 @@ def test_connected_components_long_chain(spark):
     chain = spark.range(n - 1).select(
         F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
     )
-    edges = chain.unionByName(
-        chain.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
-    labels = connected_components(edges, max_rounds=30)
+    # directed chain only — connected_components symmetrizes internally
+    labels = connected_components(chain, max_rounds=30)
     got = {r.doc_id: r.label for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
 
@@ -122,6 +120,5 @@ def test_connected_components_multiple_components(spark):
 
     raw = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)]
     pairs = spark.createDataFrame(raw, "doc_a long, doc_b long")
-    edges = pairs.union(pairs.selectExpr("doc_b AS doc_a", "doc_a AS doc_b"))
-    labels = {r.doc_id: r.label for r in connected_components(edges).collect()}
+    labels = {r.doc_id: r.label for r in connected_components(pairs).collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

@@ -58,6 +58,44 @@ def test_example_roundtrip_lists_and_floats():
                              for v in feats["floats"]]
 
 
+def test_example_negative_int64():
+    """Negatives use the standard protobuf wire form (64-bit two's
+    complement as a 10-byte varint) on encode, and decode sign-extends —
+    external reference shards with negative Int64List values must not
+    surface as huge unsigned positives."""
+    feats = {"v": [-5, -1, 0, 5, -(2**63), 2**63 - 1]}
+    assert decode_example(encode_example(feats))["v"] == feats["v"]
+
+    # wire-level pin: an externally-encoded -5 (what any standard protobuf
+    # encoder emits for Int64List [-5]) decodes to -5
+    two_c = (-5) & (2**64 - 1)
+    out = bytearray()
+    n = two_c
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | 0x80 if n else b)
+        if not n:
+            break
+    assert len(out) == 10  # negatives are always 10-byte varints
+    packed = bytes([0x0A, len(out)]) + bytes(out)      # Int64List{1: packed}
+    feat = bytes([0x1A, len(packed)]) + packed         # Feature{3: Int64List}
+    key = b"\x0a\x01v"                                 # entry key "v"
+    fval = bytes([0x12, len(feat)]) + feat             # entry value
+    entry = bytes([0x0A, len(key + fval)]) + key + fval  # Features{1: entry}
+    ex = bytes([0x0A, len(entry)]) + entry             # Example{1: Features}
+    assert decode_example(ex)["v"] == [-5]
+
+
+def test_example_mixed_list_is_floatlist():
+    """A list containing any float must encode as FloatList — [1, 2.5]
+    silently truncating to Int64List [1, 2] is data loss."""
+    got = decode_example(encode_example({"v": [1, 2.5]}))
+    assert got["v"] == [1.0, 2.5]
+    # scalar float likewise
+    assert decode_example(encode_example({"s": 2.5}))["s"] == [2.5]
+
+
 def test_example_deterministic_bytes():
     feats = {"b": b"x", "a": 1}
     assert encode_example(feats) == encode_example(dict(reversed(feats.items())))

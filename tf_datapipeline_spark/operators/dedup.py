@@ -408,9 +408,10 @@ def _clusters_oracle() -> str:
 
 
 def connected_components(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
-    """Distributed connected components over a directed edge list
-    (doc_a, doc_b); returns (doc_id, label) with label = min node id in
-    the component. Each round combines:
+    """Distributed connected components over an edge list (doc_a, doc_b),
+    directed or not — edges are symmetrized internally, so callers may
+    pass raw candidate pairs; returns (doc_id, label) with label = min
+    node id in the component. Each round combines:
 
     1. neighbor-min propagation — label(v) <- min over v's neighbors'
        labels (the classic diameter-bounded step), and
@@ -426,6 +427,13 @@ def connected_components(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
     localCheckpoint to truncate lineage, and one count for the
     convergence check; superseded checkpoints are released each round.
     Raises on non-convergence rather than returning wrong labels."""
+    # neighbor-min is one-directional and the label seed only covers
+    # doc_a, so correctness REQUIRES the symmetric closure — build it
+    # here instead of trusting every caller to remember (dup edges are
+    # harmless: min-aggregation absorbs them)
+    edges = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -490,12 +498,7 @@ def connected_components(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
 def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     _materialize_sig(spark, sf_dir)
     pairs = spark.sql(_lsh_pairs_body()).select("doc_a", "doc_b").localCheckpoint()
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).distinct()
-    labels = connected_components(edges)
+    labels = connected_components(pairs.distinct())
     # the result derives only from the final labels checkpoint, so the
     # edge list's blocks can be released now
     pairs.unpersist()

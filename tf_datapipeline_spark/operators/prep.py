@@ -139,10 +139,7 @@ def qt1_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _materialize_sig(spark, sf_dir)
     pairs = spark.sql(_lsh_pairs_body()).select("doc_a", "doc_b").localCheckpoint()
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).distinct()
-    labels = connected_components(edges)
+    labels = connected_components(pairs.distinct())
     pairs.unpersist()
 
     grams = docs.select("doc_id", F.explode(_grams_spark()).alias("g"))

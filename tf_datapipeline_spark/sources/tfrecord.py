@@ -87,7 +87,7 @@ def masked_crc32c(data: bytes) -> int:
 
 def _varint(n: int) -> bytes:
     if n < 0:
-        raise ValueError("negative int64 features unsupported (none in the schema)")
+        raise ValueError("plain varint cannot be negative (tags/lengths)")
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -99,6 +99,27 @@ def _varint(n: int) -> bytes:
             return bytes(out)
 
 
+_U64 = 1 << 64
+_I64_MAX = (1 << 63) - 1
+
+
+def _varint_s64(n: int) -> bytes:
+    """Int64List value varint: negatives use the standard protobuf
+    encoding — 64-bit two's complement emitted as a (10-byte) unsigned
+    varint — so external TFRecord readers decode them correctly."""
+    if not -(1 << 63) <= n <= _I64_MAX:
+        raise ValueError(f"int64 feature out of range: {n}")
+    return _varint(n & (_U64 - 1))
+
+
+def _sign_extend_s64(v: int) -> int:
+    """Interpret an accumulated varint as a signed int64: standard
+    encoders emit negatives as 64-bit two's complement, so mask to 64
+    bits and sign-extend (v - 2**64 when the sign bit is set)."""
+    v &= _U64 - 1
+    return v - _U64 if v > _I64_MAX else v
+
+
 def _ld(field: int, payload: bytes) -> bytes:
     """A length-delimited (wire type 2) field."""
     return _varint((field << 3) | 2) + _varint(len(payload)) + payload
@@ -106,9 +127,11 @@ def _ld(field: int, payload: bytes) -> bytes:
 
 def encode_example(features: dict[str, bytes | str | int | list]) -> bytes:
     """Encode one tf.train.Example. bytes/str -> BytesList, int/list[int]
-    -> packed Int64List, list[float] -> packed FloatList. Keys are
-    emitted sorted so the byte layout is deterministic (stable shard
-    files under retries)."""
+    -> packed Int64List (negatives as two's-complement varints, the
+    standard wire form), list with ANY float -> packed FloatList (so a
+    mixed [1, 2.5] never silently truncates to ints). Keys are emitted
+    sorted so the byte layout is deterministic (stable shard files under
+    retries)."""
     entries = bytearray()
     for key in sorted(features):
         v = features[key]
@@ -116,11 +139,13 @@ def encode_example(features: dict[str, bytes | str | int | list]) -> bytes:
             v = v.encode()
         if isinstance(v, bytes):
             feat = _ld(1, _ld(1, v))
-        elif isinstance(v, list) and v and isinstance(v[0], float):
-            feat = _ld(2, _ld(1, struct.pack(f"<{len(v)}f", *v)))
+        elif isinstance(v, list) and any(isinstance(x, float) for x in v):
+            feat = _ld(2, _ld(1, struct.pack(f"<{len(v)}f", *(float(x) for x in v))))
+        elif isinstance(v, float):
+            feat = _ld(2, _ld(1, struct.pack("<f", v)))
         else:
             vals = v if isinstance(v, list) else [int(v)]
-            feat = _ld(3, _ld(1, b"".join(_varint(int(x)) for x in vals)))
+            feat = _ld(3, _ld(1, b"".join(_varint_s64(int(x)) for x in vals)))
         entries += _ld(1, _ld(1, key.encode()) + _ld(2, feat))
     return _ld(1, bytes(entries))
 
@@ -174,12 +199,12 @@ def _decode_feature(feat: bytes) -> list:
                 if n != 1:
                     continue
                 if wire == 0:  # unpacked varint
-                    vals.append(v)
+                    vals.append(_sign_extend_s64(v))
                 else:  # packed varints
                     i = 0
                     while i < len(v):
                         x, i = _read_varint(v, i)
-                        vals.append(x)
+                        vals.append(_sign_extend_s64(x))
         elif f == 2:  # FloatList
             for n, wire, v in _iter_fields(payload):
                 if n != 1:
@@ -272,11 +297,21 @@ def write_tfrecords(
     task each (no driver bottleneck; parallelism == shard count). Rows
     sort by path inside a shard so the file bytes are deterministic.
     Returns the manifest DataFrame (split, shard, file, n_records,
-    n_bytes)."""
-    os.makedirs(out_dir, exist_ok=True)
+    n_bytes).
+
+    Deployment note: shards are written with plain ``open()`` inside the
+    executor task, so ``out_dir`` must be a filesystem every executor
+    shares (local FS in this single-JVM harness; NFS/FUSE-mounted object
+    store on a cluster). For HDFS/S3-native output, swap
+    ``write_tfrecord_file`` for a Hadoop-FS writer behind the same
+    signature; the framing/encoding layers are path-agnostic. The dir is
+    created inside each task (not only driver-side) so per-executor
+    local paths fail fast with a clear error rather than a missing-dir
+    one."""
 
     def write_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         split, shard = str(key[0]), int(key[1])
+        os.makedirs(out_dir, exist_ok=True)
         pdf = pdf.sort_values("path")
         name = SHARD_NAME % (split, shard, n_shards)
 

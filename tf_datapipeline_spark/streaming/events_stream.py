@@ -151,7 +151,14 @@ def q47_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q4p_stream_append_windows",
     oracle=f"""
-    WITH wm AS (SELECT MAX(ts) - INTERVAL '1 hour' AS cutoff FROM events),
+    WITH wm AS (
+      -- Spark tracks the event-time watermark at MILLISECOND precision
+      -- (max event time is truncated to ms before subtracting the
+      -- delay), so the oracle truncates too — otherwise a window end
+      -- landing in the sub-ms sliver of max(ts) flips emission.
+      SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL '1 hour' AS cutoff
+      FROM events
+    ),
     agg AS (
       SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
              event_type,
@@ -279,7 +286,9 @@ def q49_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, session_start, session_end, n_events
     FROM rolled
-    WHERE session_end <= (SELECT MAX(ts) - INTERVAL '1 hour' FROM events)
+    -- ms-truncated cutoff mirrors Spark's watermark arithmetic (see q4p)
+    WHERE session_end <=
+      (SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL '1 hour' FROM events)
     """,
 )
 def q4q_stream_append_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
