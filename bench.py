@@ -6,8 +6,8 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Query set spans the operator families: scan/agg (q01, q06), joins
 (q03, q05), top-k (q09), windows (q20, q21), event-time (q40, q42),
-text (q50, q55), dedup (q60..q65), similarity (q70, q71), multimodal
-decode + ETL (q81, q84), streaming (q47).
+text (q50, q55, q5g, qt1), dedup (q60..q65), similarity (q70, q71),
+multimodal decode + ETL (q81, q84), streaming (q47, q4p).
 """
 
 from __future__ import annotations
@@ -47,6 +47,10 @@ HEADLINE = [
     "q1b_small_quantity_revenue",
     "q4r_range_join",
     "q4a_asof_join",
+    # round 4: the rotated-in operators carry their own timings
+    "q4p_stream_append_windows",
+    "qt1_prep_pipeline",
+    "q5g_doc_chunking",
 ]
 
 # heavy queries benched since r02 — timed and reported, but kept OUT of
