@@ -268,3 +268,47 @@ def test_no_row_wise_python_udfs(spark):
         assert "BatchEvalPython" not in plan, (
             f"{name} plans a row-at-a-time Python UDF"
         )
+
+
+def test_collect_sites_are_bounded_metadata_only():
+    """Source-level audit: .collect() inside the engine package is the
+    un-distributed anti-pattern, so every site must be on the explicit
+    allowlist of BOUNDED metadata collects (per-bucket aggregate rows,
+    k-row centroid tables, shard manifests). A new .collect() on row
+    data (like q87's old driver-side fixture loop) fails here until it
+    is either made executor-side or consciously allowlisted."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "tf_datapipeline_spark"
+    allowed = {
+        # (file, enclosing function): why it is bounded
+        ("operators/multimodal.py", "q8h_tfrecord_roundtrip"),  # shard manifest rows
+        ("operators/pipeline.py", "offset_running_sum"),  # n_buckets agg rows
+        ("operators/pipeline.py", "offset_row_number"),  # n_buckets agg rows
+        ("operators/similarity.py", "q73_knn_ann_ivf"),  # k=16 centroid rows
+    }
+    found = set()
+    for py in pkg.rglob("*.py"):
+        tree = ast.parse(py.read_text())
+        rel = str(py.relative_to(pkg))
+
+        def visit(node, fn_name):
+            for child in ast.iter_child_nodes(node):
+                name = fn_name
+                if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    name = child.name if fn_name is None else fn_name
+                if (
+                    isinstance(child, ast.Call)
+                    and isinstance(child.func, ast.Attribute)
+                    and child.func.attr == "collect"
+                ):
+                    found.add((rel, fn_name or "<module>"))
+                visit(child, name)
+
+        visit(tree, None)
+    unexpected = found - allowed
+    assert not unexpected, (
+        f"unreviewed .collect() sites (add executor-side write or "
+        f"allowlist with a bounded-rows justification): {sorted(unexpected)}"
+    )

@@ -752,11 +752,18 @@ def q87_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice_df = synthetic_corpus(spark, sf_dir).filter(
         F.regexp_extract("path", r"/(\d+)\.ppm$", 1).cast("long") < _SCAN_DOCS
     )
-    for r in slice_df.select("path", "class_name", "content").collect():
-        d = os.path.join(root, r.class_name)
-        os.makedirs(d, exist_ok=True)
-        with open(os.path.join(root, r.path.split("corpus/", 1)[1]), "wb") as f:
-            f.write(bytes(r.content))
+
+    def write_files(rows) -> None:
+        # executor-side materialization: no row payload ever crosses the
+        # driver (the shared local FS stands in for NFS/object storage on
+        # a cluster — same assumption as tfrecord.write_tfrecords)
+        for r in rows:
+            rel = r.path.split("corpus/", 1)[1]
+            os.makedirs(os.path.join(root, os.path.dirname(rel)), exist_ok=True)
+            with open(os.path.join(root, rel), "wb") as f:
+                f.write(bytes(r.content))
+
+    slice_df.select("path", "content").foreachPartition(write_files)
 
     scanned = scan_image_dir(spark, root)
 
