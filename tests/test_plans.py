@@ -206,6 +206,7 @@ def test_no_accidental_cross_products(spark):
         "q70_knn_bruteforce",  # broadcast 8-row query set, != condition
         "qp1_feed_pipeline",  # epochs dim: 2 rows
         "q4y_gap_fill",  # spine build: 5-row type dim x 1-row minute range
+        "q82g_augment_golden",  # 1-row train digest x 1-row eval digest
     }
     for name, fn in sorted(registry.queries().items()):
         if "stream" in name:

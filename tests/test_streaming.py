@@ -212,3 +212,69 @@ def test_rollup_merge_resumes_from_checkpoint(spark):
     # user 2 untouched by run 2; user 3 inserted by run 2
     assert final[2].n_events == 1 and float(final[2].sum_value) == 10.0
     assert final[3].n_events == 1 and float(final[3].sum_value) == 7.0
+
+
+def test_append_windows_invariant_to_batch_count(spark, tmp_path):
+    """q4p's append-mode emission must not depend on HOW the input is
+    micro-batched: draining one file in a single batch and draining three
+    time-ordered files with maxFilesPerTrigger=1 (so the watermark
+    advances batch by batch and mid-stream state is flushed incrementally)
+    must emit exactly the same window rows. Covers the cross-batch state
+    path (watermark advancement, in-horizon late row accepted mid-stream)
+    that single-file availableNow runs exercise only degenerately."""
+    rows = []
+    hour = 3_600_000_000
+    for h in range(3):
+        for i in range(20):
+            rows.append((_T0 + h * hour + i * (hour // 20), float(h * 100 + i)))
+    # a "late" row delivered in the third file but timestamped inside
+    # hour 1 — above the watermark after file 2 (max=h2_start-ish - 1h),
+    # so both executions must aggregate it identically
+    late = (_T0 + hour + hour // 2 + 12_345, 999.0)
+
+    one = str(tmp_path / "one")
+    split = str(tmp_path / "split")
+    os.makedirs(one), os.makedirs(split)
+    _write_events(os.path.join(one, "all.parquet"), rows + [late])
+    files = [
+        ("f0.parquet", rows[:20]),
+        ("f1.parquet", rows[20:40]),
+        ("f2.parquet", rows[40:] + [late]),
+    ]
+    now = time.time()
+    for k, (fname, slice_rows) in enumerate(files):
+        p = os.path.join(split, fname)
+        _write_events(p, slice_rows)
+        # file source processes oldest-mtime first; force chronological
+        os.utime(p, (now + k, now + k))
+
+    def drain(src_dir: str, max_files: int | None):
+        reader = spark.readStream.schema("ts timestamp, v double").format("parquet")
+        if max_files is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files))
+        sdf = reader.load(src_dir)
+        agg = (
+            sdf.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+            .select(F.col("w.start").alias("ws"), "n", "sv")
+        )
+        name = f"inv_{os.path.basename(src_dir)}_{max_files}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_batches = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
+        return sorted(map(tuple, spark.table(name).collect())), n_batches
+
+    got_one, _ = drain(one, None)
+    got_split, n_batches = drain(split, 1)
+    assert n_batches >= 3, f"expected >=3 data micro-batches, saw {n_batches}"
+    assert got_one == got_split
+    assert len(got_one) > 0  # flushed windows exist (first ~2h worth)

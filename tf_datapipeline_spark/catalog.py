@@ -61,6 +61,9 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     values AND type (the driver's value hash is type-sensitive)."""
     from pyspark.sql import functions as F
 
+    # nanosAsLong is set at session build (session.py); this defensive
+    # idempotent set covers sessions built outside get_spark. It only
+    # affects TIMESTAMP(NANOS) parquet fields, nothing else.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
     ts_type = dict(df.dtypes).get("ts")

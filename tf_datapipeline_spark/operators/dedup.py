@@ -38,6 +38,7 @@ from tf_datapipeline_spark.registry import query
 _K = 8  # MinHash signature length
 _PARAMS = minhash_params(_K)
 _BAND = 4  # rows per LSH band → 2 bands
+_BUCKET_CAP = 64  # max docs per LSH band bucket (see _lsh_pairs_body)
 _SIMHASH_BITS = 16
 
 
@@ -173,18 +174,46 @@ def q62_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_minhash_signature_sql("spark"))
 
 
-def _lsh_pairs_body() -> str:
+def _band_candidates() -> str:
+    """The SINGLE source of banded candidate-pair SQL (q63 scoring, q65
+    exact verify, q67/qt1 clustering and their oracles all build on it):
+    per band, docs sharing the band's signature columns pair up, with
+    HOT-BUCKET capping (see _lsh_pairs_body docstring for the measured
+    rationale); bands UNION (dedups repeated pairs)."""
     bands = []
     n_bands = _K // _BAND
     for b in range(n_bands):
+        cols = ", ".join(f"m{i}" for i in range(b * _BAND, (b + 1) * _BAND))
         cond = " AND ".join(
             f"a.m{i} = b.m{i}" for i in range(b * _BAND, (b + 1) * _BAND)
         )
+        ok_cond = " AND ".join(
+            f"a.m{i} = ok{b}.m{i}" for i in range(b * _BAND, (b + 1) * _BAND)
+        )
         bands.append(
             f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
-            f"FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND {cond}"
+            f"FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND {cond} "
+            f"JOIN (SELECT {cols} FROM sig GROUP BY {cols} "
+            f"HAVING COUNT(*) <= {_BUCKET_CAP}) ok{b} ON {ok_cond}"
         )
-    cand = "\n      UNION\n      ".join(bands)
+    return "\n      UNION\n      ".join(bands)
+
+
+def _lsh_pairs_body() -> str:
+    """Banded candidate generation with HOT-BUCKET capping: a band bucket
+    holding more than _BUCKET_CAP docs is a degenerate hot spot (minhash
+    values concentrate on the corpus's common shingles), and its pair
+    fan-out is quadratic in bucket size — the measured scaling run showed
+    candidates growing ~n^2 (9.6k pairs at 5k docs -> 1.01M at 50k)
+    precisely because of such buckets (top bucket: 489 docs at 50k).
+    Skipping oversized buckets bounds candidates to O(n * cap * bands) —
+    the standard production near-dedup guard — at the cost of recall
+    inside hot buckets only (docs there are dominated by false matches;
+    the other band still catches true pairs). The cap is deterministic,
+    replayed verbatim by the DuckDB oracle, and does not bind at the
+    driver's correctness/bench scales (largest observed bucket: 8 at
+    sf0.01, 50 at sf0.1)."""
+    cand = _band_candidates()
     est = " + ".join(
         f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(_K)
     )
@@ -253,17 +282,7 @@ def _jaccard_body() -> str:
     # shingle self-join is quadratic in docs-per-shingle (this corpus's
     # small vocabulary makes that ~200M intermediate rows at sf0.1); the
     # candidate-verify composition is the shape that survives 100 TB.
-    bands = []
-    n_bands = _K // _BAND
-    for b in range(n_bands):
-        cond = " AND ".join(
-            f"a.m{i} = b.m{i}" for i in range(b * _BAND, (b + 1) * _BAND)
-        )
-        bands.append(
-            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
-            f"FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND {cond}"
-        )
-    cand = "\n      UNION\n      ".join(bands)
+    cand = _band_candidates()
     return f"""
     SELECT i.doc_a, i.doc_b, i.n_common,
            sa.sz AS size_a, sb.sz AS size_b,
@@ -285,20 +304,6 @@ def _jaccard_body() -> str:
     """
 
 
-def _cand_band_union() -> str:
-    bands = []
-    n_bands = _K // _BAND
-    for b in range(n_bands):
-        cond = " AND ".join(
-            f"a.m{i} = b.m{i}" for i in range(b * _BAND, (b + 1) * _BAND)
-        )
-        bands.append(
-            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
-            f"FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND {cond}"
-        )
-    return "\n      UNION\n      ".join(bands)
-
-
 def _materialize_candidate_shingles(spark: SparkSession, sf_dir: str) -> None:
     """Bind the `shingles` view to the DISTINCT shingle sets of CANDIDATE
     docs only (docs appearing in some LSH band collision). Exact-verify
@@ -310,8 +315,8 @@ def _materialize_candidate_shingles(spark: SparkSession, sf_dir: str) -> None:
     key = _memo_key(spark, sf_dir, "cand_shingles")
     if key not in _MATERIALIZED:
         ids = spark.sql(
-            f"SELECT doc_a AS doc_id FROM ({_cand_band_union()}) "
-            f"UNION SELECT doc_b FROM ({_cand_band_union()})"
+            f"SELECT doc_a AS doc_id FROM ({_band_candidates()}) "
+            f"UNION SELECT doc_b FROM ({_band_candidates()})"
         )
         raw = spark.sql(f"SELECT * FROM ({_sql_shingles('spark', distinct=False)})")
         _MATERIALIZED[key] = (

@@ -414,9 +414,10 @@ _AUG_H, _AUG_W = 32, 32
 _AUG_SEED = 42
 
 
-@query("q82_augment_train")
-def q82_augment_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = synthetic_corpus(spark, sf_dir).select("path", "class_name", "image_format", "content")
+def _train_augment_stats(corpus: DataFrame) -> DataFrame:
+    """Seeded train-augment chain (M2-M9) -> per-doc stats rows. Shared
+    by q82 (full corpus, rows-only) and q82g (fixed slice, golden-hash
+    value check)."""
 
     def augment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -474,15 +475,23 @@ def q82_augment_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q82_augment_train")
+def q82_augment_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = synthetic_corpus(spark, sf_dir).select(
+        "path", "class_name", "image_format", "content"
+    )
+    return _train_augment_stats(corpus)
+
+
 # --------------------------------------------------------------------------
 # q83 — eval path: central crop 0.875 + bilinear resize, range [0,1]
 # (reference M9, preprocess_for_eval dataset_preprocessing.py:237-275).
 # Deterministic but bilinear-over-grid is not reasonably SQL-expressible
 # -> rows-only; determinism means repeated runs hash identically.
 # --------------------------------------------------------------------------
-@query("q83_augment_eval")
-def q83_augment_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = synthetic_corpus(spark, sf_dir).select("path", "image_format", "content")
+def _eval_stats(corpus: DataFrame) -> DataFrame:
+    """Deterministic eval preprocess (M9) -> per-doc stats rows. Shared
+    by q83 (full corpus) and q82g (golden-hash slice)."""
 
     def ev(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -511,6 +520,96 @@ def q83_augment_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, out_h int, out_w int, channels int, "
         "px_min double, px_max double, px_mean double",
     )
+
+
+@query("q83_augment_eval")
+def q83_augment_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = synthetic_corpus(spark, sf_dir).select("path", "image_format", "content")
+    return _eval_stats(corpus)
+
+
+# --------------------------------------------------------------------------
+# q82g — GOLDEN-HASH value check for the randomized augment chain. The
+# seeded kernels (M2-M9) are inherently non-SQL-expressible, so q82/q83
+# are rows-only in the driver gate; this query closes that evidence gap:
+# the synthetic corpus slice doc_id < 64 is IDENTICAL at every sf
+# (pixels, dims and the per-row Philox stream derive from doc_id alone —
+# sources/images.py:synthetic_pixels, functions/imageops.py:rng_for_row),
+# so one literal md5 over the canonicalized per-doc augment stats is a
+# full value check of the whole chain at any scale. Reference semantics:
+# dataset_preprocessing.py:156-234 (train) / :237-275 (eval).
+# --------------------------------------------------------------------------
+_GOLDEN_DOCS = 64
+# computed once from the Spark side (identical at sf0.001/sf0.01/sf0.1 —
+# verified — because the slice is a pure function of doc_id and seed)
+_TRAIN_GOLDEN = "c6bfd548f58b0a8a4b61188fe936e665"
+_EVAL_GOLDEN = "bfc6c062bd27c15419f3aed5d6a21c0e"
+
+
+def _golden_digest(df: DataFrame, cols: list[str]) -> F.Column:
+    canon = F.concat_ws(":", *[F.col(c).cast("string") for c in cols])
+    return F.md5(F.concat_ws("|", F.sort_array(F.collect_list(canon))))
+
+
+@query(
+    "q82g_augment_golden",
+    oracle=f"""
+    SELECT CAST({_GOLDEN_DOCS} AS BIGINT) AS n_docs,
+           '{_TRAIN_GOLDEN}' AS train_hash,
+           '{_EVAL_GOLDEN}' AS eval_hash
+    """,
+)
+def q82g_augment_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flt = F.col("doc_id") < _GOLDEN_DOCS
+    train_corpus = synthetic_corpus(spark, sf_dir, docs_filter=flt).select(
+        "path", "class_name", "image_format", "content"
+    )
+    eval_corpus = synthetic_corpus(spark, sf_dir, docs_filter=flt).select(
+        "path", "image_format", "content"
+    )
+    # class_name/lang is sf-dependent — exclude it from the canonical
+    # string; everything else is a pure function of (doc_id, seed)
+    train = _train_augment_stats(train_corpus).select(
+        "doc_id",
+        "out_h",
+        "out_w",
+        "channels",
+        "crop_h",
+        "crop_w",
+        "resize_method",
+        F.col("flipped").cast("int").alias("flipped"),
+        "color_ordering",
+        F.round("px_min", 6).alias("px_min"),
+        F.round("px_max", 6).alias("px_max"),
+        F.round("px_mean", 6).alias("px_mean"),
+    )
+    ev = _eval_stats(eval_corpus).select(
+        "doc_id",
+        "out_h",
+        "out_w",
+        "channels",
+        F.round("px_min", 6).alias("px_min"),
+        F.round("px_max", 6).alias("px_max"),
+        F.round("px_mean", 6).alias("px_mean"),
+    )
+    t = train.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _golden_digest(
+            train,
+            [
+                "doc_id", "out_h", "out_w", "channels", "crop_h", "crop_w",
+                "resize_method", "flipped", "color_ordering",
+                "px_min", "px_max", "px_mean",
+            ],
+        ).alias("train_hash"),
+    )
+    e = ev.agg(
+        _golden_digest(
+            ev,
+            ["doc_id", "out_h", "out_w", "channels", "px_min", "px_max", "px_mean"],
+        ).alias("eval_hash")
+    )
+    return t.crossJoin(e).select("n_docs", "train_hash", "eval_hash")
 
 
 # --------------------------------------------------------------------------

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tf_datapipeline_spark.catalog import load_table
+from tf_datapipeline_spark.functions.dicts import dense_id_dict
 from tf_datapipeline_spark.registry import query
 from tf_datapipeline_spark.functions.texthash import sql_hash32, sql_hash32_dialect
 
@@ -135,13 +136,7 @@ def offset_row_number(
 )
 def q30_label_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    dict_df = (
-        docs.select("lang")
-        .distinct()
-        .withColumn(
-            "label_id", F.row_number().over(Window.orderBy("lang")) - F.lit(1)
-        )
-    )
+    dict_df = dense_id_dict(docs, "lang", "label_id")
     return docs.join(F.broadcast(dict_df), "lang").select("doc_id", "lang", "label_id")
 
 
@@ -583,13 +578,8 @@ def qp2_label_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_label = emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"), F.sum(correct).alias("n_correct")
     )
-    dict_df = (
-        emb.select("label")
-        .distinct()
-        .withColumn(
-            "label_id",
-            (F.row_number().over(Window.orderBy("label")) - F.lit(1)).cast("bigint"),
-        )
+    dict_df = dense_id_dict(emb, "label", "label_id").withColumn(
+        "label_id", F.col("label_id").cast("bigint")
     )
     one_hot = [
         F.when(F.col("label_id") % 5 == i, 1).otherwise(0).alias(f"oh_{i}")

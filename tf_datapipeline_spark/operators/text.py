@@ -948,8 +948,22 @@ def q5f_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
     top = counts.orderBy(F.desc("n"), F.asc("bigram")).limit(20)
-    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
-    return top.withColumn("rnk", F.row_number().over(w))
+    # rank the 20 survivors via one sorted-array aggregate instead of an
+    # unpartitioned WindowExec (struct sorts by (-n, bigram) = n desc,
+    # bigram asc — the same tie-break as the limit above)
+    return (
+        top.agg(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("n")).alias("_neg"), "bigram", "n"))
+            ).alias("_a")
+        )
+        .select(F.posexplode("_a").alias("_pos", "_s"))
+        .select(
+            F.col("_s.bigram").alias("bigram"),
+            F.col("_s.n").alias("n"),
+            (F.col("_pos") + 1).alias("rnk"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

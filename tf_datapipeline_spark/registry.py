@@ -134,7 +134,11 @@ GATE_ORDER = [
     "q8h_tfrecord_roundtrip",
     "q86_audio_rms",
     "q87_binaryfile_scan",
-    "q89_resize_nearest",
+    # round 4: q82g (golden-hash value check of the whole seeded augment
+    # chain M2-M9 — crop, dual-method resize, flip, jitter, normalize)
+    # takes q89's slot: the nearest-resize kernel is one branch of the
+    # chain q82g pins, and q89 stays locally oracle-checked.
+    "q82g_augment_golden",
     "q8e_format_sniff",
     # q8d (baseline JPEG decode, bit-exact flat-block corpus) takes the
     # last slot over q8a_channel_stats: q8a's per-channel reduction is

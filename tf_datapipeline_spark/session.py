@@ -41,6 +41,11 @@ def get_spark(app_name: str = "tf_datapipeline_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # read TIMESTAMP(NANOS) parquet fields as raw int64 instead of
+        # erroring — affects ONLY nanos-typed fields (the events table's
+        # legacy storage era; catalog._load_events truncates to µs).
+        # Set here so table loaders don't have to mutate session conf.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )

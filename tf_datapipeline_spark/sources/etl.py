@@ -16,9 +16,10 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tf_datapipeline_spark.functions.dicts import dense_id_dict
 from tf_datapipeline_spark.functions.texthash import sql_hash32
 
 N_SHARDS = 5  # reference _NUM_SHARDS (make_tf_record.py:11)
@@ -51,11 +52,7 @@ def records_with_split(
       distinct RNG streams and a total order (the payload hash would
       collide them).
     """
-    dict_df = (
-        corpus.select(F.col("class_name"))
-        .distinct()
-        .withColumn("label", F.row_number().over(Window.orderBy("class_name")) - F.lit(1))
-    )
+    dict_df = dense_id_dict(corpus, "class_name", "label")
     key = F.expr(sql_path_key(seed))
     return (
         corpus.join(F.broadcast(dict_df), "class_name")

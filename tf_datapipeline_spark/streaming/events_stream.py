@@ -60,6 +60,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_ntz` so streaming results are type-identical to the batch twins
     (catalog normalizes batch events.ts to NTZ — what DuckDB reads for
     naive parquet timestamps)."""
+    # defensive idempotent set; see catalog._load_events / session.py
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_ts = dict(spark.read.parquet(table_path(sf_dir, "events")).dtypes)["ts"]
     ts_decl = "bigint" if raw_ts == "bigint" else raw_ts
