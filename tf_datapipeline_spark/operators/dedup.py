@@ -329,16 +329,55 @@ def _jaccard_sql(dialect: str) -> str:
     return _with_prelude(dialect, _jaccard_body(), need_sig=True)
 
 
+def _jaccard_spark_body() -> str:
+    """Spark-side verify: per-doc sorted shingle ARRAYS once (one
+    group-by), then each candidate pair is two array lookups and a
+    codegen `array_intersect` — the 70M-row shingle⋈shingle exchange of
+    the portable form becomes a 2-join of 248k candidate rows against
+    50k array rows at sf1 (measured ~4x faster warm). The oracle keeps
+    the portable shingle-join form; results are identical (sets are
+    distinct, |A∩B| is |A∩B|)."""
+    cand = _band_candidates()
+    return f"""
+    SELECT doc_a, doc_b, n_common, size_a, size_b,
+           CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) AS jaccard
+    FROM (
+      SELECT c.doc_a, c.doc_b,
+             CAST(size(array_intersect(sa.hs, sb.hs)) AS BIGINT) AS n_common,
+             sa.sz AS size_a, sb.sz AS size_b
+      FROM (
+        {cand}
+      ) c
+      JOIN shingle_sets sa ON sa.doc_id = c.doc_a
+      JOIN shingle_sets sb ON sb.doc_id = c.doc_b
+    )
+    WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.3
+    """
+
+
+def _materialize_shingle_sets(spark: SparkSession, sf_dir: str) -> None:
+    """Bind `shingle_sets` = (doc_id, hs array<bigint>, sz) for candidate
+    docs, built from the memoized candidate `shingles` view."""
+    _materialize_candidate_shingles(spark, sf_dir)
+    key = _memo_key(spark, sf_dir, "shingle_sets")
+    if key not in _MATERIALIZED:
+        _MATERIALIZED[key] = spark.sql(
+            "SELECT doc_id, collect_list(h) AS hs, COUNT(*) AS sz "
+            "FROM shingles GROUP BY doc_id"
+        ).localCheckpoint()
+    _MATERIALIZED[key].createOrReplaceTempView("shingle_sets")
+
+
 @query("q65_ngram_jaccard", oracle=_jaccard_sql("duckdb"))
 def q65_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by EXACT 5-gram Jaccard, verified over MinHash-LSH
     candidate pairs (generate candidates cheaply, verify exactly — the
     standard two-phase near-dedup of large-corpus pipelines). The exact
     |A∩B| needs SET semantics, but only for candidate docs — see
-    _materialize_candidate_shingles."""
+    _materialize_candidate_shingles / _jaccard_spark_body."""
     _materialize_sig(spark, sf_dir)
-    _materialize_candidate_shingles(spark, sf_dir)
-    return spark.sql(_jaccard_sql("spark"))
+    _materialize_shingle_sets(spark, sf_dir)
+    return spark.sql(_jaccard_spark_body())
 
 
 def _embedding_neardup_sql(dialect: str) -> str:
