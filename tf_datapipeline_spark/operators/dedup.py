@@ -551,3 +551,100 @@ def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.join(sizes, "label")
         .select("doc_id", F.col("label").alias("cluster_id"), "cluster_size")
     )
+
+
+# --------------------------------------------------------------------------
+# q68 — SEMANTIC dedup (SemDeDup-style): cluster the embedding space,
+# then look for cosine-near duplicates ONLY within a cluster, keeping the
+# lowest vec_id of each near-dup relation (keep-first). This is the
+# published recipe for pruning semantically-redundant training data
+# (Abbas et al. 2023, "SemDeDup"): k-means the corpus, compare pairs
+# inside each cluster, drop all but one representative — the clustering
+# makes the pair space O(sum n_c^2) instead of O(n^2).
+#
+# Determinism/oracle: cells come from the same fixed seed centroids as
+# q73's IVF (corpus vectors at vec_id = 8 + 37*c), assignment is argmax
+# cosine with ties broken by cell index, and every dot product is a
+# DECIMAL(38,12) sum cast to DOUBLE — bit-identical in Spark and DuckDB,
+# so the whole pipeline (assignment -> in-cell pairs -> keep flags) is
+# value-checked, not rows-only.
+#
+# Scale (100 TB): the production path assigns cells with q73's numpy
+# Pandas-UDF (one matmul per Arrow batch) and joins pairs per cell —
+# shuffle keyed by cell, never all-pairs; cluster count grows with the
+# corpus so cell populations stay bounded (SemDeDup used 50k clusters
+# for LAION). In-cell pair cost is capped the same way q63 caps LSH
+# buckets. Reference analog: none (extension family, BASELINE.json).
+# --------------------------------------------------------------------------
+_SEM_TAU = 0.4  # same exercise threshold as q66 (corpus has no seeded
+                # embedding dups; production ~0.95)
+
+
+def _semantic_dedup_sql(dialect: str) -> str:
+    from tf_datapipeline_spark.operators.similarity import (
+        _CENTROID_STRIDE,
+        _N_CELLS,
+        _dims_cte,
+    )
+
+    cent_vals = ", ".join(
+        f"({c}, {8 + _CENTROID_STRIDE * c})" for c in range(_N_CELLS)
+    )
+    return f"""
+    WITH dims AS ({_dims_cte(dialect)}),
+    cent(cell, cvec_id) AS (VALUES {cent_vals}),
+    norms AS (
+      SELECT vec_id, SQRT(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      FROM dims GROUP BY vec_id
+    ),
+    cdims AS (
+      SELECT c.cell, c.cvec_id, d.pos, d.x
+      FROM dims d JOIN cent c ON c.cvec_id = d.vec_id
+    ),
+    csims AS (
+      SELECT v.vec_id, c.cell,
+             CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,12))) AS DOUBLE)
+               / (nv.nrm * nc.nrm) AS cos_c
+      FROM dims v
+      JOIN cdims c ON c.pos = v.pos
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN norms nc ON nc.vec_id = c.cvec_id
+      GROUP BY v.vec_id, c.cell, nv.nrm, nc.nrm
+    ),
+    cells AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_c DESC, cell) AS rn
+        FROM csims
+      ) ranked WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE)
+               / (na.nrm * nb.nrm) AS cos_sim
+      FROM dims a
+      JOIN dims b ON b.pos = a.pos AND a.vec_id < b.vec_id
+      JOIN cells ca ON ca.vec_id = a.vec_id
+      JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
+      JOIN norms na ON na.vec_id = a.vec_id
+      JOIN norms nb ON nb.vec_id = b.vec_id
+      GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
+    ),
+    dup AS (
+      SELECT vec_b, MIN(vec_a) AS dup_of
+      FROM pairs WHERE cos_sim >= {_SEM_TAU} GROUP BY vec_b
+    )
+    SELECT c.vec_id, c.cell, d.dup_of,
+           CAST(d.dup_of IS NULL AS INT) AS keep
+    FROM cells c LEFT JOIN dup d ON d.vec_b = c.vec_id
+    """
+
+
+@query("q68_semantic_dedup", oracle=_semantic_dedup_sql("duckdb"))
+def q68_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-compare semantic dedup over `embeddings`: one row per
+    vector with its cell, keep flag, and (for dropped vectors) the
+    lowest-id near-duplicate it lost to."""
+    register_views(spark, sf_dir)
+    return spark.sql(_semantic_dedup_sql("spark"))
