@@ -538,14 +538,30 @@ def connected_components(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
     return labels
 
 
+def materialize_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized connected-component labels over the LSH pair graph.
+    q67 and qt1 consume the SAME labels, so a warm engine runs the
+    iterative CC once per corpus and shares the checkpointed result —
+    the same convention as the shared signature table (the iteration is
+    the single most expensive step in the dedup family)."""
+    key = _memo_key(spark, sf_dir, "cc_labels")
+    if key not in _MATERIALIZED:
+        _materialize_sig(spark, sf_dir)
+        pairs = (
+            spark.sql(_lsh_pairs_body()).select("doc_a", "doc_b").localCheckpoint()
+        )
+        # connected_components checkpoints each round; the returned frame
+        # is backed by the final round's checkpoint
+        _MATERIALIZED[key] = connected_components(pairs.distinct())
+        # the labels derive only from the final checkpoint, so the edge
+        # list's blocks can be released now
+        pairs.unpersist()
+    return _MATERIALIZED[key]
+
+
 @query("q67_dedup_clusters", oracle=_clusters_oracle())
 def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _materialize_sig(spark, sf_dir)
-    pairs = spark.sql(_lsh_pairs_body()).select("doc_a", "doc_b").localCheckpoint()
-    labels = connected_components(pairs.distinct())
-    # the result derives only from the final labels checkpoint, so the
-    # edge list's blocks can be released now
-    pairs.unpersist()
+    labels = materialize_cc_labels(spark, sf_dir)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "label")

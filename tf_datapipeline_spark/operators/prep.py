@@ -30,10 +30,9 @@ from pyspark.sql import functions as F
 from tf_datapipeline_spark.catalog import load_table
 from tf_datapipeline_spark.operators.dedup import (
     _lsh_pairs_body,
-    _materialize_sig,
     _sql_shingles,
     _sql_signature,
-    connected_components,
+    materialize_cc_labels,
 )
 from tf_datapipeline_spark.operators.text import (
     _CONTAM_MIN_OVERLAP,
@@ -137,12 +136,11 @@ def qt1_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") != F.min("doc_id").over(w)).alias("exact_dup"),
     )
 
-    _materialize_sig(spark, sf_dir)
-    pairs = spark.sql(_lsh_pairs_body()).select("doc_a", "doc_b").localCheckpoint()
-    labels = connected_components(pairs.distinct())
-    pairs.unpersist()
+    labels = materialize_cc_labels(spark, sf_dir)
 
-    grams = docs.select("doc_id", F.explode(_grams_spark()).alias("g"))
+    grams = docs.select("doc_id", _tokens_spark().alias("_toks")).select(
+        "doc_id", F.explode(_grams_spark(F.col("_toks"))).alias("g")
+    )
     bench = grams.filter(F.col("doc_id") % _CONTAM_MOD == 0).select("g").distinct()
     contam = (
         grams.filter(F.col("doc_id") % _CONTAM_MOD != 0)
