@@ -664,3 +664,116 @@ def q68_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest-id near-duplicate it lost to."""
     register_views(spark, sf_dir)
     return spark.sql(_semantic_dedup_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# q69 — SUBSTRING-level dup accounting (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr analog
+# at token granularity): any K-token span appearing verbatim in 2+
+# documents is "duplicated text"; per doc, report how many of its tokens
+# sit inside at least one duplicated span. Corpus-level dedup would then
+# cut those spans (or drop high-fraction docs, the common LLM-prep
+# policy this query's dup_fraction feeds).
+#
+# Spark shape (100 TB): spans hash to 8-byte keys (the md5-based hash32
+# both engines share), so the gram shuffle carries (g32, doc_id, i) —
+# never the span text; duplicated-gram detection is one partial-agg
+# group-by; coverage is computed as an INTERVAL UNION with a lag window
+# per doc (all spans have length K, so union size = K + Σ min(K, gap))
+# instead of exploding K positions per occurrence — no K× row blow-up,
+# no DISTINCT. The dupg join stays an equi-join on the hash (AQE picks
+# broadcast when the dup set is small). Hash collisions merge spans
+# identically in both engines (and at 2^-32 per pair are the standard
+# accepted cost — suffix-array exactness would need the full text
+# shuffle this avoids).
+# --------------------------------------------------------------------------
+_SUB_K = 8  # tokens per span
+
+
+def _substring_dup_oracle() -> str:
+    from tf_datapipeline_spark.operators.text import _TOKENS_SQL
+
+    g32 = sql_hash32_dialect(f"array_to_string(t[i:i+{_SUB_K - 1}], ' ')", "duckdb")
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+    pos AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - {_SUB_K - 1}, 0))) AS i
+      FROM toks
+    ),
+    occ AS (SELECT doc_id, i, {g32} AS g32 FROM pos),
+    dupg AS (SELECT g32 FROM occ GROUP BY g32 HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT doc_id, unnest(generate_series(i, i + {_SUB_K - 1})) AS p
+        FROM occ JOIN dupg USING (g32)
+      ) spans
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_dup FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+           CAST(COALESCE(c.n_dup, 0) AS DOUBLE) / len(t.t) AS dup_fraction
+    FROM toks t LEFT JOIN cnt c USING (doc_id)
+    """
+
+
+@query("q69_substring_dup", oracle=_substring_dup_oracle())
+def q69_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span token coverage. The oracle explodes every
+    covered position and counts DISTINCT (portable); the Spark side
+    computes the same union size with a lag window — identical value,
+    no position blow-up."""
+    from pyspark.sql import Window
+
+    from tf_datapipeline_spark.operators.text import _tokens_spark
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens_spark().alias("t"))
+    pos = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.when(
+                F.size("t") >= _SUB_K,
+                F.sequence(F.lit(1), F.size("t") - (_SUB_K - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    )
+    occ = pos.select(
+        "doc_id",
+        "i",
+        F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), _SUB_K)).alias("g"),
+    ).select(
+        "doc_id",
+        "i",
+        F.expr(sql_hash32_dialect("g", "spark")).alias("g32"),
+    )
+    dupg = (
+        occ.groupBy("g32")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g32")
+    )
+    dup_occ = occ.join(dupg, "g32").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    lag_i = F.lag("i").over(w)
+    contrib = F.when(lag_i.isNull(), F.lit(_SUB_K)).otherwise(
+        F.least(F.lit(_SUB_K), F.col("i") - lag_i)
+    )
+    cnt = (
+        dup_occ.withColumn("c", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_dup"))
+    )
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0))
+    return (
+        toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+        .join(cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            n_dup.cast("bigint").alias("n_dup_tokens"),
+            (n_dup.cast("double") / F.col("n_tokens")).alias("dup_fraction"),
+        )
+    )
