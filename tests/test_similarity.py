@@ -77,3 +77,17 @@ def test_pq_ann_recall(spark):
     recalls = [len(exact[q] & pq[q]) / len(exact[q]) for q in exact]
     avg = sum(recalls) / len(recalls)
     assert avg >= 0.3, f"avg recall {avg:.2f}, per-query {recalls}"
+
+
+def test_ivfpq_recall_and_pruning(spark):
+    """q77 stacks BOTH lossy stages (IVF probe of 4/16 cells ~25% scan,
+    then 4-codeword-per-sub PQ ranking), so on this random gaussian
+    corpus recall is roughly the product of the stages' individual
+    recalls — guard a floor well above zero, plus the top-k shape."""
+    exact = _topk_sets(sim.q70_knn_bruteforce(spark, SF_ORACLE))
+    pq = _topk_sets(sim.q77_knn_ivfpq(spark, SF_ORACLE))
+    assert pq.keys() == exact.keys()
+    recalls = [len(exact[q] & pq[q]) / len(exact[q]) for q in exact]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.1, f"avg recall {avg:.2f}, per-query {recalls}"
+    assert sim.q77_knn_ivfpq(spark, SF_ORACLE).count() <= 8 * 5

@@ -604,3 +604,150 @@ def _pq_ann_sql(dialect: str) -> str:
 def q76_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_pq_ann_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# q77 — IVF-PQ: the production large-scale ANN shape (FAISS IVFPQ /
+# SCANN lineage) combining q73's cell pruning with q75/q76's PQ
+# compression. Index side: every vector is stored ONLY under its nearest
+# cell, as 8 one-byte PQ codes (256 B vector -> 8 B + cell id). Query
+# side: probe the _N_PROBE nearest cells, rank in-cell candidates by ADC
+# (per-query lookup table of query-subvector->codeword distances; one
+# array aggregate per candidate — no full-vector math), overfetch, then
+# exact-rescore ONLY the overfetched shortlist against the raw
+# embeddings table.
+#
+# 100 TB shape: the corpus is partitioned by cell (partition-prunable
+# reads — only _N_PROBE/_N_CELLS of the index is touched per query);
+# the in-cell scan reads 8-byte codes, not vectors; the only full-vector
+# reads are the OVERFETCH-sized shortlist join at the end. Centroids +
+# codebook + per-query LUTs are tiny broadcasts. Rows-only driver check
+# (ADC float ordering is engine-specific); recall vs the exact q70
+# baseline is pinned in tests/test_similarity.py, and q76 is the
+# oracle-checked ADC twin.
+# --------------------------------------------------------------------------
+_SUB_DIM = _DIM // _PQ_CODES  # 8 dims per PQ subspace
+_PQ_NCODES = 4  # codewords per subspace (q75's codebook geometry)
+
+
+@query("q77_knn_ivfpq")
+def q77_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_ids = sorted(
+        {8 + _CENTROID_STRIDE * c for c in range(max(_N_CELLS, _PQ_NCODES))}
+    )
+    seed_rows = (
+        emb.filter(F.col("vec_id").isin(seed_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    seeds = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in seed_rows
+    }
+    # like q73: a small corpus may not contain every seed id — cells are
+    # whatever seeds exist, in vec_id order (cell c = c'th found seed)
+    cents = np.stack([seeds[i] for i in sorted(seeds)])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    # codebook[sub, code] = sub'th 8-dim slice of seed vector `code`
+    # (q75's convention)
+    book = np.stack(
+        [seeds[8 + _CENTROID_STRIDE * k] for k in range(_PQ_NCODES)]
+    ).reshape(_PQ_NCODES, _PQ_CODES, _SUB_DIM)
+
+    @F.pandas_udf("struct<cell:int, codes:array<int>, probe:array<int>>")
+    def encode_udf(emb_col: pd.Series) -> pd.DataFrame:
+        mat = np.stack(emb_col.to_numpy()).astype(np.float64)
+        unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = unit @ cents.T
+        order = np.argsort(-sims, axis=1, kind="stable")
+        subs = mat.reshape(len(mat), _PQ_CODES, _SUB_DIM)
+        # d2[b, sub, code] over the codebook; argmin code per subspace
+        d2 = ((subs[:, :, None, :] - book.transpose(1, 0, 2)[None]) ** 2).sum(-1)
+        codes = np.argmin(d2, axis=2)
+        return pd.DataFrame(
+            {
+                "cell": order[:, 0].astype(np.int32),
+                "codes": list(codes.astype(np.int32)),
+                "probe": list(order[:, :_N_PROBE].astype(np.int32)),
+            }
+        )
+
+    @F.pandas_udf("array<array<double>>")
+    def lut_udf(emb_col: pd.Series) -> pd.Series:
+        mat = np.stack(emb_col.to_numpy()).astype(np.float64)
+        subs = mat.reshape(len(mat), _PQ_CODES, _SUB_DIM)
+        d2 = ((subs[:, :, None, :] - book.transpose(1, 0, 2)[None]) ** 2).sum(-1)
+        return pd.Series([[list(sub) for sub in row] for row in d2])
+
+    enc = emb.select("vec_id", "embedding", encode_udf("embedding").alias("e"))
+    index = enc.select(
+        "vec_id", F.col("e.cell").alias("cell"), F.col("e.codes").alias("codes")
+    )
+    queries = (
+        enc.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode("e.probe").alias("cell"),
+            lut_udf("embedding").alias("lut"),
+        )
+    )
+    # ADC: approx d2 = sum over subspaces of lut[sub][codes[sub]]
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_PQ_CODES)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at("lut", s), F.element_at("codes", s) + 1
+        ),
+    )
+    cand = (
+        index.join(F.broadcast(queries), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc.alias("ad2"))
+    )
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("query_id").orderBy(F.asc("ad2"), F.asc("vec_id"))
+    shortlist = (
+        cand.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= _PQ_OVERFETCH)
+        .select("query_id", "vec_id")
+    )
+    # exact rescore: only the shortlist touches full vectors
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    vecs = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    qvecs = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "q_emb", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rescored = (
+        shortlist.join(vecs, "vec_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
