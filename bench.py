@@ -58,6 +58,10 @@ HEADLINE = [
 EXTRA = [
     "q67_dedup_clusters",
     "q73_knn_ann_ivf",
+    # round 4 additions: timed for evidence, out of the headline total
+    "q68_semantic_dedup",
+    "q69_substring_dup",
+    "q77_knn_ivfpq",
 ]
 
 

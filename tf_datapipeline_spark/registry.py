@@ -107,12 +107,18 @@ GATE_ORDER = [
     "q58_vocabulary",
     "q5c_contamination",
     "q5d_sequence_packing",
-    # deduplication
-    "q61_dedup_exact_hash",
+    # deduplication. Round-4 rotation: q61 -> q69 (exact-hash dedup is
+    # already evidenced in-gate by qt1's exact-dup stage; substring-level
+    # dup-span coverage is a new operator class) and q66 -> q68 (the
+    # SemDeDup composite computes q66's cosine near-dup pairs AND the
+    # cluster assignment + keep-first representative on top — strictly
+    # stronger semantics, same decimal-exact oracle machinery).
+    # q61/q66 stay registered + locally oracle-checked.
+    "q69_substring_dup",
     "q63_minhash_lsh_pairs",
     "q64_simhash",
     "q65_ngram_jaccard",
-    "q66_embedding_near_dup",
+    "q68_semantic_dedup",
     "q67_dedup_clusters",
     # similarity search (ANN variants q71/q73 are rows-only by design —
     # recall-tested behind the window)
