@@ -122,3 +122,52 @@ def test_connected_components_multiple_components(spark):
     pairs = spark.createDataFrame(raw, "doc_a long, doc_b long")
     labels = {r.doc_id: r.label for r in connected_components(pairs).collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_substring_dup_interval_union(spark):
+    """q69's Spark side counts covered tokens as an interval UNION via a
+    lag window (contrib = min(K, gap)); pin the union math directly on a
+    crafted two-doc corpus where spans overlap, abut, and disjoin —
+    independent of the oracle comparison, which could miss a
+    symmetric-in-both-engines bug only if both used the same formula."""
+    import pandas as pd
+
+    from tf_datapipeline_spark.operators.dedup import _SUB_K, q69_substring_dup
+
+    # two identical docs: every position duplicated, coverage = n_tokens;
+    # a third doc sharing ONLY its first K tokens with them: coverage = K
+    base = " ".join(f"w{i}" for i in range(20))
+    tail = " ".join(f"x{i}" for i in range(12))
+    prefix = " ".join(f"w{i}" for i in range(_SUB_K))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [base, base, f"{prefix} {tail}"],
+            "n_chars": [len(base), len(base), len(prefix) + 1 + len(tail)],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+        }
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r.doc_id: (r.n_tokens, r.n_dup_tokens)
+            for r in q69_substring_dup(spark, d).collect()
+        }
+    assert got[0] == (20, 20)
+    assert got[1] == (20, 20)
+    assert got[2] == (_SUB_K + 12, _SUB_K)
+
+
+def test_cc_labels_memoized_across_queries(spark):
+    """q67 and qt1 must share ONE connected-components run per corpus —
+    the iterative CC is the dedup family's dominant cost."""
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark.operators.dedup import materialize_cc_labels
+
+    a = materialize_cc_labels(spark, SF_SMOKE)
+    b = materialize_cc_labels(spark, SF_SMOKE)
+    assert a is b

@@ -1114,3 +1114,134 @@ def q5h_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("fp").cast("bigint").alias("fp_min"),
         F.max("fp").cast("bigint").alias("fp_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# q5i — tokenizer-vocabulary coverage: build the top-V corpus vocabulary
+# (the q58 ranking), then report each doc's out-of-vocabulary token
+# occurrence rate — the standard pre-training probe for "how much of
+# this corpus will byte-fallback / <unk> under a fixed vocab". Scale
+# shape: the vocabulary is V rows (broadcast); the per-doc OOV count is
+# one explode + broadcast anti-join + partial-agg group-by — no shuffle
+# of token text beyond the explode's local pass.
+# --------------------------------------------------------------------------
+_VOCAB_V = 64
+
+
+@query(
+    "q5i_oov_rate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+    occ AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rn
+        FROM occ GROUP BY token
+      ) ranked WHERE rn <= {_VOCAB_V}
+    ),
+    oov AS (
+      SELECT o.doc_id, COUNT(*) AS n_oov
+      FROM occ o LEFT JOIN vocab v USING (token)
+      WHERE v.token IS NULL GROUP BY o.doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(x.n_oov, 0) AS BIGINT) AS n_oov,
+           CAST(COALESCE(x.n_oov, 0) AS DOUBLE) / len(t.t) AS oov_rate
+    FROM toks t LEFT JOIN oov x USING (doc_id)
+    """,
+)
+def q5i_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens_spark().alias("t"))
+    occ = toks.select("doc_id", F.explode("t").alias("token"))
+    freq = occ.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # V is tiny: rank via one sorted-array aggregate (same warning-free
+    # form as dense_id_dict) instead of an unpartitioned window
+    vocab = (
+        freq.agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("n")).alias("_neg"), "token"))
+                ),
+                1,
+                _VOCAB_V,
+            ).alias("_top")
+        )
+        .select(F.explode("_top").alias("_s"))
+        .select(F.col("_s.token").alias("token"))
+    )
+    oov = (
+        occ.join(F.broadcast(vocab), "token", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    n_oov = F.coalesce(F.col("n_oov"), F.lit(0))
+    return (
+        toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+        .join(oov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            n_oov.cast("bigint").alias("n_oov"),
+            (n_oov.cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q5j — training-mixture reweighting: given frozen target language
+# shares (the data-mixing recipe every pretraining run fixes up front),
+# compute per-language actual token share, the sampling weight
+# (epochs-over-that-slice) that hits the target, and the token count the
+# slice contributes at budget. Pure arithmetic over a 5-row aggregate —
+# the 100 TB cost is one partial-agg scan; the mixing table itself is
+# driver-side policy. Weights are struct-ordered literals shared with
+# the oracle, so the whole computation is value-checked.
+# --------------------------------------------------------------------------
+_MIX_WEIGHTS = {"en": 0.4, "zh": 0.2, "de": 0.15, "fr": 0.15, "es": 0.1}
+
+
+@query(
+    "q5j_mixture_weights",
+    oracle=f"""
+    WITH w(lang, target_share) AS (VALUES {", ".join(f"('{l}', CAST({v} AS DOUBLE))" for l, v in sorted(_MIX_WEIGHTS.items()))}),
+    lt AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM lt)
+    SELECT lt.lang, lt.n_docs, lt.n_tokens,
+           CAST(lt.n_tokens AS DOUBLE) / tot.total_tokens AS actual_share,
+           w.target_share,
+           (w.target_share * tot.total_tokens) / lt.n_tokens AS sampling_weight
+    FROM lt JOIN w USING (lang) CROSS JOIN tot
+    """,
+)
+def q5j_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = spark.createDataFrame(
+        sorted(_MIX_WEIGHTS.items()), "lang string, target_share double"
+    )
+    lt = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens_spark())).cast("bigint").alias("n_tokens"),
+    )
+    tot = lt.agg(F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+    return (
+        lt.join(F.broadcast(w), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("total_tokens")).alias(
+                "actual_share"
+            ),
+            "target_share",
+            (
+                (F.col("target_share") * F.col("total_tokens"))
+                / F.col("n_tokens")
+            ).alias("sampling_weight"),
+        )
+    )
