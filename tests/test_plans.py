@@ -207,6 +207,7 @@ def test_no_accidental_cross_products(spark):
         "qp1_feed_pipeline",  # epochs dim: 2 rows
         "q4y_gap_fill",  # spine build: 5-row type dim x 1-row minute range
         "q82g_augment_golden",  # 1-row train digest x 1-row eval digest
+        "q5j_mixture_weights",  # broadcast 1-row total-token scalar
     }
     for name, fn in sorted(registry.queries().items()):
         if "stream" in name:
@@ -288,6 +289,7 @@ def test_collect_sites_are_bounded_metadata_only():
         ("operators/pipeline.py", "offset_running_sum"),  # n_buckets agg rows
         ("operators/pipeline.py", "offset_row_number"),  # n_buckets agg rows
         ("operators/similarity.py", "q73_knn_ann_ivf"),  # k=16 centroid rows
+        ("operators/similarity.py", "q77_knn_ivfpq"),  # k=16 seed-centroid rows
     }
     found = set()
     for py in pkg.rglob("*.py"):
