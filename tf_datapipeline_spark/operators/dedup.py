@@ -635,14 +635,22 @@ def _semantic_dedup_sql(dialect: str) -> str:
         FROM csims
       ) ranked WHERE rn = 1
     ),
+    celldims AS (
+      -- cell joined in BEFORE the pair join so the pair equi-key is
+      -- (cell, pos): joining raw dims on pos alone has only 64 distinct
+      -- keys, so Spark would build the all-pairs x dims intermediate
+      -- (~13B rows at sf1, measured as a 1-core multi-minute stall)
+      -- before ever seeing the cell restriction
+      SELECT d.vec_id, c.cell, d.pos, d.x
+      FROM dims d JOIN cells c ON c.vec_id = d.vec_id
+    ),
     pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE)
                / (na.nrm * nb.nrm) AS cos_sim
-      FROM dims a
-      JOIN dims b ON b.pos = a.pos AND a.vec_id < b.vec_id
-      JOIN cells ca ON ca.vec_id = a.vec_id
-      JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
+      FROM celldims a
+      JOIN celldims b ON b.cell = a.cell AND b.pos = a.pos
+                     AND a.vec_id < b.vec_id
       JOIN norms na ON na.vec_id = a.vec_id
       JOIN norms nb ON nb.vec_id = b.vec_id
       GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
@@ -661,9 +669,129 @@ def _semantic_dedup_sql(dialect: str) -> str:
 def q68_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-then-compare semantic dedup over `embeddings`: one row per
     vector with its cell, keep flag, and (for dropped vectors) the
-    lowest-id near-duplicate it lost to."""
-    register_views(spark, sf_dir)
-    return spark.sql(_semantic_dedup_sql("spark"))
+    lowest-id near-duplicate it lost to.
+
+    The Spark side is the PACKED form (q70's pattern): vectors stay as
+    arrays, dots are zip_with/aggregate folds with per-term
+    DECIMAL(38,12) quantization and a decimal(20,12) accumulator —
+    exact, hence order-independent, hence hash-identical to the oracle's
+    exploded-dims formulation — and the in-cell pair join's equi-key is
+    (cell), so the corpus never explodes to (vec, pos) rows and nothing
+    all-pairs ever materializes (the exploded SQL form measured 32s at
+    sf0.1 / stalled at sf1; this form is sub-second / seconds)."""
+    from pyspark.sql import Window
+
+    from tf_datapipeline_spark.operators.similarity import (
+        _ACC,
+        _CENTROID_STRIDE,
+        _N_CELLS,
+        _dec,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast(_ACC),
+        lambda acc, x: (acc + _dec(x.cast("double") * x.cast("double"))).cast(_ACC),
+    )
+    corpus = emb.select(
+        "vec_id", "embedding", F.sqrt(norm2.cast("double")).alias("nrm")
+    )
+    # centroid c = corpus vector 8 + 37c (q73's convention; a centroid id
+    # absent from a small corpus simply contributes no cell, exactly as
+    # the oracle's VALUES-join drops it)
+    cmap = spark.createDataFrame(
+        [(c, 8 + _CENTROID_STRIDE * c) for c in range(_N_CELLS)],
+        "cell int, cvec_id bigint",
+    )
+    cents = corpus.join(
+        F.broadcast(cmap), F.col("vec_id") == F.col("cvec_id")
+    ).select(
+        "cell",
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+
+    def fold_dot(left: str, right: str):
+        return F.aggregate(
+            F.zip_with(
+                left, right, lambda x, y: x.cast("double") * y.cast("double")
+            ),
+            F.lit(0).cast(_ACC),
+            lambda acc, x: (acc + _dec(x)).cast(_ACC),
+        ).cast("double")
+
+    csims = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        (fold_dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))).alias(
+            "cos_c"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
+    cells = (
+        csims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    cv = corpus.join(cells, "vec_id")
+    # SALT the in-cell pair join: the natural key (cell) has only
+    # _N_CELLS distinct values, so task parallelism would collapse to
+    # the cell count and each task would grind one cell's full pair set
+    # (measured: minutes at sf1). Slicing the b-side by vec_id % S and
+    # replicating the a-side across slices keeps every pair exactly once
+    # while the key space becomes cells x S.
+    _SALT = 16
+    a = cv.select(
+        F.col("cell"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+        F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1))).alias("slice"),
+    )
+    b = cv.select(
+        F.col("cell"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        F.pmod(F.col("vec_id"), F.lit(_SALT)).cast("int").alias("slice"),
+    )
+    # Two-phase threshold: a plain double fold (whole-stage codegen, no
+    # decimal boxing) decides pairs whose float cosine sits clearly on
+    # one side of tau; ONLY pairs inside a 1e-9 margin — where 64-term
+    # double summation error (<1e-12 here) could disagree with the
+    # oracle's exact decimal — re-evaluate with the exact fold. Same
+    # decision as all-decimal at ~100x less decimal work.
+    dot_f = F.aggregate(
+        F.zip_with(
+            "a_emb", "b_emb", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos_f = dot_f / (F.col("a_nrm") * F.col("b_nrm"))
+    cos_d = fold_dot("a_emb", "b_emb") / (F.col("a_nrm") * F.col("b_nrm"))
+    _MARGIN = 1e-9
+    passes = F.when(
+        (cos_f > _SEM_TAU - _MARGIN) & (cos_f < _SEM_TAU + _MARGIN),
+        cos_d >= _SEM_TAU,
+    ).otherwise(cos_f >= _SEM_TAU)
+    dup = (
+        a.join(b, ["cell", "slice"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(passes)
+        .groupBy("vec_b")
+        .agg(F.min("vec_a").alias("dup_of"))
+    )
+    return (
+        cells.join(dup, cells.vec_id == dup.vec_b, "left")
+        .select(
+            "vec_id",
+            "cell",
+            "dup_of",
+            F.col("dup_of").isNull().cast("int").alias("keep"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

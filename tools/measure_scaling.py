@@ -33,6 +33,14 @@ def main() -> None:
     spark = get_spark("scaling-measure")
     qs = registry.queries()
     names = bench.HEADLINE + bench.EXTRA
+    # SPARK_GRAFT_ONLY=q68_semantic_dedup,q69_substring_dup -> targeted
+    # re-measure without paying the full set at every scale
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        wanted = {n.strip() for n in only.split(",")}
+        names = [n for n in names if n in wanted] or sorted(
+            n for n in qs if n in wanted
+        )
     qs["q01_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
 
     results: dict[str, dict] = {}
