@@ -978,3 +978,61 @@ def q4i_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_trailing_hour"),
     )
+
+
+# --------------------------------------------------------------------------
+# q4n — OHLC bars (the hypertable/candlestick rollup): per (event_type,
+# minute), open/close are the value at the deterministic first/last event
+# (ordered by (ts, event_id) — event_id breaks exact-ts ties), high/low
+# are MIN/MAX, volume is the exact-decimal sum. One scan; the open/close
+# picks ride the SAME shuffle as the aggregate (window over the grouping
+# key, then group) — no self-join back to the bar. Time-series stores
+# (Timescale/kdb) ship this as a primitive; here it is a window + group
+# composition with map-side partials on the aggregate half.
+# --------------------------------------------------------------------------
+@query(
+    "q4n_ohlc_bars",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, date_trunc('minute', ts) AS bar_ts, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bar_ts,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", 6)} AS volume
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def q4n_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bar = F.date_trunc("minute", F.col("ts")).cast("timestamp_ntz").alias("bar_ts")
+    base = ev.select("event_type", bar, "ts", "event_id", "value")
+    wa = Window.partitionBy("event_type", "bar_ts").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    wd = Window.partitionBy("event_type", "bar_ts").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = base.select(
+        "event_type",
+        "bar_ts",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", "bar_ts").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", 6).alias("volume"),
+    )
