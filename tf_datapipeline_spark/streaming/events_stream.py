@@ -583,3 +583,71 @@ def q4j_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(_ntz("w.start", "window_start"), "n_events", "sum_value")
     )
     return run_bounded(agg, "complete")
+
+
+# --------------------------------------------------------------------------
+# q4o — STREAMING OHLC bars (q4n's production twin): per (event_type,
+# minute), open/close via min_by/max_by keyed on the unique (ts,
+# event_id) struct — deterministic first/last in pure streaming
+# aggregation state (no sort, no window function), high/low/volume as
+# plain aggs, watermark flush in append mode so a bar is emitted exactly
+# once when the watermark passes its end. State per key is O(1) (six
+# scalars), evicted at the watermark — the always-on candlestick feed a
+# time-series store maintains. The oracle replays the batch q4n
+# formulation and filters to bars the ms-truncated watermark flushed.
+# --------------------------------------------------------------------------
+@query(
+    "q4o_stream_ohlc",
+    oracle=f"""
+    WITH wm AS (
+      SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL '1 hour' AS cutoff
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, date_trunc('minute', ts) AS bar_ts, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    ),
+    bars AS (
+      SELECT event_type, bar_ts,
+             MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+             MAX(value) AS high,
+             MIN(value) AS low,
+             MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+             COUNT(*) AS n_events,
+             {sql_dsum("value", 6)} AS volume
+      FROM ranked GROUP BY 1, 2
+    )
+    SELECT b.* FROM bars b, wm
+    WHERE b.bar_ts + INTERVAL '1 minute' <= wm.cutoff
+    """,
+)
+def q4o_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6).alias("volume"),
+        )
+        .select(
+            "event_type",
+            _ntz("w.start", "bar_ts"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "volume",
+        )
+    )
+    return run_bounded(agg, "append")
