@@ -197,3 +197,29 @@ def test_gate_window_is_gate_order():
     oracled = set(registry.oracle_sql())
     missing = [n for n in registry.GATE_ORDER if n not in oracled]
     assert not missing, f"gate rows without oracles: {missing}"
+
+
+def test_stream_ohlc_is_flushed_subset_of_batch(spark):
+    """q4o (streaming OHLC, append mode) must emit exactly the q4n batch
+    bars whose window end the watermark passed — same values, nothing
+    extra, nothing reordered. Pins batch/stream event-time agreement for
+    the min_by/max_by open-close state (the q40==q47 pin covers plain
+    sums; ordered-pick aggregates are a separate failure class)."""
+    from tf_datapipeline_spark.operators.events import q4n_ohlc_bars
+    from tf_datapipeline_spark.streaming.events_stream import q4o_stream_ohlc
+
+    batch = {
+        (r.event_type, r.bar_ts): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in q4n_ohlc_bars(spark, SF_SMOKE).collect()
+    }
+    stream_rows = q4o_stream_ohlc(spark, SF_SMOKE).collect()
+    assert stream_rows, "watermark flushed no bars — cutoff modeling broke"
+    for r in stream_rows:
+        assert batch[(r.event_type, r.bar_ts)] == (
+            r.open,
+            r.high,
+            r.low,
+            r.close,
+            r.n_events,
+        ), (r.event_type, r.bar_ts)
+    assert len(stream_rows) < len(batch), "append mode must hold back tail bars"
