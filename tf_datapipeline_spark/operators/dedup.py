@@ -905,3 +905,85 @@ def q69_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_dup.cast("double") / F.col("n_tokens")).alias("dup_fraction"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q6a — INCREMENTAL dedup: a delta (new crawl, doc_id % 10 = 0 here)
+# checked against the existing corpus — the production shape of corpus
+# maintenance, where yesterday's index is fixed and only the delta is
+# new. A delta doc is dropped if it exactly duplicates (md5) or
+# near-duplicates (LSH-banded est_jaccard >= 0.5) ANY existing doc;
+# delta-internal duplicates are deliberately NOT considered (they are
+# next round's corpus — the q63/q67 batch path handles intra-corpus).
+#
+# Scale: at 100 TB the corpus side is a PREBUILT band index (the
+# memoized signature table here is its harness analog); the band join is
+# delta-signatures x corpus-bands — a small-side-broadcast equi-join, so
+# incremental cost is O(delta), not O(corpus). Exact check joins 16-byte
+# md5 keys. Both legs replayed verbatim by the oracle.
+# --------------------------------------------------------------------------
+_DELTA_MOD = 10  # doc_id % 10 == 0 -> "new crawl" slice
+
+
+def _incremental_dedup_oracle() -> str:
+    pairs = _with_prelude("duckdb", _lsh_pairs_body(), need_sig=True)
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    cross_pairs AS (
+      SELECT CASE WHEN doc_a % {_DELTA_MOD} = 0 THEN doc_a ELSE doc_b END AS new_id,
+             CASE WHEN doc_a % {_DELTA_MOD} = 0 THEN doc_b ELSE doc_a END AS old_id
+      FROM pairs
+      WHERE (doc_a % {_DELTA_MOD} = 0) <> (doc_b % {_DELTA_MOD} = 0)
+    ),
+    near AS (SELECT new_id, MIN(old_id) AS near_dup_of FROM cross_pairs GROUP BY new_id),
+    corpus_md5 AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS old_id
+      FROM documents WHERE doc_id % {_DELTA_MOD} <> 0 GROUP BY md5(text)
+    ),
+    delta AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % {_DELTA_MOD} = 0
+    )
+    SELECT d.doc_id,
+           c.old_id AS exact_dup_of,
+           n.near_dup_of,
+           CAST(c.old_id IS NULL AND n.near_dup_of IS NULL AS INT) AS keep
+    FROM delta d
+    LEFT JOIN corpus_md5 c ON c.h = d.h
+    LEFT JOIN near n ON n.new_id = d.doc_id
+    """
+
+
+@query("q6a_incremental_dedup", oracle=_incremental_dedup_oracle())
+def q6a_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-corpus dedup decision per new doc: exact (md5) and
+    near-dup (banded LSH) checks against existing docs only."""
+    _materialize_sig(spark, sf_dir)
+    pairs = spark.sql(_lsh_pairs_body())
+    is_new_a = F.col("doc_a") % _DELTA_MOD == 0
+    is_new_b = F.col("doc_b") % _DELTA_MOD == 0
+    cross_pairs = pairs.filter(is_new_a != is_new_b).select(
+        F.when(is_new_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("new_id"),
+        F.when(is_new_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("old_id"),
+    )
+    near = cross_pairs.groupBy("new_id").agg(F.min("old_id").alias("near_dup_of"))
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_md5 = (
+        docs.filter(F.col("doc_id") % _DELTA_MOD != 0)
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("exact_dup_of"))
+    )
+    delta = docs.filter(F.col("doc_id") % _DELTA_MOD == 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    return (
+        delta.join(corpus_md5, "h", "left")
+        .join(near, delta.doc_id == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            "exact_dup_of",
+            "near_dup_of",
+            (F.col("exact_dup_of").isNull() & F.col("near_dup_of").isNull())
+            .cast("int")
+            .alias("keep"),
+        )
+    )
