@@ -49,11 +49,17 @@ from tf_datapipeline_spark.registry import query
 _CHUNK_STRIDE = 192  # q5g's stride: chunks per kept doc
 
 
-def _prep_oracle() -> str:
-    reason_counts = ",\n           ".join(
+def _reason_counts(reasons: tuple[str, ...]) -> str:
+    return ",\n           ".join(
         f"CAST(COUNT(CASE WHEN reason = '{r}' THEN 1 END) AS BIGINT)"
         f" AS n_{r}"
-        for r in ("kept", "quality", "exact_dup", "near_dup", "contaminated")
+        for r in reasons
+    )
+
+
+def _prep_oracle() -> str:
+    reason_counts = _reason_counts(
+        ("kept", "quality", "exact_dup", "near_dup", "contaminated")
     )
     return f"""
     WITH RECURSIVE shingles AS ({_sql_shingles('duckdb')}),
@@ -182,4 +188,112 @@ def qt1_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(kept, F.col("n_chunks"))), F.lit(0))
         .cast("bigint")
         .alias("kept_chunks"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qt2 — the MULTIMODAL prep composite: qt1's text pipeline with a
+# SEMANTIC dedup stage fed by the `embeddings` table (vec_id = doc_id),
+# the only query joining the text and embedding modalities — the real
+# LLM-prep topology, where lexical dedup (exact + MinHash) runs on text
+# and redundancy pruning (SemDeDup) runs on embeddings of the SAME
+# corpus. Priority: quality > exact_dup > near_dup > contaminated >
+# semantic_dup > kept; docs without an embedding skip the semantic
+# stage (COALESCE keep=1), mirroring a corpus where only part is
+# embedded. Oracle replays the entire composition (recursive-CTE
+# components + q68's decimal-exact cell pipeline as a sub-select).
+# --------------------------------------------------------------------------
+def _prep_semantic_oracle() -> str:
+    from tf_datapipeline_spark.operators.dedup import _semantic_dedup_sql
+
+    prelude = _prep_oracle().split("reasoned AS (")[0].rstrip()
+    reason_counts = _reason_counts(
+        ("kept", "quality", "exact_dup", "near_dup", "contaminated", "semantic_dup")
+    )
+    return (
+        prelude
+        + f"""sem AS (
+      SELECT vec_id, keep FROM ({_semantic_dedup_sql('duckdb')}) s
+    ),
+    reasoned AS (
+      SELECT f.lang, f.n_tokens,
+             CASE WHEN f.bad_quality THEN 'quality'
+                  WHEN f.exact_dup THEN 'exact_dup'
+                  WHEN COALESCE(l.label <> f.doc_id, FALSE) THEN 'near_dup'
+                  WHEN COALESCE(ct.contaminated, FALSE) THEN 'contaminated'
+                  WHEN COALESCE(s.keep, 1) = 0 THEN 'semantic_dup'
+                  ELSE 'kept' END AS reason
+      FROM flags f
+      LEFT JOIN labels l USING (doc_id)
+      LEFT JOIN contam ct USING (doc_id)
+      LEFT JOIN sem s ON s.vec_id = f.doc_id
+    )
+    SELECT lang,
+           {reason_counts},
+           CAST(COALESCE(SUM(CASE WHEN reason = 'kept' THEN n_tokens END), 0)
+                AS BIGINT) AS kept_tokens
+    FROM reasoned GROUP BY 1
+    """
+    )
+
+
+@query("qt2_prep_semantic", oracle=_prep_semantic_oracle())
+def qt2_prep_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.operators.dedup import q68_semantic_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens_spark()
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    w = Window.partitionBy(F.md5("text"))
+    flags = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        (~((F.col("n_chars") >= 100) & (n_stop > 0))).alias("bad_quality"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("exact_dup"),
+    )
+    labels = materialize_cc_labels(spark, sf_dir)
+    grams = docs.select("doc_id", _tokens_spark().alias("_toks")).select(
+        "doc_id", F.explode(_grams_spark(F.col("_toks"))).alias("g")
+    )
+    bench = grams.filter(F.col("doc_id") % _CONTAM_MOD == 0).select("g").distinct()
+    contam = (
+        grams.filter(F.col("doc_id") % _CONTAM_MOD != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg((F.count(F.lit(1)) >= _CONTAM_MIN_OVERLAP).alias("contaminated"))
+    )
+    sem = q68_semantic_dedup(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("keep").alias("sem_keep")
+    )
+    near_dup = F.col("label").isNotNull() & (F.col("label") != F.col("doc_id"))
+    reason = (
+        F.when(F.col("bad_quality"), "quality")
+        .when(F.col("exact_dup"), "exact_dup")
+        .when(near_dup, "near_dup")
+        .when(F.coalesce(F.col("contaminated"), F.lit(False)), "contaminated")
+        .when(F.coalesce(F.col("sem_keep"), F.lit(1)) == 0, "semantic_dup")
+        .otherwise("kept")
+    )
+    reasoned = (
+        flags.join(labels, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select("lang", "n_tokens", reason.alias("reason"))
+    )
+
+    def n_reason(r: str) -> F.Column:
+        return F.count(F.when(F.col("reason") == r, 1)).alias(f"n_{r}")
+
+    kept = F.col("reason") == "kept"
+    return reasoned.groupBy("lang").agg(
+        n_reason("kept"),
+        n_reason("quality"),
+        n_reason("exact_dup"),
+        n_reason("near_dup"),
+        n_reason("contaminated"),
+        n_reason("semantic_dup"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
     )
