@@ -209,6 +209,7 @@ def test_no_accidental_cross_products(spark):
         "q82g_augment_golden",  # 1-row train digest x 1-row eval digest
         "q5j_mixture_weights",  # broadcast 1-row total-token scalar
         "q68_semantic_dedup",  # broadcast 16-row centroid dim (cell scoring)
+        "qt2_prep_semantic",  # inherits q68's 16-row centroid broadcast
     }
     for name, fn in sorted(registry.queries().items()):
         if "stream" in name:
