@@ -721,19 +721,65 @@ def q68_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: (acc + _dec(x)).cast(_ACC),
         ).cast("double")
 
-    csims = corpus.crossJoin(F.broadcast(cents)).select(
+    # Cell argmax, two-phase like the pair threshold below: rank cells
+    # by the cheap DOUBLE fold; only vectors whose top-two float scores
+    # sit within the margin (where summation error could flip the
+    # oracle's exact-decimal argmax or its cell tie-break) re-rank with
+    # the decimal fold. On non-degenerate data the borderline set is
+    # empty, so the 16x-per-vector decimal work — q68's former dominant
+    # cost — disappears.
+    _CMARGIN = 1e-9
+
+    def fold_dot_f(left: str, right: str):
+        return F.aggregate(
+            F.zip_with(
+                left, right, lambda x, y: x.cast("double") * y.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    csims_f = corpus.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cell",
-        (fold_dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))).alias(
+        (fold_dot_f("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))).alias(
             "cos_c"
         ),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
-    cells = (
-        csims.withColumn("rn", F.row_number().over(w))
+    top2 = (
+        csims_f.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("cell"))).alias("cell"),
+            F.max(F.when(F.col("rn") == 1, F.col("cos_c"))).alias("c1"),
+            F.max(F.when(F.col("rn") == 2, F.col("cos_c"))).alias("c2"),
+        )
+    )
+    clear = top2.filter(
+        F.col("c2").isNull() | (F.col("c1") - F.col("c2") >= _CMARGIN)
+    ).select("vec_id", "cell")
+    border_ids = top2.filter(
+        F.col("c2").isNotNull() & (F.col("c1") - F.col("c2") < _CMARGIN)
+    ).select("vec_id")
+    csims_d = (
+        corpus.join(border_ids, "vec_id")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cell",
+            (
+                fold_dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
+            ).alias("cos_c"),
+        )
+    )
+    border_cells = (
+        csims_d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell")
     )
+    cells = clear.unionByName(border_cells)
     cv = corpus.join(cells, "vec_id")
     # SALT the in-cell pair join: the natural key (cell) has only
     # _N_CELLS distinct values, so task parallelism would collapse to
