@@ -171,3 +171,21 @@ def test_cc_labels_memoized_across_queries(spark):
     a = materialize_cc_labels(spark, SF_SMOKE)
     b = materialize_cc_labels(spark, SF_SMOKE)
     assert a is b
+
+
+def test_semantic_dedup_production_twin_agrees(spark):
+    """q6b (production shape: corpus-scaled cluster count, numpy cell
+    assignment, float cosines) must reach the same keep decisions as the
+    oracle-checked q68 at the scales where both use 16 cells — the float
+    path can only diverge inside a ~1e-12 cosine sliver, which this
+    corpus never hits. Pins SCALING.md's claim that the frozen-cell
+    oracle contract and the deployment config are the same operator."""
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark.operators.dedup import (
+        q68_semantic_dedup,
+        q6b_semantic_dedup_scaled,
+    )
+
+    exact = {r.vec_id: (r.cell, r.keep) for r in q68_semantic_dedup(spark, SF_SMOKE).collect()}
+    prod = {r.vec_id: (r.cell, r.keep) for r in q6b_semantic_dedup_scaled(spark, SF_SMOKE).collect()}
+    assert exact == prod

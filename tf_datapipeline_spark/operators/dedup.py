@@ -22,6 +22,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1031,5 +1033,99 @@ def q6a_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("exact_dup_of").isNull() & F.col("near_dup_of").isNull())
             .cast("int")
             .alias("keep"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q6b — semantic dedup, PRODUCTION shape: the deployment configuration
+# SCALING.md promises for q68. Differences from the oracle-checked twin:
+#   - cluster count GROWS with the corpus (max(16, n/128) cells, capped
+#     at the seed supply) so per-cell population — and the quadratic
+#     in-cell pair cost — stays bounded as the corpus scales
+#     (SemDeDup's own recipe: 50k clusters for LAION);
+#   - cell assignment is one numpy matmul per Arrow batch (q73's
+#     Pandas-UDF pattern), not per-cell SQL folds;
+#   - pair cosines are plain float (the engine-exact decimal margin
+#     machinery is the ORACLE-parity device, not a production need).
+# Rows-only driver check; equality of keep decisions with q68 at the
+# shared 16-cell scales is pinned in tests/test_properties.py (float
+# vs decimal can only diverge inside a ~1e-12 cosine sliver, empty on
+# this corpus).
+# --------------------------------------------------------------------------
+@query("q6b_semantic_dedup_scaled")
+def q6b_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.operators.similarity import _CENTROID_STRIDE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()  # one count on corpus metadata; drives config only
+    n_cells = max(16, n_vecs // 128)
+    cent_ids = [8 + _CENTROID_STRIDE * c for c in range(n_cells)]
+    cent_rows = (
+        emb.filter(F.col("vec_id").isin(cent_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )  # bounded: n_cells rows of corpus metadata (the index "training" set)
+    cents = np.stack(
+        [
+            np.asarray(r.embedding, dtype=np.float64)
+            for r in sorted(cent_rows, key=lambda r: r.vec_id)
+        ]
+    )
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    @F.pandas_udf("int")
+    def cell_udf(emb_col: pd.Series) -> pd.Series:
+        mat = np.stack(emb_col.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ cents.T, axis=1).astype(np.int32))
+
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    cv = emb.select(
+        "vec_id", "embedding", norm.alias("nrm"), cell_udf("embedding").alias("cell")
+    )
+    _SALT = 16
+    a = cv.select(
+        F.col("cell"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+        F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1))).alias("slice"),
+    )
+    b = cv.select(
+        F.col("cell"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        F.pmod(F.col("vec_id"), F.lit(_SALT)).cast("int").alias("slice"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "a_emb", "b_emb", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dup = (
+        a.join(b, ["cell", "slice"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter((dot / (F.col("a_nrm") * F.col("b_nrm"))) >= _SEM_TAU)
+        .groupBy("vec_b")
+        .agg(F.min("vec_a").alias("dup_of"))
+    )
+    return (
+        cv.select("vec_id", "cell")
+        .join(dup, cv.vec_id == dup.vec_b, "left")
+        .select(
+            "vec_id",
+            "cell",
+            "dup_of",
+            F.col("dup_of").isNull().cast("int").alias("keep"),
         )
     )
