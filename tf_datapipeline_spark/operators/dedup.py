@@ -1,6 +1,8 @@
 """Deduplication operators over `documents` / `embeddings` (driver
 contract: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
-near-dup).
+near-dup; plus connected-component clusters q67, SemDeDup-style
+semantic dedup q68/q6b, substring-span coverage q69, and incremental
+delta-vs-corpus dedup q6a).
 
 Cross-engine determinism: shingle/token hashing uses
 functions.texthash.sql_hash32 — md5-hex arithmetic that parses identically

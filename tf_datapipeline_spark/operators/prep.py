@@ -1,4 +1,5 @@
-"""End-to-end LLM training-data prep composite (qt1): the full document
+"""End-to-end LLM training-data prep composites (qt1 text-only, qt2
+multimodal with a SemDeDup stage over `embeddings`): the full document
 pipeline a pretraining corpus runs, as ONE DataFrame chain —
 
     quality filter (q51's rule) ->
