@@ -651,3 +651,163 @@ def q4o_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_bounded(agg, "append")
+
+
+# --------------------------------------------------------------------------
+# q6c — STREAMING incremental dedup (q6a's streaming twin): new documents
+# arrive as a stream and are LSH-checked IN-FLIGHT against the static
+# corpus band index — the "dedup the incoming crawl before it lands"
+# shape. Entirely STATELESS streaming: the per-doc MinHash signature is
+# computed as pure row expressions (MIN over a multiset equals MIN over
+# the set, so array_min over the in-row shingle array equals the batch
+# explode+groupBy signature bit-for-bit), bands explode to (band, key)
+# rows, and the check is a stream-static equi-join — no watermark, no
+# state store, arbitrary stream length. The static index applies the
+# same corpus-side hot-bucket cap as the batch family (window count <=
+# cap). Emits one row per (band, new, old) match with the estimated
+# Jaccard; the batch oracle replays signature, cap, join, and estimate.
+# --------------------------------------------------------------------------
+def _stream_incr_dedup_oracle() -> str:
+    from tf_datapipeline_spark.operators.dedup import (
+        _BUCKET_CAP,
+        _DELTA_MOD,
+        _K,
+        _with_prelude,
+    )
+
+    mcols = ", ".join(f"m{i}" for i in range(_K))
+    est = " + ".join(
+        f"(CASE WHEN d.m{i} = i2.m{i} THEN 1 ELSE 0 END)" for i in range(_K)
+    )
+    body = f"""
+    SELECT d.band_id, d.doc_id AS new_id, i2.doc_id AS old_id,
+           CAST(({est}) AS DOUBLE) / {_K} AS est_jaccard
+    FROM (
+      SELECT 0 AS band_id, concat_ws('|', m0, m1, m2, m3) AS bkey,
+             doc_id, {mcols}
+      FROM sig WHERE doc_id % {_DELTA_MOD} = 0
+      UNION ALL
+      SELECT 1, concat_ws('|', m4, m5, m6, m7), doc_id, {mcols}
+      FROM sig WHERE doc_id % {_DELTA_MOD} = 0
+    ) d
+    JOIN (
+      SELECT * FROM (
+        SELECT band_id, bkey, doc_id, {mcols},
+               COUNT(*) OVER (PARTITION BY band_id, bkey) AS bc
+        FROM (
+          SELECT 0 AS band_id, concat_ws('|', m0, m1, m2, m3) AS bkey,
+                 doc_id, {mcols}
+          FROM sig WHERE doc_id % {_DELTA_MOD} <> 0
+          UNION ALL
+          SELECT 1, concat_ws('|', m4, m5, m6, m7), doc_id, {mcols}
+          FROM sig WHERE doc_id % {_DELTA_MOD} <> 0
+        ) raw
+      ) counted WHERE bc <= {_BUCKET_CAP}
+    ) i2 ON i2.band_id = d.band_id AND i2.bkey = d.bkey
+    WHERE CAST(({est}) AS DOUBLE) / {_K} >= 0.5
+    """
+    return _with_prelude("duckdb", body, need_sig=True)
+
+
+@query("q6c_stream_incremental_dedup", oracle=_stream_incr_dedup_oracle())
+def q6c_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from tf_datapipeline_spark.operators.dedup import (
+        _BUCKET_CAP,
+        _DELTA_MOD,
+        _K,
+        _PARAMS,
+        _materialize_sig,
+    )
+    from tf_datapipeline_spark.functions.texthash import (
+        sql_hash32_dialect,
+        sql_minhash_perm,
+    )
+
+    # static side: corpus band index from the shared signature table,
+    # with the corpus-side hot-bucket cap applied batch-side
+    _materialize_sig(spark, sf_dir)
+    sig = spark.table("sig").filter(F.col("doc_id") % _DELTA_MOD != 0)
+    mcols = [f"m{i}" for i in range(_K)]
+    half = _K // 2
+    idx = (
+        sig.select(
+            F.lit(0).alias("band_id"),
+            F.concat_ws("|", *mcols[:half]).alias("bkey"),
+            F.col("doc_id").alias("old_id"),
+            *mcols,
+        )
+        .unionByName(
+            sig.select(
+                F.lit(1).alias("band_id"),
+                F.concat_ws("|", *mcols[half:]).alias("bkey"),
+                F.col("doc_id").alias("old_id"),
+                *mcols,
+            )
+        )
+    )
+    wb = Window.partitionBy("band_id", "bkey")
+    idx = (
+        idx.withColumn("bc", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bc") <= _BUCKET_CAP)
+        .drop("bc")
+    )
+
+    # stream side: the delta slice of `documents`, signature as pure row
+    # expressions (shingle array projected ONCE, then k permutation mins)
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+        .filter(F.col("doc_id") % _DELTA_MOD == 0)
+    )
+    h32 = sql_hash32_dialect("substr(text, CAST(i AS INT), 5)", "spark")
+    sh = (
+        f"CASE WHEN length(text) >= 5 THEN "
+        f"transform(sequence(1, length(text) - 4), i -> {h32}) "
+        f"ELSE CAST(array() AS array<bigint>) END"
+    )
+    sdf = sdf.selectExpr("doc_id AS new_id", f"{sh} AS sh").filter(
+        F.size("sh") > 0
+    )
+    for i, (a, b) in enumerate(_PARAMS):
+        sdf = sdf.withColumn(
+            f"dm{i}",
+            F.expr(f"array_min(transform(sh, h -> {sql_minhash_perm('h', a, b)}))"),
+        )
+    dkeys = sdf.select(
+        "new_id",
+        *[f"dm{i}" for i in range(_K)],
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_id"),
+                    F.concat_ws("|", *[f"dm{i}" for i in range(half)]).alias("bkey"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_id"),
+                    F.concat_ws("|", *[f"dm{i}" for i in range(half, _K)]).alias(
+                        "bkey"
+                    ),
+                ),
+            )
+        ).alias("bk"),
+    ).select("new_id", *[f"dm{i}" for i in range(_K)], "bk.band_id", "bk.bkey")
+
+    est = sum(
+        F.when(F.col(f"dm{i}") == F.col(f"m{i}"), 1).otherwise(0) for i in range(_K)
+    ).cast("double") / _K
+    joined = (
+        dkeys.join(idx, ["band_id", "bkey"])
+        .select(
+            "band_id",
+            "new_id",
+            "old_id",
+            est.alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+    return run_bounded(joined, "append")
