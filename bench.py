@@ -62,6 +62,9 @@ EXTRA = [
     "q68_semantic_dedup",
     "q69_substring_dup",
     "q77_knn_ivfpq",
+    "q5k_bm25",
+    "q78_sq_encode",
+    "q79_hybrid_rrf",
 ]
 
 

@@ -751,3 +751,226 @@ def q77_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+# --------------------------------------------------------------------------
+# q78 — int8 SCALAR QUANTIZATION (SQ) encode: per-dimension corpus
+# min/max → every component quantized to an 8-bit code
+# floor((x-mn)/(mx-mn)*255 + 0.5), plus the exact reconstruction MAE.
+# SQ is the simpler sibling of PQ (q75): 64 float32s (256 B) become 64
+# bytes with NO codebook training — the standard first rung of the
+# memory-ladder for trillion-vector indexes (the 4x rung; PQ is the 32x
+# rung). Fully oracle-checked: the quantize/dequantize math is per-row
+# IEEE with a FLOOR at the end, the per-vector error sum is
+# FLOOR-quantized to 2^-30 before the bigint sum (order-independent),
+# and the 64 codes are digested in pos order to one md5. The rng side is
+# 64 rows — broadcast hash join against the corpus; one corpus pass.
+# (Production note: the dims explode is the oracle-shared formulation;
+# the packed form would zip_with against a broadcast mn/mx array — same
+# two-pass structure, no shuffle either way.)
+# --------------------------------------------------------------------------
+def _sq_encode_sql(dialect: str) -> str:
+    if dialect == "spark":
+        digest = (
+            "md5(array_join(transform(array_sort(collect_list(struct(pos, code))), "
+            "s -> CAST(s.code AS STRING)), ','))"
+        )
+    else:
+        digest = "md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY pos))"
+    return f"""
+    WITH dims AS ({_dims_cte(dialect)}),
+    rng AS (
+      SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY 1
+    ),
+    codes AS (
+      SELECT d.vec_id, d.pos,
+             CAST(CASE WHEN r.mx = r.mn THEN 0.0
+                  ELSE LEAST(255.0, GREATEST(0.0,
+                       FLOOR((d.x - r.mn) / (r.mx - r.mn) * 255.0 + 0.5))) END
+                  AS INT) AS code,
+             d.x, r.mn, r.mx
+      FROM dims d JOIN rng r ON r.pos = d.pos
+    ),
+    recon AS (
+      SELECT vec_id, pos, code,
+             CAST(FLOOR(ABS(x - (mn + CAST(code AS DOUBLE) * ((mx - mn) / 255.0)))
+                        * 1073741824.0) AS BIGINT) AS errq
+      FROM codes
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) AS INT) AS n_dims,
+           CAST(SUM(errq) AS DOUBLE) / (1073741824.0 * COUNT(*)) AS recon_mae,
+           {digest} AS codes_md5
+    FROM recon
+    GROUP BY vec_id
+    """
+
+
+@query("q78_sq_encode", oracle=_sq_encode_sql("duckdb"))
+def q78_sq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_sq_encode_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# q79 — HYBRID RETRIEVAL with reciprocal-rank fusion (RRF): the BM25
+# lexical arm (q5k's scorer over `documents`) and a cosine vector arm
+# (query = the vec_id-0 embedding, exact-decimal dots per q70) each
+# produce a top-100 candidate list; the two lists fuse on
+# doc_id = vec_id (the engine's cross-modal key, as in qt2) with
+# score = 1/(60+rank_lex) + 1/(60+rank_vec), missing arms contributing
+# 0 — the standard RRF form (k=60). This is the production hybrid-search
+# shape: each arm is independently prunable (BM25 by impact, vectors by
+# IVF/PQ), only the ~100-row candidate lists rank globally
+# (orderBy+limit = per-partition heap; ranks decorate the tiny survivor
+# arrays — no unpartitioned WindowExec), and the fusion is a 100x100
+# full-outer join. Fully oracle-checked: ranks are integers over
+# bit-identical scores, and the fused score is a fixed-order two-term
+# IEEE sum.
+# --------------------------------------------------------------------------
+_RRF_K = "60.0"
+_RRF_POOL = 100
+_RRF_TOPK = 20
+# CASTs keep Spark from typing the bare literals as DECIMAL (DuckDB
+# reads them as DOUBLE) — the driver hash is type-sensitive.
+_RRF_EXPR = (
+    "COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + l_rnk), 0.0)"
+    " + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + v_rnk), 0.0)"
+)
+
+
+def _rrf_oracle() -> str:
+    from tf_datapipeline_spark.operators.text import BM25_SCORED_CTES
+
+    return f"""
+    WITH {BM25_SCORED_CTES},
+    dims AS ({_dims_cte("duckdb")}),
+    norms AS (
+      SELECT vec_id, SQRT(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      FROM dims GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT d.vec_id, CAST(SUM(CAST(q.x * d.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM dims q JOIN dims d ON d.pos = q.pos
+      WHERE q.vec_id = 0
+      GROUP BY 1
+    ),
+    vscore AS (
+      SELECT t.vec_id, t.dot / (nn.nrm * n0.nrm) AS cos_sim
+      FROM dots t
+      JOIN norms nn ON nn.vec_id = t.vec_id
+      CROSS JOIN (SELECT nrm FROM norms WHERE vec_id = 0) n0
+    ),
+    vecr AS (
+      SELECT vec_id, v_rnk FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS v_rnk
+        FROM vscore
+      ) x WHERE v_rnk <= {_RRF_POOL}
+    ),
+    lexr AS (
+      SELECT doc_id, l_rnk FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS l_rnk
+        FROM bm25_scored
+      ) x WHERE l_rnk <= {_RRF_POOL}
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+             CAST(l_rnk AS INT) AS lex_rank,
+             CAST(v_rnk AS INT) AS vec_rank,
+             {_RRF_EXPR} AS rrf_score
+      FROM lexr l FULL OUTER JOIN vecr v ON v.vec_id = l.doc_id
+    )
+    SELECT doc_id, CAST(rnk AS INT) AS rank, lex_rank, vec_rank, rrf_score
+    FROM (
+      SELECT doc_id, lex_rank, vec_rank, rrf_score,
+             ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rnk
+      FROM fused
+    ) f
+    WHERE rnk <= {_RRF_TOPK}
+    """
+
+
+def _ranked_list(df: DataFrame, neg_col: str, id_col: str, out_id: str,
+                 out_rnk: str, pool: int) -> DataFrame:
+    """orderBy+limit(pool) then decorate ranks via the sorted-array idiom
+    (q5f): no unpartitioned WindowExec, the heap-based TakeOrdered does
+    the global selection."""
+    top = df.orderBy(F.desc(neg_col), F.asc(id_col)).limit(pool)
+    return (
+        top.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-F.col(neg_col)).alias("_neg"), F.col(id_col))
+                )
+            ).alias("_a")
+        )
+        .select(F.posexplode("_a").alias("_p", "_s"))
+        .select(
+            F.col(f"_s.{id_col}").alias(out_id),
+            (F.col("_p") + 1).alias(out_rnk),
+        )
+    )
+
+
+@query("q79_hybrid_rrf", oracle=_rrf_oracle())
+def q79_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.operators.text import bm25_scored
+
+    lexr = _ranked_list(
+        bm25_scored(spark, sf_dir), "score", "doc_id", "l_id", "l_rnk", _RRF_POOL
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast(_ACC),
+        lambda acc, x: (acc + _dec(x.cast("double") * x.cast("double"))).cast(_ACC),
+    )
+    corpus = emb.select(
+        "vec_id", "embedding", F.sqrt(norm2.cast("double")).alias("nrm")
+    )
+    qv = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "q_emb", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0).cast(_ACC),
+        lambda acc, x: (acc + _dec(x)).cast(_ACC),
+    ).cast("double")
+    vscore = corpus.crossJoin(F.broadcast(qv)).select(
+        "vec_id", (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cos_sim")
+    )
+    vecr = _ranked_list(vscore, "cos_sim", "vec_id", "v_id", "v_rnk", _RRF_POOL)
+
+    fused = lexr.join(vecr, lexr.l_id == vecr.v_id, "full_outer").select(
+        F.coalesce("l_id", "v_id").alias("doc_id"),
+        F.col("l_rnk").cast("int").alias("lex_rank"),
+        F.col("v_rnk").cast("int").alias("vec_rank"),
+        F.expr(_RRF_EXPR).alias("rrf_score"),
+    )
+    top = fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(_RRF_TOPK)
+    return (
+        top.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("rrf_score")).alias("_neg"),
+                        "doc_id",
+                        "lex_rank",
+                        "vec_rank",
+                        "rrf_score",
+                    )
+                )
+            ).alias("_a")
+        )
+        .select(F.posexplode("_a").alias("_p", "_s"))
+        .select(
+            F.col("_s.doc_id").alias("doc_id"),
+            (F.col("_p") + 1).cast("int").alias("rank"),
+            F.col("_s.lex_rank").alias("lex_rank"),
+            F.col("_s.vec_rank").alias("vec_rank"),
+            F.col("_s.rrf_score").alias("rrf_score"),
+        )
+    )

@@ -1245,3 +1245,174 @@ def q5j_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sampling_weight"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q5k — BM25 ranked retrieval: score every document against a fixed
+# 3-term keyword query with the BM25 weighting (k1=1.2, b=0.75) and
+# return the top 20. The idf uses BM25+'s rational core
+# (N - df + 0.5)/(df + 0.5) + 1 WITHOUT the final log — transcendentals
+# differ across libm builds (q55 precedent) and the per-term weighting
+# stays monotone-equivalent. The corpus never materializes full postings:
+# tokens are filtered to the 3 query terms BEFORE the explode, so the
+# shuffle carries at most 3 rows per matching document; (avgdl, N) and
+# the per-term df are 1-row broadcast scalars. The per-document score is
+# a fixed-order 3-term sum of per-row IEEE doubles — bit-identical in
+# both engines — and the final top-20 is orderBy+limit
+# (TakeOrderedAndProject: per-partition heap, no global sort) with the
+# rank decorated by the q5f sorted-array idiom (no unpartitioned
+# WindowExec).
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_TOPK = 20
+_BM25_POOL = 100  # candidate pool q79's rank fusion consumes
+
+
+def _bm25_score_expr() -> str:
+    """BM25 score as one SQL expression over columns (dl, n_docs, sum_dl,
+    tf_i, df_i) — the SAME text runs in Spark (F.expr) and DuckDB so every
+    IEEE operation happens in the same order."""
+    parts = []
+    for i in range(len(_BM25_TERMS)):
+        s = (
+            f"(((CAST(n_docs - df_{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{i} AS DOUBLE) + 0.5)) + 1.0)"
+            f" * ((CAST(tf_{i} AS DOUBLE) * 2.2)"
+            f" / (CAST(tf_{i} AS DOUBLE)"
+            f" + (1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)"
+            f" / (CAST(sum_dl AS DOUBLE) / n_docs))))))"
+        )
+        parts.append(f"COALESCE({s}, 0.0)")
+    return " + ".join(parts)
+
+
+def _bm25_nterms_expr() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN tf_{i} IS NOT NULL THEN 1 ELSE 0 END)"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"CAST({terms} AS INT)"
+
+
+def _bm25_case_list(col: str, agg: str) -> str:
+    return ",\n             ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN {col} END) AS {agg}_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+
+
+_BM25_TERM_LIST = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+# Shared WITH-body: everything up to the scored candidate set. q5k ranks
+# it to top-20; q79 reuses it as the lexical arm of rank fusion.
+BM25_SCORED_CTES = f"""d AS (
+      SELECT doc_id, CAST(length({_TOKENS_SQL}) AS INT) AS dl,
+             list_filter({_TOKENS_SQL}, t -> t IN ({_BM25_TERM_LIST})) AS qt
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(qt) AS term FROM d) u
+      GROUP BY 1, 2
+    ), piv AS (
+      SELECT doc_id,
+             {_bm25_case_list('tf', 'tf')}
+      FROM tf GROUP BY 1
+    ), dft AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), dfp AS (
+      SELECT {_bm25_case_list('df', 'df')}
+      FROM dft
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM d
+    ), bm25_scored AS (
+      SELECT p.doc_id, d.dl,
+             {_bm25_nterms_expr()} AS n_terms,
+             {_bm25_score_expr()} AS score
+      FROM piv p JOIN d USING (doc_id) CROSS JOIN stats CROSS JOIN dfp
+    )"""
+
+
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored BM25 candidates (doc_id, dl, n_terms, score) — one row per
+    document containing >= 1 query term. Shared by q5k (top-20) and q79
+    (rank-fusion lexical arm)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(_tokens_spark()).alias("dl"),
+        F.filter(_tokens_spark(), lambda t: t.isin(*_BM25_TERMS)).alias("qt"),
+    )
+    tf = (
+        d.select("doc_id", F.explode("qt").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    piv = tf.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("tf"))).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ]
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfp = dft.agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("df"))).alias(f"df_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ]
+    )
+    stats = d.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    joined = (
+        piv.join(d.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfp))
+    )
+    return joined.select(
+        "doc_id",
+        "dl",
+        F.expr(_bm25_nterms_expr()).alias("n_terms"),
+        F.expr(_bm25_score_expr()).alias("score"),
+    )
+
+
+@query(
+    "q5k_bm25",
+    oracle=f"""
+    WITH {BM25_SCORED_CTES}
+    SELECT doc_id, CAST(rnk AS INT) AS rank, score, dl, n_terms
+    FROM (
+      SELECT doc_id, dl, n_terms, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM bm25_scored
+    ) r
+    WHERE rnk <= {_BM25_TOPK}
+    """,
+)
+def q5k_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    top = (
+        bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+    return (
+        top.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("score")).alias("_neg"),
+                        "doc_id",
+                        "score",
+                        "dl",
+                        "n_terms",
+                    )
+                )
+            ).alias("_a")
+        )
+        .select(F.posexplode("_a").alias("_pos", "_s"))
+        .select(
+            F.col("_s.doc_id").alias("doc_id"),
+            (F.col("_pos") + 1).cast("int").alias("rank"),
+            F.col("_s.score").alias("score"),
+            F.col("_s.dl").alias("dl"),
+            F.col("_s.n_terms").alias("n_terms"),
+        )
+    )
