@@ -65,6 +65,8 @@ EXTRA = [
     "q5k_bm25",
     "q78_sq_encode",
     "q79_hybrid_rrf",
+    "q8i_image_near_dup",
+    "q7a_stream_sq_ingest",
 ]
 
 

@@ -1131,8 +1131,21 @@ def _ahash_oracle() -> str:
     """
 
 
-@query("q8f_image_ahash", oracle=_ahash_oracle())
-def q8f_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+# The hash table is memoized per (session, sf_dir) like the dedup
+# family's MinHash signature table: q8f and q8i share one decode +
+# hash pass (the binary decode dominates the family's cost), and
+# localCheckpoint keeps the 4-column result alive for the session.
+_AHASH_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ahash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _AHASH_MEMO:
+        _AHASH_MEMO[key] = _ahash_df(spark, sf_dir).localCheckpoint()
+    return _AHASH_MEMO[key]
+
+
+def _ahash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tf_datapipeline_spark.functions.imagecodec import decode_image
     from tf_datapipeline_spark.functions.imageops import resize_nearest
 
@@ -1159,6 +1172,110 @@ def q8f_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return corpus.mapInPandas(
         ahash, schema="doc_id bigint, n_bits bigint, hash_lo bigint, hash_hi bigint"
+    )
+
+
+@query("q8f_image_ahash", oracle=_ahash_oracle())
+def q8f_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ahash_table(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# q8i — IMAGE NEAR-DUP pairs: the image twin of MinHash-LSH dedup (q63),
+# run on q8f's 64-bit aHash. The 64 bits split into 4 x 16-bit bands;
+# docs sharing any band's exact value become candidates (equi-join on
+# (band, value) — never all-pairs), then the exact hamming distance
+# (bit_count of xor, lo+hi halves) verifies candidates at <= _AHD_T.
+# By pigeonhole the banding is EXACT, not approximate: <= 3 flipped bits
+# cannot touch all 4 bands, so every qualifying pair shares a band.
+# Hot buckets (> _AHD_CAP docs — constant-color thumbnails and the like
+# concentrate there) are skipped with q63's deterministic HAVING cap,
+# replayed verbatim by the oracle; the cap does not bind at driver
+# scales (largest observed bucket: 123 at sf0.01 vs cap 256).
+# --------------------------------------------------------------------------
+_AHD_CAP = 256
+_AHD_T = 3
+
+_AHD_BANDS_CASE = (
+    "CASE {b} WHEN 0 THEN hash_lo % 65536 WHEN 1 THEN hash_lo // 65536 "
+    "WHEN 2 THEN hash_hi % 65536 ELSE hash_hi // 65536 END"
+)
+
+
+def _image_near_dup_oracle() -> str:
+    band_val = _AHD_BANDS_CASE.format(b="b.b")
+    ham = (
+        "bit_count(xor(ha.hash_lo, hb.hash_lo))"
+        " + bit_count(xor(ha.hash_hi, hb.hash_hi))"
+    )
+    return f"""
+    WITH h AS ({_ahash_oracle()}),
+    bands AS (
+      SELECT doc_id, b.b AS band, {band_val} AS val
+      FROM h, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) b
+    ),
+    ok AS (
+      SELECT band, val FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= {_AHD_CAP}
+    ),
+    okb AS (
+      SELECT bands.doc_id, bands.band, bands.val
+      FROM bands JOIN ok USING (band, val)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM okb a
+      JOIN okb b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, CAST({ham} AS INT) AS hamming
+    FROM cand c
+    JOIN h ha ON ha.doc_id = c.doc_a
+    JOIN h hb ON hb.doc_id = c.doc_b
+    WHERE {ham} <= {_AHD_T}
+    """
+
+
+@query("q8i_image_near_dup", oracle=_image_near_dup_oracle())
+def q8i_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _ahash_table(spark, sf_dir).select("doc_id", "hash_lo", "hash_hi")
+    bands = h.select(
+        "doc_id",
+        F.expr(
+            "stack(4, 0, hash_lo % 65536, 1, hash_lo div 65536, "
+            "2, hash_hi % 65536, 3, hash_hi div 65536) AS (band, val)"
+        ),
+    )
+    ok = (
+        bands.groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= _AHD_CAP)
+        .select("band", "val")
+    )
+    okb = bands.join(ok, ["band", "val"], "left_semi")
+    a = okb.select(F.col("doc_id").alias("doc_a"), "band", "val")
+    b = okb.select(F.col("doc_id").alias("doc_b"), "band", "val")
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = h.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hash_lo").alias("lo_a"),
+        F.col("hash_hi").alias("hi_a"),
+    )
+    hb = h.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hash_lo").alias("lo_b"),
+        F.col("hash_hi").alias("hi_b"),
+    )
+    ham = F.expr("CAST(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) AS INT)")
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= _AHD_T)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 

@@ -811,3 +811,93 @@ def q6c_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= 0.5)
     )
     return run_bounded(joined, "append")
+
+
+# --------------------------------------------------------------------------
+# q7a — STREAMING scalar-quantization ingest (q78's streaming twin; the
+# similarity-family analog of q6c): new embeddings arrive as a stream
+# and are int8-quantized IN-FLIGHT against the STATIC per-dimension
+# min/max index computed offline over the existing corpus — the "encode
+# the crawl as it lands" shape of vector-index maintenance. Entirely
+# STATELESS streaming: the 64-row (mn, mx) index collapses to two
+# broadcast array literals (a bounded metadata collect, the q73/q77
+# centroid precedent), so each row's codes, digest, and reconstruction
+# error are pure array expressions — no state store, no watermark,
+# arbitrary stream length. Emits rows byte-identical to batch q78
+# restricted to the delta slice; the oracle replays exactly that.
+# --------------------------------------------------------------------------
+_VEC_DELTA_MOD = 5  # vec_id % 5 == 0 is the "newly crawled" delta slice
+
+
+def _stream_sq_oracle() -> str:
+    from tf_datapipeline_spark.operators.similarity import _sq_encode_sql
+
+    return f"""
+    SELECT * FROM ({_sq_encode_sql("duckdb")}) q
+    WHERE vec_id % {_VEC_DELTA_MOD} = 0
+    """
+
+
+@query("q7a_stream_sq_ingest", oracle=_stream_sq_oracle())
+def q7a_stream_sq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.catalog import load_table
+
+    # static index: per-dim (mn, mx) over the FULL existing corpus,
+    # batch-side — 64 aggregate rows, collected as bounded metadata and
+    # inlined as array literals (floats round-trip exactly via lit()).
+    emb = load_table(spark, sf_dir, "embeddings")
+    rng = (
+        emb.select(F.posexplode("embedding").alias("pos0", "xf"))
+        .select("pos0", F.col("xf").cast("double").alias("x"))
+        .groupBy("pos0")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    rng.sort(key=lambda r: r.pos0)
+    mn_arr = F.array(*[F.lit(r.mn) for r in rng])
+    mx_arr = F.array(*[F.lit(r.mx) for r in rng])
+
+    schema = spark.read.parquet(table_path(sf_dir, "embeddings")).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+        .filter(F.col("vec_id") % _VEC_DELTA_MOD == 0)
+    )
+    with_rng = sdf.select(
+        "vec_id", "embedding", mn_arr.alias("_mn"), mx_arr.alias("_mx")
+    )
+    # mirrors q78's arithmetic exactly: (x-mn)/(mx-mn)*255.0 + 0.5,
+    # FLOOR, clamp, INT cast; error FLOOR-quantized to 2^-30 pre-sum.
+    codes = (
+        "transform(sequence(1, size(embedding)), i -> "
+        "CAST(CASE WHEN element_at(_mx, i) = element_at(_mn, i) THEN 0.0 "
+        "ELSE LEAST(255.0, GREATEST(0.0, "
+        "FLOOR((CAST(element_at(embedding, i) AS DOUBLE) - element_at(_mn, i))"
+        " / (element_at(_mx, i) - element_at(_mn, i)) * 255.0 + 0.5))) END"
+        " AS INT))"
+    )
+    errsum = (
+        "aggregate(sequence(1, size(embedding)), CAST(0 AS BIGINT), (acc, i) -> "
+        "acc + CAST(FLOOR(ABS(CAST(element_at(embedding, i) AS DOUBLE)"
+        " - (element_at(_mn, i) + CAST(element_at(_codes, i) AS DOUBLE)"
+        " * ((element_at(_mx, i) - element_at(_mn, i)) / 255.0)))"
+        " * 1073741824.0) AS BIGINT))"
+    )
+    out = (
+        with_rng.withColumn("_codes", F.expr(codes))
+        .withColumn("_errsum", F.expr(errsum))
+        .select(
+            "vec_id",
+            F.expr("CAST(size(embedding) AS INT)").alias("n_dims"),
+            F.expr(
+                "CAST(_errsum AS DOUBLE)"
+                " / (1073741824.0 * CAST(size(embedding) AS BIGINT))"
+            ).alias("recon_mae"),
+            F.expr(
+                "md5(array_join(transform(_codes, c -> CAST(c AS STRING)), ','))"
+            ).alias("codes_md5"),
+        )
+    )
+    return run_bounded(out, "append")
