@@ -91,3 +91,71 @@ def test_ivfpq_recall_and_pruning(spark):
     avg = sum(recalls) / len(recalls)
     assert avg >= 0.1, f"avg recall {avg:.2f}, per-query {recalls}"
     assert sim.q77_knn_ivfpq(spark, SF_ORACLE).count() <= 8 * 5
+
+
+def test_sq_reconstruction_error_bound(spark):
+    """q78's quantizer must be correct by construction: with 255 levels
+    over [mn, mx], round-to-nearest reconstruction error is at most
+    step/2 per component (plus the 2^-30 floor-quantization of the error
+    itself), so recon_mae <= max_dim_range/510 + 2^-30."""
+    from pyspark.sql import functions as F
+
+    from tf_datapipeline_spark.catalog import load_table
+
+    df = sim.q78_sq_encode(spark, SF_ORACLE)
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    dims = emb.select(F.posexplode("embedding").alias("p", "x"))
+    rng = dims.groupBy("p").agg(
+        (F.max(F.col("x").cast("double")) - F.min(F.col("x").cast("double"))).alias(
+            "range"
+        )
+    )
+    max_range = rng.agg(F.max("range")).collect()[0][0]
+    worst = df.agg(F.max("recon_mae")).collect()[0][0]
+    assert worst <= max_range / 510.0 + 2**-30, (worst, max_range)
+    # codes digest is well-formed (md5 hex) and dims are complete
+    row = df.limit(1).collect()[0]
+    assert row.n_dims == 64 and len(row.codes_md5) == 32
+
+
+def test_rrf_fuses_both_arms(spark):
+    """q79: the vector arm ranks the query vector itself first
+    (cos=1.0), so vec_id 0 must appear with vec_rank=1; any doc ranked
+    by BOTH arms must score above a doc ranked by ONE arm at equal or
+    worse ranks (RRF monotonicity)."""
+    rows = {r.doc_id: r for r in sim.q79_hybrid_rrf(spark, SF_ORACLE).collect()}
+    assert 0 in rows and rows[0].vec_rank == 1
+    both = [r for r in rows.values() if r.lex_rank and r.vec_rank]
+    single = [r for r in rows.values() if not (r.lex_rank and r.vec_rank)]
+    if both and single:
+        # every fused doc beats the best single-arm doc whose one rank is
+        # >= both of the fused doc's ranks
+        for b in both:
+            for s in single:
+                s_rnk = s.lex_rank or s.vec_rank
+                if s_rnk >= max(b.lex_rank, b.vec_rank):
+                    assert b.rrf_score > s.rrf_score, (b, s)
+
+
+def test_image_near_dup_banding_is_exact(spark):
+    """q8i's 4-band pigeonhole claim, verified brute-force: at hamming
+    <= 3 every qualifying pair must be found (no bucket exceeds the cap
+    at this scale, so the banding is lossless here)."""
+    from tf_datapipeline_spark.operators import multimodal as mm
+
+    h = {
+        r.doc_id: (r.hash_lo, r.hash_hi)
+        for r in mm.q8f_image_ahash(spark, SF_ORACLE).collect()
+    }
+    expected = set()
+    ids = sorted(h)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(h[a][0] ^ h[b][0]).count("1") + bin(h[a][1] ^ h[b][1]).count("1")
+            if d <= 3:
+                expected.add((a, b, d))
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in mm.q8i_image_near_dup(spark, SF_ORACLE).collect()
+    }
+    assert got == expected
