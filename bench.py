@@ -67,6 +67,7 @@ EXTRA = [
     "q79_hybrid_rrf",
     "q8i_image_near_dup",
     "q7a_stream_sq_ingest",
+    "q5l_perplexity_buckets",
 ]
 
 

@@ -853,9 +853,10 @@ def _bigrams_spark(toks=None):
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
 
 
-@query(
-    "q5e_bigram_lm",
-    oracle=f"""
+# Shared by q5e (the raw per-doc LM score) and q5l (the CCNet-style
+# head/middle/tail bucketing over it) — identical text so both oracles
+# replay the exact same arithmetic.
+_LM_SCORE_SQL = f"""
     WITH pos AS (
       SELECT doc_id, t,
              unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
@@ -881,8 +882,10 @@ def _bigrams_spark(toks=None):
            CAST(SUM(p.pq) AS DOUBLE) / ({_LM_SCALE}.0 * COUNT(*)) AS lm_score
     FROM bg b JOIN p ON p.w1 = b.w1 AND p.w2 = b.w2
     GROUP BY 1
-    """,
-)
+    """
+
+
+@query("q5e_bigram_lm", oracle=_LM_SCORE_SQL)
 def q5e_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bg = (
@@ -1415,4 +1418,50 @@ def q5k_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_s.dl").alias("dl"),
             F.col("_s.n_terms").alias("n_terms"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q5l — CCNet-style LM-quality bucketing: every document scored by the
+# corpus bigram LM (q5e's log-free perplexity proxy) and split into
+# head / middle / tail quality buckets, with the keep decision (head +
+# middle survive) that CCNet applies before training. The cutoffs are
+# FIXED operating constants — exactly the production shape: CCNet
+# calibrates its perplexity thresholds once offline (per language, on a
+# held-out sample) and then applies them as constants to the full
+# corpus, which is also what keeps the op embarrassingly parallel — the
+# bucket decision is a per-row comparison against broadcast-free
+# literals, no global rank/ntile (a corpus-wide percentile window would
+# be a global sort at 100 TB). Cutoffs 0.035/0.033 straddle the
+# synthetic corpus's observed score mass (p33≈0.0341/p67≈0.0350 at
+# sf0.01) so all three buckets are populated at every driver scale.
+# --------------------------------------------------------------------------
+_LM_HEAD_CUT = 0.035
+_LM_MID_CUT = 0.033
+
+
+@query(
+    "q5l_perplexity_buckets",
+    oracle=f"""
+    SELECT doc_id, n_bigrams, lm_score,
+           CASE WHEN lm_score >= {_LM_HEAD_CUT} THEN 'head'
+                WHEN lm_score >= {_LM_MID_CUT} THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CASE WHEN lm_score >= {_LM_MID_CUT} THEN 1 ELSE 0 END AS keep
+    FROM ({_LM_SCORE_SQL}) lm
+    """,
+)
+def q5l_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lm = q5e_bigram_lm(spark, sf_dir)
+    return lm.select(
+        "doc_id",
+        "n_bigrams",
+        "lm_score",
+        F.when(F.col("lm_score") >= F.lit(_LM_HEAD_CUT), "head")
+        .when(F.col("lm_score") >= F.lit(_LM_MID_CUT), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        F.when(F.col("lm_score") >= F.lit(_LM_MID_CUT), 1)
+        .otherwise(0)
+        .alias("keep"),
     )
