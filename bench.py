@@ -68,6 +68,7 @@ EXTRA = [
     "q8i_image_near_dup",
     "q7a_stream_sq_ingest",
     "q5l_perplexity_buckets",
+    "q8j_stream_image_ingest",
 ]
 
 

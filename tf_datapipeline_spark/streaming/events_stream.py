@@ -901,3 +901,89 @@ def q7a_stream_sq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_bounded(out, "append")
+
+
+# --------------------------------------------------------------------------
+# q8j — STREAMING multimodal ingest (q80's streaming twin; completes the
+# in-flight-crawl matrix: q6c dedups text, q7a encodes vectors, q8j
+# probes media): newly crawled documents arrive as a stream and their
+# binary image payloads are built + decoded IN-FLIGHT through the same
+# Arrow-batched mapInPandas codec path as batch q80 — stateless, so
+# state is O(1) for an unbounded stream, and the decode probe
+# (dims/channels from the DECODED array) validates every payload before
+# it lands. Emits rows byte-identical to batch q80 on the delta slice;
+# the oracle replays exactly that.
+# --------------------------------------------------------------------------
+def _stream_image_oracle() -> str:
+    from tf_datapipeline_spark.operators.dedup import _DELTA_MOD
+    from tf_datapipeline_spark.operators.multimodal import (
+        _DIMS_SQL,
+        _PPM_BYTES_SQL,
+    )
+
+    return f"""
+    SELECT doc_id, lang AS class_name, 'ppm' AS image_format,
+           h AS height, w AS width, 3 AS channels,
+           {_PPM_BYTES_SQL} AS n_bytes
+    FROM ({_DIMS_SQL}) d
+    WHERE doc_id % {_DELTA_MOD} = 0
+    """
+
+
+@query("q8j_stream_image_ingest", oracle=_stream_image_oracle())
+def q8j_stream_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from tf_datapipeline_spark.functions.imagecodec import decode_image, encode_ppm
+    from tf_datapipeline_spark.operators.dedup import _DELTA_MOD
+    from tf_datapipeline_spark.sources.images import synthetic_pixels
+
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+        .filter(F.col("doc_id") % _DELTA_MOD == 0)
+        .select("doc_id", "lang")
+    )
+
+    def ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, lang in zip(pdf["doc_id"], pdf["lang"]):
+                img = synthetic_pixels(int(doc_id))
+                payload = encode_ppm(img)
+                arr = decode_image(payload, "ppm")
+                rows.append(
+                    (
+                        int(doc_id),
+                        lang,
+                        "ppm",
+                        arr.shape[0],
+                        arr.shape[1],
+                        arr.shape[2],
+                        len(payload),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "class_name",
+                    "image_format",
+                    "height",
+                    "width",
+                    "channels",
+                    "n_bytes",
+                ],
+            )
+
+    out = sdf.mapInPandas(
+        ingest,
+        schema="doc_id bigint, class_name string, image_format string, "
+        "height bigint, width bigint, channels int, n_bytes bigint",
+    )
+    return run_bounded(out, "append")
