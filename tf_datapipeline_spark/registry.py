@@ -90,21 +90,30 @@ GATE_ORDER = [
     # semantics — watermark flush + state eviction): q47 -> q4p,
     # q49 -> q4q. q47/q49 stay locally checked, and
     # test_batch_equals_streaming_windows still pins q40 == q47.
+    # Late-round-4 rotation: q4t -> q6c (the streaming incremental dedup
+    # IS a stream-static join — new-doc MinHash bands against the static
+    # corpus index — so the q4t class stays evidenced while the
+    # in-flight-crawl dedup shape gains a driver row; q4t stays locally
+    # checked).
     "q4p_stream_append_windows",
     "q4u_stream_stream_join",
     "q4q_stream_append_sessions",
     "q4s_stream_stateful_counts",
-    "q4t_stream_static_join",
+    "q6c_stream_incremental_dedup",
     "q4x_stream_incremental_rollup",
     # text analysis. Round-4 rotation: qt0 -> qt1 (the end-to-end prep
     # composite subsumes the profile; recursive-CTE oracle), q56 -> q5g
     # (overlapping context-window chunking), q57 -> q5h (winnowing
     # fingerprints; qt1 already replays the corpus-prep filter chain).
+    # Late-round-4 rotation: q58 -> q5k (BM25 ranked retrieval computes
+    # per-term df over the same posting machinery the vocabulary builder
+    # evidences, plus the ranked-retrieval class on top; q58 stays
+    # registered + locally oracle-checked).
     "qt1_prep_pipeline",
     "q55_tfidf",
     "q5g_doc_chunking",
     "q5h_winnow_fingerprint",
-    "q58_vocabulary",
+    "q5k_bm25",
     "q5c_contamination",
     "q5d_sequence_packing",
     # deduplication. Round-4 rotation: q61 -> q69 (exact-hash dedup is
@@ -122,12 +131,19 @@ GATE_ORDER = [
     "q67_dedup_clusters",
     # similarity search (ANN variants q71/q73 are rows-only by design —
     # recall-tested behind the window)
+    # Late-round-4 rotation: q72 -> q79 (q74's Lloyd step already
+    # evidences centroid recompute in-gate; hybrid RRF fusion adds the
+    # BM25 arm, the exact-decimal cosine arm, and the cross-modal
+    # doc_id=vec_id join in one row; q72 stays locally checked).
     "q70_knn_bruteforce",
-    "q72_label_centroids",
+    "q79_hybrid_rrf",
     "q74_kmeans_step",
-    # multimodal
+    # multimodal. Late-round-4 rotation: q81 -> q8i (pixel-exact decode
+    # is already evidenced in-gate by q8b/q8d's pixel-level codec rows;
+    # the banded image near-dup adds the image-dedup operator class on
+    # top of q8f's in-gate hash; q81 stays locally checked).
     "q80_image_metadata",
-    "q81_pixel_stats",
+    "q8i_image_near_dup",
     "q8b_png_decode",
     "q8c_bbox_overlay",
     "q84_etl_sharded_write",
