@@ -209,6 +209,7 @@ def test_no_accidental_cross_products(spark):
         "q82g_augment_golden",  # 1-row train digest x 1-row eval digest
         "q5j_mixture_weights",  # broadcast 1-row total-token scalar
         "q5k_bm25",  # broadcast 1-row (N, avgdl) + 1-row per-term df scalars
+        "q5m_temperature_mix",  # broadcast 1-row token-total + weight-total scalars
         "q79_hybrid_rrf",  # inherits q5k's scalars + 1-row query vector
         "q68_semantic_dedup",  # broadcast 16-row centroid dim (cell scoring)
         "qt2_prep_semantic",  # inherits q68's 16-row centroid broadcast

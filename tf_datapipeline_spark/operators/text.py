@@ -1465,3 +1465,66 @@ def q5l_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# q5m — TEMPERATURE-smoothed mixture (the mT5/multilingual recipe q5j's
+# frozen targets come from): per-language sampling shares proportional
+# to share^alpha with alpha = 1/2, which up-weights low-resource slices
+# without letting any slice dominate. alpha = 1/2 is deliberate: share^α
+# via POWER is a transcendental (libm-dependent — the same reason q55
+# drops ln), but SQRT is IEEE-754 correctly rounded in BOTH engines, so
+# the smoothing is exact. Each smoothed weight is FLOOR-quantized to
+# 2^-40 before the exact bigint normalization sum (the q5e trick), so
+# the 5-term denominator is order-independent and the final shares are
+# single deterministic divisions. Cost shape: one partial-agg scan to
+# 5 rows; everything after is scalar arithmetic on broadcast 1-row
+# totals.
+# --------------------------------------------------------------------------
+_TEMP_SCALE = 1 << 40
+
+
+@query(
+    "q5m_temperature_mix",
+    oracle=f"""
+    WITH lt AS (
+      SELECT lang, CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM lt),
+    wq AS (
+      SELECT lt.lang, lt.n_tokens,
+             CAST(lt.n_tokens AS DOUBLE) / tot.total_tokens AS share,
+             CAST(FLOOR(SQRT(CAST(lt.n_tokens AS DOUBLE) / tot.total_tokens)
+                        * {_TEMP_SCALE}.0) AS BIGINT) AS w
+      FROM lt CROSS JOIN tot
+    ),
+    totw AS (SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM wq)
+    SELECT wq.lang, wq.n_tokens, wq.share,
+           CAST(wq.w AS DOUBLE) / totw.total_w AS temp_share,
+           (CAST(wq.w AS DOUBLE) / totw.total_w) / wq.share AS boost
+    FROM wq CROSS JOIN totw
+    """,
+)
+def q5m_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lt = docs.groupBy("lang").agg(
+        F.sum(F.size(_tokens_spark())).cast("bigint").alias("n_tokens")
+    )
+    tot = lt.agg(F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    wq = lt.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        share.alias("share"),
+        F.floor(F.sqrt(share) * _TEMP_SCALE).cast("bigint").alias("w"),
+    )
+    totw = wq.agg(F.sum("w").cast("bigint").alias("total_w"))
+    temp_share = F.col("w").cast("double") / F.col("total_w")
+    return wq.crossJoin(F.broadcast(totw)).select(
+        "lang",
+        "n_tokens",
+        "share",
+        temp_share.alias("temp_share"),
+        (temp_share / F.col("share")).alias("boost"),
+    )
