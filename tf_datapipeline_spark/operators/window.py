@@ -279,3 +279,38 @@ def q27_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(c_acctbal, 0.90)"), 6).alias("p90"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# q28 — distribution ranks: percent_rank + cume_dist per market segment,
+# ordered by balance WITH ties (peer rows share both values — the
+# SQL-standard peer-group semantics are what this op pins; a unique
+# tie-break would reduce both to row_number arithmetic). Both functions
+# are rank-ratio divisions of exact integers, so cross-engine values are
+# bit-identical. Scale note (same as q26): partitionBy on a 5-value key
+# funnels each segment through one task's sort — fine at bench scale; at
+# 100 TB the two-pass partition-offset machinery (pipeline.py
+# offset_running_sum) computes the same global ranks without a
+# single-task sort, at the cost of one extra pass.
+# --------------------------------------------------------------------------
+@query(
+    "q28_distribution_ranks",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           percent_rank() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal) AS pct_rank,
+           cume_dist() OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal) AS cum_dist
+    FROM customer
+    """,
+)
+def q28_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
