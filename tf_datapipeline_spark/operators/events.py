@@ -1036,3 +1036,47 @@ def q4n_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", 6).alias("volume"),
     )
+
+
+# --------------------------------------------------------------------------
+# q4m — DATA-FRESHNESS monitor (pipeline observability: the
+# freshness-SLO check every always-on ingest runs): per event_type, the
+# event count, the last-seen event time, and whether the stream is
+# FRESH — last event within 1 hour of the corpus high-water mark.
+# Timestamp arithmetic stays in exact interval algebra (no epoch-second
+# conversion, whose boundary-count semantics differ across engines).
+# Cost shape: one partial-agg scan to |event_type| rows + a broadcast
+# 1-row high-water scalar — the same shape at 100 TB.
+# --------------------------------------------------------------------------
+@query(
+    "q4m_freshness_monitor",
+    oracle="""
+    WITH hw AS (SELECT MAX(ts) AS global_ts FROM events),
+    per AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(ts) AS last_ts
+      FROM events GROUP BY 1
+    )
+    SELECT p.event_type, p.n_events, p.last_ts, hw.global_ts,
+           CASE WHEN p.last_ts >= hw.global_ts - INTERVAL '1 hour'
+                THEN 1 ELSE 0 END AS is_fresh
+    FROM per p CROSS JOIN hw
+    """,
+)
+def q4m_freshness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hw = ev.agg(F.max("ts").alias("global_ts"))
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts")
+    )
+    return per.crossJoin(F.broadcast(hw)).select(
+        "event_type",
+        "n_events",
+        "last_ts",
+        "global_ts",
+        F.when(
+            F.col("last_ts") >= F.col("global_ts") - F.expr("INTERVAL 1 HOUR"), 1
+        )
+        .otherwise(0)
+        .alias("is_fresh"),
+    )

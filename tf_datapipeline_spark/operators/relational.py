@@ -1233,3 +1233,72 @@ def q1w_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return checked.select("l_returnflag", "n_rows", "p50_ok", "p95_ok")
+
+
+# --------------------------------------------------------------------------
+# q1x — DATA-QUALITY AUDIT (the Deequ/Great-Expectations constraint-suite
+# shape): one pass computes seven production constraint checks over
+# lineitem — null keys, quantity/discount range, positive price,
+# primary-key uniqueness, foreign-key integrity against orders, and the
+# ship-after-order sequence rule — emitting one (check, n_checked,
+# n_violations, pass) row each. This is the validation stage every
+# ingest pipeline runs before data is allowed downstream. Cost shape:
+# the four row-local checks share ONE conditional-aggregation scan; the
+# PK check is one partial-agg groupBy on the key; FK + sequence share
+# one key-partitioned join — nothing is per-check rescanned. All counts
+# are exact integers (cast to BIGINT so DuckDB's HUGEINT sums align).
+# The synthetic data genuinely fails two checks (duplicate PKs and
+# ship-before-order rows), so the audit provably detects, not just
+# passes.
+# --------------------------------------------------------------------------
+_QUALITY_AUDIT_SQL = """
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_orderkey IS NULL OR l_quantity IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+             CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+             CAST(SUM(CASE WHEN l_extendedprice <= 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+             CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_disc
+      FROM lineitem
+    ),
+    pk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS v_dup
+      FROM (
+        SELECT l_orderkey, l_linenumber, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2
+      ) g
+    ),
+    joined AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_li,
+             CAST(SUM(CASE WHEN o.o_orderkey IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_orphan,
+             CAST(SUM(CASE WHEN o.o_orderkey IS NOT NULL
+                           AND l.l_shipdate < o.o_orderdate
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_seq
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT check_name, n_checked, n_violations,
+           CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS pass
+    FROM (
+      SELECT 'null_keys' AS check_name, n AS n_checked, v_null AS n_violations
+      FROM base
+      UNION ALL SELECT 'quantity_range', n, v_qty FROM base
+      UNION ALL SELECT 'positive_price', n, v_price FROM base
+      UNION ALL SELECT 'discount_range', n, v_disc FROM base
+      UNION ALL SELECT 'pk_unique', n_keys, v_dup FROM pk
+      UNION ALL SELECT 'fk_orders', n_li, v_orphan FROM joined
+      UNION ALL SELECT 'ship_after_order', n_li, v_seq FROM joined
+    ) checks
+    """
+
+
+@query("q1x_quality_audit", oracle=_QUALITY_AUDIT_SQL)
+def q1x_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_QUALITY_AUDIT_SQL)
