@@ -1528,3 +1528,66 @@ def q5m_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         temp_share.alias("temp_share"),
         (temp_share / F.col("share")).alias("boost"),
     )
+
+
+# --------------------------------------------------------------------------
+# q5n — BPE MERGE-PAIR statistics (tokenizer-training prep): corpus-wide
+# counts of adjacent character pairs within whitespace tokens — the
+# statistic byte-pair encoding maximizes at every merge step (merge the
+# most frequent pair, re-count, repeat); one iteration is the
+# declarative core, and the loop is a driver-side fold over this query
+# exactly like q74 is one Lloyd step of k-means. Top-20 by (count DESC,
+# pair ASC) via orderBy+limit (per-partition heap) with the q5f
+# sorted-array rank — no unpartitioned WindowExec, no full sort of the
+# pair distribution. Complements q53 (applying a BPE-ish tokenizer) and
+# q58 (vocabulary): together they cover tokenizer train/apply/inspect.
+# --------------------------------------------------------------------------
+@query(
+    "q5n_bpe_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKENS_SQL}) AS tok FROM documents
+    ),
+    pairs AS (
+      SELECT substr(tok, CAST(i.i AS INT), 2) AS pair
+      FROM (SELECT tok FROM toks WHERE length(tok) >= 2) t,
+           LATERAL (SELECT unnest(generate_series(1, length(tok) - 1)) AS i) i
+    ),
+    counts AS (
+      SELECT pair, COUNT(*) AS n FROM pairs GROUP BY 1
+    )
+    SELECT pair, n, CAST(rnk AS INT) AS rnk FROM (
+      SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk
+      FROM counts
+    ) ranked WHERE rnk <= 20
+    """,
+)
+def q5n_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(F.explode(_tokens_spark()).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1), "
+                    "i -> substr(tok, i, 2))"
+                )
+            ).alias("pair")
+        )
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("pair")).limit(20)
+    return (
+        top.agg(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("n")).alias("_neg"), "pair", "n"))
+            ).alias("_a")
+        )
+        .select(F.posexplode("_a").alias("_pos", "_s"))
+        .select(
+            F.col("_s.pair").alias("pair"),
+            F.col("_s.n").alias("n"),
+            (F.col("_pos") + 1).cast("int").alias("rnk"),
+        )
+    )
