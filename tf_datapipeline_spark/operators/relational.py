@@ -1302,3 +1302,49 @@ def q1x_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_QUALITY_AUDIT_SQL)
+
+
+# --------------------------------------------------------------------------
+# q1y — SNAPSHOT DIFF (change-data-capture): given yesterday's and
+# today's snapshot of `orders`, emit the exact change set — inserts,
+# deletes, and updates (with old/new values) — via one full-outer join
+# on the key. This is the CDC/merge-prep op every incremental pipeline
+# runs to avoid reprocessing unchanged rows (the batch complement of
+# q4x's streaming MERGE). Snapshots derive deterministically from the
+# driver table: "old" drops keys = 0 (mod 10) [today's inserts] and
+# "new" drops keys = 1 (mod 10) [today's deletes] and reprices keys
+# = 2 (mod 7) [updates]; everything else must NOT appear in the diff —
+# unchanged-row suppression is the point of the op. Cost shape: one
+# key-partitioned full-outer join, change classification as row-local
+# CASEs; output is O(changes), not O(snapshot).
+# --------------------------------------------------------------------------
+_SNAPSHOT_DIFF_SQL = """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 2
+                  THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 1
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.o_totalprice AS old_totalprice,
+           n.o_totalprice AS new_totalprice
+    FROM old o FULL OUTER JOIN new n ON n.o_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice <> n.o_totalprice
+       OR o.o_orderstatus <> n.o_orderstatus
+    """
+
+
+@query("q1y_snapshot_diff", oracle=_SNAPSHOT_DIFF_SQL)
+def q1y_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SNAPSHOT_DIFF_SQL)
