@@ -69,6 +69,8 @@ EXTRA = [
     "q7a_stream_sq_ingest",
     "q5l_perplexity_buckets",
     "q8j_stream_image_ingest",
+    "q1x_quality_audit",
+    "q1y_snapshot_diff",
 ]
 
 

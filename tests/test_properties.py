@@ -189,3 +189,47 @@ def test_semantic_dedup_production_twin_agrees(spark):
     exact = {r.vec_id: (r.cell, r.keep) for r in q68_semantic_dedup(spark, SF_SMOKE).collect()}
     prod = {r.vec_id: (r.cell, r.keep) for r in q6b_semantic_dedup_scaled(spark, SF_SMOKE).collect()}
     assert exact == prod
+
+
+def test_quality_audit_detects_known_defects(spark):
+    """q1x must actually DETECT: the driver testdata carries duplicate
+    (l_orderkey, l_linenumber) pairs and ship-before-order rows at
+    sf0.01+, so those two checks must fail while the clean constraints
+    pass — an audit that green-lights everything is vacuous."""
+    from tests.conftest import SF_ORACLE
+    from tf_datapipeline_spark.operators.relational import q1x_quality_audit
+
+    rows = {r.check_name: r for r in q1x_quality_audit(spark, SF_ORACLE).collect()}
+    assert set(rows) == {
+        "null_keys", "quantity_range", "positive_price", "discount_range",
+        "pk_unique", "fk_orders", "ship_after_order",
+    }
+    for clean in ("null_keys", "quantity_range", "positive_price",
+                  "discount_range", "fk_orders"):
+        assert rows[clean]["pass"] == 1, clean
+        assert rows[clean].n_violations == 0, clean
+    assert rows["pk_unique"].n_violations > 0
+    assert rows["ship_after_order"].n_violations > 0
+
+
+def test_snapshot_diff_matches_derivation_rules(spark):
+    """q1y's change set must match the snapshot derivation exactly:
+    inserts = keys dropped from old (mod 10 == 0), deletes = keys
+    dropped from new (mod 10 == 1), updates = repriced keys
+    (mod 7 == 2) present in both — and nothing else (unchanged-row
+    suppression is the op's point)."""
+    from tests.conftest import SF_ORACLE
+    from tf_datapipeline_spark.catalog import load_table
+    from tf_datapipeline_spark.operators.relational import q1y_snapshot_diff
+
+    keys = [r.o_orderkey for r in
+            load_table(spark, SF_ORACLE, "orders").select("o_orderkey").collect()]
+    exp_ins = {k for k in keys if k % 10 == 0}
+    exp_del = {k for k in keys if k % 10 == 1}
+    exp_upd = {k for k in keys if k % 7 == 2 and k % 10 not in (0, 1)}
+    got = {"insert": set(), "delete": set(), "update": set()}
+    for r in q1y_snapshot_diff(spark, SF_ORACLE).collect():
+        got[r.change_type].add(r.o_orderkey)
+    assert got["insert"] == exp_ins
+    assert got["delete"] == exp_del
+    assert got["update"] == exp_upd
