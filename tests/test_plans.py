@@ -203,6 +203,7 @@ def test_no_accidental_cross_products(spark):
         "q33_epoch_repeat",  # epochs dim: n_epochs rows
         "q44_late_data_filter",  # broadcast 1-row watermark scalar
         "q4m_freshness_monitor",  # broadcast 1-row high-water scalar
+        "q1x_quality_audit",  # broadcast 1-row PK-metric scalars
         "q55_tfidf",  # broadcast 1-row corpus doc count
         "q70_knn_bruteforce",  # broadcast 8-row query set, != condition
         "qp1_feed_pipeline",  # epochs dim: 2 rows

@@ -1298,10 +1298,67 @@ _QUALITY_AUDIT_SQL = """
 
 @query("q1x_quality_audit", oracle=_QUALITY_AUDIT_SQL)
 def q1x_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tf_datapipeline_spark.catalog import register_views
+    """Spark side deliberately does NOT run the oracle's UNION text:
+    Spark inlines CTEs, so the 7-branch UNION planned NINE parquet scans
+    (the lineitem⋈orders join twice). Instead the five row-local checks
+    fold into ONE conditional aggregation over the (row-preserving,
+    orders-key-unique) left join, the PK check is the one extra groupBy
+    pass, and the 7 output rows come from a stack() unpivot of the
+    combined 1-row metric set — 2 lineitem scans + 1 join total, the
+    shape a 100 TB audit needs. Values are unchanged: the predicates
+    are identical per row, so the oracle's formulation hashes the same."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
 
-    register_views(spark, sf_dir)
-    return spark.sql(_QUALITY_AUDIT_SQL)
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    base = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        viol(
+            F.col("l_orderkey").isNull() | F.col("l_quantity").isNull()
+        ).alias("v_null"),
+        viol((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "v_qty"
+        ),
+        viol(F.col("l_extendedprice") <= 0).alias("v_price"),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias(
+            "v_disc"
+        ),
+        viol(F.col("o_orderkey").isNull()).alias("v_orphan"),
+        viol(
+            F.col("o_orderkey").isNotNull()
+            & (F.col("l_shipdate") < F.col("o_orderdate"))
+        ).alias("v_seq"),
+    )
+    pk = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            viol(F.col("cnt") > 1).alias("v_dup"),
+        )
+    )
+    stacked = base.crossJoin(F.broadcast(pk)).selectExpr(
+        "stack(7, "
+        "'null_keys', n, v_null, "
+        "'quantity_range', n, v_qty, "
+        "'positive_price', n, v_price, "
+        "'discount_range', n, v_disc, "
+        "'pk_unique', n_keys, v_dup, "
+        "'fk_orders', n, v_orphan, "
+        "'ship_after_order', n, v_seq"
+        ") AS (check_name, n_checked, n_violations)"
+    )
+    return stacked.select(
+        "check_name",
+        "n_checked",
+        "n_violations",
+        F.when(F.col("n_violations") == 0, 1).otherwise(0).alias("pass"),
+    )
 
 
 # --------------------------------------------------------------------------
