@@ -385,17 +385,14 @@ def q65_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_neardup_sql(dialect: str) -> str:
-    if dialect == "spark":
-        pos = "explode(sequence(1, 64)) AS pos"
-        elem = "element_at(embedding, CAST(pos AS INT))"
-    else:
-        pos = "unnest(generate_series(1, 64)) AS pos"
-        elem = "embedding[CAST(pos AS INT)]"
+    # dims comes from similarity's shared exploded-table helper: the
+    # spark dialect reads the session-materialized view (one scan + one
+    # explode for the three references below), the duckdb oracle stays
+    # self-contained.
+    from tf_datapipeline_spark.operators.similarity import _dims_cte
+
     return f"""
-    WITH dims AS (
-      SELECT vec_id, CAST({elem} AS DOUBLE) AS x, pos
-      FROM (SELECT vec_id, embedding, {pos} FROM embeddings)
-    ),
+    WITH dims AS ({_dims_cte(dialect)}),
     norms AS (
       SELECT vec_id,
              SQRT(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
@@ -421,7 +418,9 @@ def q66_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines agree bit-for-bit. Threshold 0.4 exercises the op on this
     corpus (no seeded embedding dups; production would use ~0.95 with
     LSH-bucketed candidates — see similarity.q71 for the bucketed path)."""
-    register_views(spark, sf_dir)
+    from tf_datapipeline_spark.operators.similarity import _materialize_dims
+
+    _materialize_dims(spark, sf_dir)
     return spark.sql(_embedding_neardup_sql("spark"))
 
 
