@@ -1362,3 +1362,76 @@ def q8g_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
         zcr,
         schema="doc_id bigint, window_idx bigint, n_crossings bigint, peak bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# q8k — SCENE-CHANGE detection (temporal media op): adjacent-frame mean
+# absolute byte difference with a cut threshold — the standard
+# shot-boundary heuristic every video-ingest pipeline runs to pick
+# keyframes for sampling/dedup. Frames follow q85's model (raster row =
+# frame); a real decoder would swap the byte-slicing lambda for
+# av/ffmpeg exactly as q85 documents. All per-frame sums are exact
+# integers; the mean is one IEEE division; the oracle replays every
+# cell arithmetically, so the whole decode→diff→threshold path is
+# value-checked. Cost shape: frame diffs are computed inside the decode
+# pass (one Arrow batch per task, no shuffle); only the per-frame
+# feature rows leave the UDF.
+# --------------------------------------------------------------------------
+_SCENE_CUT = 6.0
+
+
+@query(
+    "q8k_scene_change",
+    oracle=f"""
+    WITH dims AS ({_DIMS_SQL}),
+    fr AS (
+      SELECT d.doc_id, d.w, i.i AS frame_idx
+      FROM dims d, LATERAL (SELECT unnest(generate_series(1, d.h - 1)) AS i) i
+    ),
+    b AS (
+      SELECT f.doc_id, f.frame_idx, f.w,
+             ABS(((3*f.frame_idx + 5*j.j + 11*c.c + f.doc_id) % 256)
+                 - ((3*(f.frame_idx - 1) + 5*j.j + 11*c.c + f.doc_id) % 256))
+               AS d
+      FROM fr f,
+           LATERAL (SELECT unnest(generate_series(0, f.w - 1)) AS j) j,
+           (SELECT unnest([0, 1, 2]) AS c) c
+    )
+    SELECT doc_id, frame_idx,
+           CAST(SUM(d) AS BIGINT) AS diff_sum,
+           CAST(SUM(d) AS DOUBLE) / (w * 3) AS mean_diff,
+           CASE WHEN CAST(SUM(d) AS DOUBLE) / (w * 3) > {_SCENE_CUT}
+                THEN 1 ELSE 0 END AS is_cut
+    FROM b GROUP BY doc_id, frame_idx, w
+    """,
+)
+def q8k_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = synthetic_corpus(spark, sf_dir).select(
+        "path", "image_format", "content"
+    )
+
+    def diffs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, fmt, content in zip(
+                pdf["path"], pdf["image_format"], pdf["content"]
+            ):
+                doc_id = _doc_id_of(path)
+                arr = decode_image(bytes(content), fmt).astype(np.int64)
+                d = np.abs(arr[1:] - arr[:-1]).sum(axis=(1, 2))
+                n = arr.shape[1] * 3
+                for k, ds in enumerate(d):
+                    mean = float(ds) / n
+                    rows.append(
+                        (doc_id, k + 1, int(ds), mean, 1 if mean > _SCENE_CUT else 0)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "diff_sum", "mean_diff", "is_cut"],
+            )
+
+    return corpus.mapInPandas(
+        diffs,
+        schema="doc_id bigint, frame_idx bigint, diff_sum bigint, "
+        "mean_diff double, is_cut int",
+    )
