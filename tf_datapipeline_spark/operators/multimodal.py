@@ -1435,3 +1435,107 @@ def q8k_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, frame_idx bigint, diff_sum bigint, "
         "mean_diff double, is_cut int",
     )
+
+
+# --------------------------------------------------------------------------
+# q8l — duplicate-KEYFRAME detection (video near-dup): keyframes (frame
+# 0 + every q8k scene cut) are fingerprinted with exact integer features
+# (width, byte sum, byte square-sum — collision-safe on this corpus and
+# computable identically in both engines, unlike a float or
+# transcendental hash), then identical fingerprints are grouped ACROSS
+# documents — the cross-video duplicate-segment detector that video
+# dedup runs after shot segmentation (the image twin is q8i; this is
+# the temporal-media member of the dedup family). One decode pass emits
+# only keyframe fingerprint rows; the group-by shuffles fingerprints,
+# never pixels. Output is one row per duplicated fingerprint
+# (HAVING > 1), fully oracle-checked.
+# --------------------------------------------------------------------------
+@query(
+    "q8l_keyframe_dedup",
+    oracle=f"""
+    WITH dims AS ({_DIMS_SQL}),
+    fr AS (
+      SELECT d.doc_id, d.w, i.i AS frame_idx
+      FROM dims d, LATERAL (SELECT unnest(generate_series(1, d.h - 1)) AS i) i
+    ),
+    b AS (
+      SELECT f.doc_id, f.frame_idx, f.w,
+             ABS(((3*f.frame_idx + 5*j.j + 11*c.c + f.doc_id) % 256)
+                 - ((3*(f.frame_idx - 1) + 5*j.j + 11*c.c + f.doc_id) % 256))
+               AS d
+      FROM fr f,
+           LATERAL (SELECT unnest(generate_series(0, f.w - 1)) AS j) j,
+           (SELECT unnest([0, 1, 2]) AS c) c
+    ),
+    cuts AS (
+      SELECT doc_id, frame_idx FROM b
+      GROUP BY doc_id, frame_idx, w
+      HAVING CAST(SUM(d) AS DOUBLE) / (w * 3) > {_SCENE_CUT}
+    ),
+    kf AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS frame_idx, w FROM dims
+      UNION ALL
+      SELECT c.doc_id, c.frame_idx, d.w
+      FROM cuts c JOIN dims d ON d.doc_id = c.doc_id
+    ),
+    cells AS (
+      SELECT k.doc_id, k.frame_idx, k.w,
+             (3*k.frame_idx + 5*j.j + 11*c.c + k.doc_id) % 256 AS v
+      FROM kf k,
+           LATERAL (SELECT unnest(generate_series(0, k.w - 1)) AS j) j,
+           (SELECT unnest([0, 1, 2]) AS c) c
+    ),
+    fp AS (
+      SELECT doc_id, frame_idx, w,
+             CAST(SUM(v) AS BIGINT) AS byte_sum,
+             CAST(SUM(v * v) AS BIGINT) AS byte_sqsum
+      FROM cells GROUP BY 1, 2, 3
+    )
+    SELECT w, byte_sum, byte_sqsum,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM fp
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) > 1
+    """,
+)
+def q8l_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = synthetic_corpus(spark, sf_dir).select(
+        "path", "image_format", "content"
+    )
+
+    def keyframes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, fmt, content in zip(
+                pdf["path"], pdf["image_format"], pdf["content"]
+            ):
+                doc_id = _doc_id_of(path)
+                arr = decode_image(bytes(content), fmt).astype(np.int64)
+                w = arr.shape[1]
+                n = w * 3
+                d = np.abs(arr[1:] - arr[:-1]).sum(axis=(1, 2))
+                idxs = [0] + [k + 1 for k, ds in enumerate(d) if ds / n > _SCENE_CUT]
+                for k in idxs:
+                    frame = arr[k]
+                    rows.append(
+                        (doc_id, k, w, int(frame.sum()), int((frame * frame).sum()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "w", "byte_sum", "byte_sqsum"],
+            )
+
+    fp = corpus.mapInPandas(
+        keyframes,
+        schema="doc_id bigint, frame_idx bigint, w bigint, "
+        "byte_sum bigint, byte_sqsum bigint",
+    )
+    return (
+        fp.groupBy("w", "byte_sum", "byte_sqsum")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_frames") > 1)
+    )
