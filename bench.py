@@ -71,6 +71,7 @@ EXTRA = [
     "q8j_stream_image_ingest",
     "q1x_quality_audit",
     "q1y_snapshot_diff",
+    "qt4_stream_ingest",
 ]
 
 

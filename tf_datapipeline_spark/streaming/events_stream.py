@@ -987,3 +987,137 @@ def q8j_stream_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height bigint, width bigint, channels int, n_bytes bigint",
     )
     return run_bounded(out, "append")
+
+
+# --------------------------------------------------------------------------
+# qt4 — STREAMING INGEST composite: the end-to-end "admit the crawl"
+# pipeline as ONE stateless streaming job — newly crawled documents are
+# (1) quality-gated (q51's rule: length + stopword evidence), (2)
+# near-dup-checked against the static corpus LSH band index (q6c's
+# machinery, here as two stream-static LEFT ANTI joins — a doc survives
+# only if NO corpus doc shares a band with estimated Jaccard >= 0.5),
+# and (3) annotated with media metadata (the q80 dims model; the real
+# binary decode twin is q8j) — emitting exactly the ACCEPTED documents,
+# which is the production ingest contract. No watermark, no state
+# store: quality is row-local, the dedup check is an equi-join against
+# a static index, so state is O(1) for an unbounded stream. The batch
+# oracle replays the same quality + NOT EXISTS band-match + dims logic
+# over the delta slice. (Unlike q6c's index this composite applies no
+# hot-bucket cap — the anti-join discards rather than enumerates
+# matches, so bucket fan-out never materializes rows.)
+# --------------------------------------------------------------------------
+def _stream_ingest_oracle() -> str:
+    from tf_datapipeline_spark.operators.dedup import (
+        _DELTA_MOD,
+        _K,
+        _with_prelude,
+    )
+    from tf_datapipeline_spark.operators.text import _SW_LIST, _TOKENS_SQL
+
+    mcols_half1 = ", ".join(f"m{i}" for i in range(_K // 2))
+    mcols_half2 = ", ".join(f"m{i}" for i in range(_K // 2, _K))
+    est = " + ".join(
+        f"(CASE WHEN i.m{k} = s.m{k} THEN 1 ELSE 0 END)" for k in range(_K)
+    )
+    body = f"""
+    SELECT d.doc_id, d.n_chars,
+           8 + (d.doc_id * 7919) % 25 AS height,
+           8 + (d.doc_id * 104729) % 25 AS width
+    FROM documents d
+    WHERE d.doc_id % {_DELTA_MOD} = 0
+      AND d.n_chars >= 100
+      AND length(list_filter({_TOKENS_SQL.replace('text', 'd.text')},
+                             t -> t IN ({_SW_LIST}))) > 0
+      AND NOT EXISTS (
+        SELECT 1
+        FROM sig s JOIN sig i
+          ON i.doc_id % {_DELTA_MOD} <> 0
+         AND (concat_ws('|', i.{mcols_half1.replace(', ', ', i.')})
+                = concat_ws('|', s.{mcols_half1.replace(', ', ', s.')})
+              OR concat_ws('|', i.{mcols_half2.replace(', ', ', i.')})
+                = concat_ws('|', s.{mcols_half2.replace(', ', ', s.')}))
+         AND CAST(({est}) AS DOUBLE) / {_K} >= 0.5
+        WHERE s.doc_id = d.doc_id
+      )
+    """
+    return _with_prelude("duckdb", body, need_sig=True)
+
+
+@query("qt4_stream_ingest", oracle=_stream_ingest_oracle())
+def qt4_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.functions.texthash import (
+        sql_hash32_dialect,
+        sql_minhash_perm,
+    )
+    from tf_datapipeline_spark.operators.dedup import (
+        _DELTA_MOD,
+        _K,
+        _PARAMS,
+        _materialize_sig,
+    )
+    from tf_datapipeline_spark.operators.text import _STOPWORDS
+
+    _materialize_sig(spark, sf_dir)
+    mcols = [f"m{i}" for i in range(_K)]
+    half = _K // 2
+    corpus_sig = spark.table("sig").filter(F.col("doc_id") % _DELTA_MOD != 0)
+    idx0 = corpus_sig.select(
+        F.concat_ws("|", *mcols[:half]).alias("i_bkey"),
+        *[F.col(m).alias(f"i_{m}") for m in mcols],
+    )
+    idx1 = corpus_sig.select(
+        F.concat_ws("|", *mcols[half:]).alias("i_bkey"),
+        *[F.col(m).alias(f"i_{m}") for m in mcols],
+    )
+
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+        .filter(F.col("doc_id") % _DELTA_MOD == 0)
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    quality = (F.col("n_chars") >= 100) & (
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))) > 0
+    )
+    sdf = sdf.filter(quality)
+    h32 = sql_hash32_dialect("substr(text, CAST(i AS INT), 5)", "spark")
+    sh = (
+        f"CASE WHEN length(text) >= 5 THEN "
+        f"transform(sequence(1, length(text) - 4), i -> {h32}) "
+        f"ELSE CAST(array() AS array<bigint>) END"
+    )
+    sdf = sdf.withColumn("_sh", F.expr(sh))
+    for i, (a, b) in enumerate(_PARAMS):
+        sdf = sdf.withColumn(
+            f"dm{i}",
+            F.expr(
+                f"array_min(transform(_sh, h -> {sql_minhash_perm('h', a, b)}))"
+            ),
+        )
+    sdf = sdf.withColumn(
+        "bkey0", F.concat_ws("|", *[f"dm{i}" for i in range(half)])
+    ).withColumn("bkey1", F.concat_ws("|", *[f"dm{i}" for i in range(half, _K)]))
+
+    def est_ok(side):
+        hits = sum(
+            F.when(F.col(f"dm{k}") == side[f"i_m{k}"], 1).otherwise(0)
+            for k in range(_K)
+        )
+        return hits.cast("double") / _K >= 0.5
+
+    survivors = sdf.join(
+        idx0, (F.col("bkey0") == idx0.i_bkey) & est_ok(idx0), "left_anti"
+    )
+    survivors = survivors.join(
+        idx1, (F.col("bkey1") == idx1.i_bkey) & est_ok(idx1), "left_anti"
+    )
+    out = survivors.select(
+        "doc_id",
+        "n_chars",
+        F.expr("8 + (doc_id * 7919) % 25").alias("height"),
+        F.expr("8 + (doc_id * 104729) % 25").alias("width"),
+    )
+    return run_bounded(out, "append")
