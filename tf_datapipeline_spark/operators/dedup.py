@@ -1130,3 +1130,45 @@ def q6b_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_of").isNull().cast("int").alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q6d — TRIANGLE enumeration over the near-dup graph (q63's LSH pair
+# edges): the clique-density signal dedup QA uses to tell tight
+# duplicate clusters (triangle-rich) from chain artifacts of transitive
+# banding (triangle-free paths) — clusters q67 would merge on a single
+# spurious edge show up here with zero support. Classic two-join wedge
+# enumeration: edges are oriented (doc_a < doc_b by construction, the
+# id-order analog of degree ordering), wedges (a<b<c) form on the
+# shared middle vertex, and one membership join closes them — wedge
+# fan-out is bounded by per-vertex degree, never all-pairs, and only
+# (id, id) pairs shuffle. Shares the memoized signature table with the
+# rest of the family.
+# --------------------------------------------------------------------------
+def _triangle_sql() -> str:
+    return f"""
+    WITH e AS (
+      SELECT doc_a AS a, doc_b AS b FROM ({_lsh_pairs_sql("duckdb")})
+    )
+    SELECT e1.a AS doc_a, e1.b AS doc_b, e2.b AS doc_c
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """
+
+
+@query("q6d_triangle_count", oracle=_triangle_sql())
+def q6d_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = q63_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    ab = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bc = e.select(F.col("doc_a").alias("_b"), F.col("doc_b").alias("c"))
+    ac = e.select(F.col("doc_a").alias("_a"), F.col("doc_b").alias("_c"))
+    return (
+        ab.join(bc, F.col("b") == F.col("_b"))
+        .join(ac, (F.col("a") == F.col("_a")) & (F.col("c") == F.col("_c")))
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.col("c").alias("doc_c"),
+        )
+    )
