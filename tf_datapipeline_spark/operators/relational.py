@@ -1405,3 +1405,65 @@ def q1y_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SNAPSHOT_DIFF_SQL)
+
+
+# --------------------------------------------------------------------------
+# q1z — TABLE STATISTICS (the ANALYZE TABLE ... COMPUTE STATISTICS
+# analog): per-column null count, exact distinct count, and min/max for
+# the optimizer-relevant lineitem columns, emitted as one row per
+# column — the catalog-stats collection every CBO-driven warehouse runs
+# after ingest (join reordering and broadcast decisions at 100 TB are
+# only as good as these numbers). ONE pass: Spark rewrites the
+# multi-column COUNT(DISTINCT ...) aggregate via EXPAND (partial
+# aggregation per column group), so the scan is not repeated per
+# column; the per-column rows come from a stack() unpivot of the 1-row
+# aggregate. Min/max are reported for the numeric columns and cast to
+# DOUBLE so one schema fits every row (the string column reports NULLs
+# there — its width stats are its min/max lengths).
+# --------------------------------------------------------------------------
+_ANALYZE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _analyze_sql() -> str:
+    per = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_{c},"
+        f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c},"
+        f" CAST(MIN({c}) AS DOUBLE) AS mn_{c},"
+        f" CAST(MAX({c}) AS DOUBLE) AS mx_{c}"
+        for c in _ANALYZE_COLS
+    )
+    rows = ", ".join(
+        f"('{c}', n_rows, nn_{c}, nd_{c}, mn_{c}, mx_{c})" for c in _ANALYZE_COLS
+    )
+    return f"""
+    WITH agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {per}
+      FROM lineitem
+    )
+    SELECT t.* FROM agg, LATERAL (VALUES {rows})
+         AS t(col_name, n_rows, n_nulls, n_distinct, min_value, max_value)
+    """
+
+
+@query("q1z_table_stats", oracle=_analyze_sql())
+def q1z_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in _ANALYZE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nn_{c}"),
+            F.countDistinct(c).cast("bigint").alias(f"nd_{c}"),
+            F.min(c).cast("double").alias(f"mn_{c}"),
+            F.max(c).cast("double").alias(f"mx_{c}"),
+        ]
+    agg = li.agg(*aggs)
+    rows = ", ".join(
+        f"'{c}', n_rows, nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _ANALYZE_COLS
+    )
+    return agg.selectExpr(
+        f"stack({len(_ANALYZE_COLS)}, {rows}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    )
