@@ -683,3 +683,54 @@ def q3d_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _RESERVOIR_K)
         .select("lang", "doc_id", "n_chars", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# q3e — K-FOLD cross-validation assignment: every document gets a
+# deterministic fold id from the seeded permutation key (R1's machinery,
+# so folds are reproducible at any parallelism and disjoint by
+# construction), and the output reports per-(fold, lang) counts plus
+# each cell's share of its fold — the balance check run before
+# cross-validated eval to confirm no fold is skewed. Same 100 TB shape
+# as q31: the fold id is a row-local expression (no shuffle to assign),
+# and only the tiny (fold x lang) aggregate shuffles.
+# --------------------------------------------------------------------------
+_N_FOLDS = 5
+
+
+@query(
+    "q3e_kfold_assignment",
+    oracle=f"""
+    WITH folds AS (
+      SELECT doc_id, lang,
+             CAST(({sql_shuffle_key('doc_id')}) % {_N_FOLDS} AS BIGINT) AS fold
+      FROM documents
+    ),
+    cells AS (
+      SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM folds GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT fold, CAST(SUM(n_docs) AS BIGINT) AS fold_size FROM cells GROUP BY 1
+    )
+    SELECT c.fold, c.lang, c.n_docs, t.fold_size,
+           CAST(c.n_docs AS DOUBLE) / t.fold_size AS lang_share
+    FROM cells c JOIN tot t ON t.fold = c.fold
+    """,
+)
+def q3e_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (shuffle_key(F.col("doc_id")) % _N_FOLDS).cast("bigint")
+    cells = (
+        docs.select(fold.alias("fold"), "lang")
+        .groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = cells.groupBy("fold").agg(F.sum("n_docs").cast("bigint").alias("fold_size"))
+    return cells.join(F.broadcast(tot), "fold").select(
+        "fold",
+        "lang",
+        "n_docs",
+        "fold_size",
+        (F.col("n_docs").cast("double") / F.col("fold_size")).alias("lang_share"),
+    )
