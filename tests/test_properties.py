@@ -233,3 +233,56 @@ def test_snapshot_diff_matches_derivation_rules(spark):
     assert got["insert"] == exp_ins
     assert got["delete"] == exp_del
     assert got["update"] == exp_upd
+
+
+def test_stream_ingest_agrees_with_q6c_and_quality(spark):
+    """Cross-op consistency: qt4's accepted set must be exactly the
+    quality-passing delta docs MINUS the docs q6c flags as near-dups of
+    the corpus (at driver scales no LSH bucket exceeds the cap, so
+    q6c's capped index and qt4's uncapped anti-join see the same
+    matches)."""
+    from tests.conftest import SF_ORACLE
+    from tf_datapipeline_spark.catalog import load_table
+    from tf_datapipeline_spark.operators.dedup import _DELTA_MOD
+    from tf_datapipeline_spark.operators.text import _STOPWORDS
+    from tf_datapipeline_spark.streaming.events_stream import (
+        q6c_stream_incremental_dedup,
+        qt4_stream_ingest,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    quality = {
+        r.doc_id
+        for r in docs.filter(
+            (F.col("doc_id") % _DELTA_MOD == 0)
+            & (F.col("n_chars") >= 100)
+            & (F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))) > 0)
+        ).select("doc_id").collect()
+    }
+    matched = {
+        r.new_id for r in q6c_stream_incremental_dedup(spark, SF_ORACLE).collect()
+    }
+    accepted = {r.doc_id for r in qt4_stream_ingest(spark, SF_ORACLE).collect()}
+    assert accepted == quality - matched
+
+
+def test_triangles_live_inside_cc_clusters(spark):
+    """Cross-op consistency: every q6d triangle is a 3-clique of q63
+    edges, so all three vertices must carry the same q67 connected-
+    component label — a triangle spanning two clusters would mean the
+    edge list and the CC labels disagree."""
+    from tests.conftest import SF_ORACLE
+    from tf_datapipeline_spark.operators.dedup import (
+        q67_dedup_clusters,
+        q6d_triangle_count,
+    )
+
+    label = {
+        r.doc_id: r.cluster_id for r in q67_dedup_clusters(spark, SF_ORACLE).collect()
+    }
+    tris = q6d_triangle_count(spark, SF_ORACLE).collect()
+    assert tris, "corpus should contain at least one near-dup triangle"
+    for t in tris:
+        assert label[t.doc_a] == label[t.doc_b] == label[t.doc_c], t
