@@ -1121,3 +1121,89 @@ def qt4_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("8 + (doc_id * 104729) % 25").alias("width"),
     )
     return run_bounded(out, "append")
+
+
+# --------------------------------------------------------------------------
+# q4b — STREAM-STREAM LEFT OUTER join (q4u's outer sibling, a distinct
+# state-machine class): every click joined to same-user views in the
+# preceding 5 minutes, AND clicks with no such view still emitted (with
+# NULL view_id) — but only once the watermark proves no matching view
+# can still arrive. Inner matches emit immediately; the NULL rows are
+# the watermark-gated part, which is why outer stream-stream joins
+# REQUIRE watermarks + an event-time-bound condition (state for a click
+# closes when the global watermark passes its timestamp). The oracle
+# models the exact emission rule: matched pairs = the batch range join;
+# unmatched clicks appear iff c_ts < the final global watermark = the
+# LESSER of the two sides' (ms-truncated) max event times minus the
+# delay — each filtered stream tracks its own max, and Spark takes the
+# min across inputs.
+# --------------------------------------------------------------------------
+@query(
+    "q4b_stream_outer_join",
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    v AS (
+      SELECT event_id AS view_id, user_id, ts AS v_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    wm AS (
+      SELECT LEAST(
+               (SELECT date_trunc('milliseconds', MAX(c_ts)) FROM c),
+               (SELECT date_trunc('milliseconds', MAX(v_ts)) FROM v)
+             ) - INTERVAL '1 hour' AS cutoff
+    ),
+    matched AS (
+      SELECT c.click_id, v.view_id, c.user_id
+      FROM c JOIN v
+        ON v.user_id = c.user_id
+       AND v.v_ts >= c.c_ts - INTERVAL '5 minutes' AND v.v_ts <= c.c_ts
+    ),
+    unmatched AS (
+      SELECT c.click_id, CAST(NULL AS BIGINT) AS view_id, c.user_id
+      FROM c CROSS JOIN wm
+      WHERE c.c_ts < wm.cutoff
+        AND NOT EXISTS (
+          SELECT 1 FROM v
+          WHERE v.user_id = c.user_id
+            AND v.v_ts >= c.c_ts - INTERVAL '5 minutes' AND v.v_ts <= c.c_ts
+        )
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def q4b_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            """
+            v_user_id = user_id
+            AND v_ts >= c_ts - INTERVAL 5 MINUTES
+            AND v_ts <= c_ts
+            """
+        ),
+        "left_outer",
+    ).select("click_id", "view_id", "user_id")
+    return run_bounded(joined, "append")
