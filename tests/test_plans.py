@@ -299,6 +299,7 @@ def test_collect_sites_are_bounded_metadata_only():
         ("operators/similarity.py", "q77_knn_ivfpq"),  # k=16 seed-centroid rows
         ("operators/dedup.py", "q6b_semantic_dedup_scaled"),  # n_cells seed rows
         ("streaming/events_stream.py", "q7a_stream_sq_ingest"),  # 64 dim-range rows
+        ("streaming/events_stream.py", "q7b_stream_ivf_assign"),  # <=16 seed rows
     }
     found = set()
     for py in pkg.rglob("*.py"):

@@ -1207,3 +1207,120 @@ def q4b_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     ).select("click_id", "view_id", "user_id")
     return run_bounded(joined, "append")
+
+
+# --------------------------------------------------------------------------
+# q7b — STREAMING IVF cell assignment (the inverted-list half of vector
+# index maintenance; q7a is the compression half): each newly crawled
+# embedding is assigned to its nearest of the 16 fixed seed centroids
+# IN-FLIGHT — the routing decision that places a vector into its IVF
+# partition as it lands, so the index q73 probes never goes stale.
+# Stateless: the (<=16)-row centroid set collapses to broadcast array
+# literals (q73/q77's bounded-metadata precedent) and the per-row
+# argmin is a fold of exact-decimal distance folds — ties break to the
+# LOWEST cell via strict-< accumulation, mirroring the oracle's
+# ORDER BY d2, cell. The oracle is q74's assignment machinery (seed
+# centroids = corpus vectors at vec_id 8 + 37k, DECIMAL(38,12) distance
+# terms) restricted to the delta slice, so the whole routing path is
+# hash-exact despite being an ANN component.
+# --------------------------------------------------------------------------
+def _stream_ivf_oracle() -> str:
+    from tf_datapipeline_spark.operators.dedup import _DELTA_MOD
+    from tf_datapipeline_spark.operators.similarity import (
+        _CENTROID_STRIDE,
+        _N_CELLS,
+        _dims_cte,
+    )
+
+    cells = ", ".join(
+        f"({k}, {8 + _CENTROID_STRIDE * k})" for k in range(_N_CELLS)
+    )
+    return f"""
+    WITH dims AS ({_dims_cte("duckdb")}),
+    cw(cell, cwvec_id) AS (VALUES {cells}),
+    cwdims AS (
+      SELECT c.cell, d.pos, d.x FROM dims d JOIN cw c ON c.cwvec_id = d.vec_id
+    ),
+    dists AS (
+      SELECT v.vec_id, c.cell,
+             CAST(SUM(CAST((v.x - c.x) * (v.x - c.x) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS d2
+      FROM dims v JOIN cwdims c ON c.pos = v.pos
+      WHERE v.vec_id % {_DELTA_MOD} = 0
+      GROUP BY 1, 2
+    )
+    SELECT vec_id, CAST(cell AS INT) AS cell, d2 FROM (
+      SELECT vec_id, cell, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      FROM dists
+    ) r WHERE rn = 1
+    """
+
+
+@query("q7b_stream_ivf_assign", oracle=_stream_ivf_oracle())
+def q7b_stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.catalog import load_table
+    from tf_datapipeline_spark.operators.dedup import _DELTA_MOD
+    from tf_datapipeline_spark.operators.similarity import (
+        _ACC,
+        _CENTROID_STRIDE,
+        _N_CELLS,
+        _dec,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_ids = [8 + _CENTROID_STRIDE * k for k in range(_N_CELLS)]
+    seed_rows = (
+        emb.filter(F.col("vec_id").isin(seed_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    # cells = whatever seeds exist in this corpus (q73/q77 convention —
+    # the oracle's cw JOIN drops missing seed ids the same way)
+    cents = {
+        seed_ids.index(r.vec_id): [float(x) for x in r.embedding]
+        for r in seed_rows
+    }
+
+    schema = spark.read.parquet(table_path(sf_dir, "embeddings")).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+        .filter(F.col("vec_id") % _DELTA_MOD == 0)
+    )
+
+    def d2_to(vals: list[float]):
+        arr = F.array(*[F.lit(v) for v in vals])
+        return F.aggregate(
+            F.zip_with(
+                "embedding",
+                arr,
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0).cast(_ACC),
+            lambda acc, t: (acc + _dec(t)).cast(_ACC),
+        ).cast("double")
+
+    # Each distance fold is projected to a NAMED column first; the argmin
+    # then sorts an array of tiny (d2, cell) struct references — nesting
+    # the folds inside a when-chain would copy each 64-term tree once per
+    # level (exponential analyzer blow-up).
+    ks = sorted(cents)
+    for k in ks:
+        sdf = sdf.withColumn(f"_d2_{k}", d2_to(cents[k]))
+    best = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.col(f"_d2_{k}").alias("d2"), F.lit(k).alias("cell"))
+                for k in ks
+            ]
+        )
+    ).getItem(0)
+    out = sdf.select(
+        "vec_id",
+        best.getField("cell").cast("int").alias("cell"),
+        best.getField("d2").alias("d2"),
+    )
+    return run_bounded(out, "append")
