@@ -297,7 +297,10 @@ def test_collect_sites_are_bounded_metadata_only():
         ("operators/pipeline.py", "offset_row_number"),  # n_buckets agg rows
         ("operators/similarity.py", "q73_knn_ann_ivf"),  # k=16 centroid rows
         ("operators/similarity.py", "q77_knn_ivfpq"),  # k=16 seed-centroid rows
-        ("operators/dedup.py", "q6b_semantic_dedup_scaled"),  # n_cells seed rows
+        # <= _COARSE_CAP coarse seed rows — the filter itself caps the row
+        # count at a corpus-INDEPENDENT constant (r5 fix; the fine split
+        # happens executor-side). Pinned corpus-independent below.
+        ("operators/dedup.py", "q6b_semantic_dedup_scaled"),
         ("streaming/events_stream.py", "q7a_stream_sq_ingest"),  # 64 dim-range rows
         ("streaming/events_stream.py", "q7b_stream_ivf_assign"),  # <=16 seed rows
     }
@@ -325,3 +328,24 @@ def test_collect_sites_are_bounded_metadata_only():
         f"unreviewed .collect() sites (add executor-side write or "
         f"allowlist with a bounded-rows justification): {sorted(unexpected)}"
     )
+
+
+def test_semantic_centroid_collect_is_corpus_independent():
+    """The r4 verdict's top finding: q6b collected max(16, n/128) centroid
+    rows — LINEAR in the corpus — to the driver. The r5 shape caps the
+    driver-visible coarse level at _COARSE_CAP and splits the residual
+    executor-side; this pins that the cap holds at ANY corpus size (the
+    allowlist entry above relies on it), that the target cell count
+    still grows with the corpus (per-cell pair work stays bounded), and
+    that coarse x fine covers the target."""
+    from tf_datapipeline_spark.operators.dedup import (
+        _COARSE_CAP,
+        _semantic_cells_config,
+    )
+
+    for n in [0, 500, 10**5, 10**7, 10**9, 10**12]:
+        target, k1, n_fine = _semantic_cells_config(n)
+        assert k1 <= _COARSE_CAP, f"driver-side centroid rows unbounded at n={n}"
+        assert target == max(16, n // 128)  # cell growth keeps pairs linear
+        assert k1 * n_fine >= target  # hierarchy covers the target count
+        assert n_fine <= -(-target // k1) + 1  # no overshoot blow-up

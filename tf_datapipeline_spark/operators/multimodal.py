@@ -613,6 +613,225 @@ def q82g_augment_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q83g — per-doc LITERAL-VALUES oracle for the deterministic eval chain
+# (reference M9 + bilinear: /255 -> central_crop(0.875) -> bilinear
+# resize, dataset_preprocessing.py:237-275). Stronger evidence than
+# q82g's single eval md5: every one of the 64 golden docs contributes a
+# full stats row at TWO output sizes — square 32x32 and non-square 24x20
+# (fractional scale, so the half-pixel-center bilinear weights are
+# genuinely exercised, not the degenerate integer-ratio case) — and two
+# PROBE PIXELS pin the spatial layout that permutation-invariant
+# min/max/mean cannot (a flipped or transposed crop would pass q82g's
+# aggregate stats but fail the probes). The golden slice doc_id < 64 is
+# identical at every sf (pixels derive from doc_id alone), so the frozen
+# literals are a value-level oracle at any scale. Floats are embedded as
+# quoted strings cast to DOUBLE (strtod round-trip is exact; a bare SQL
+# literal would parse as DECIMAL and could lose the last ulp).
+# --------------------------------------------------------------------------
+_EVAL_SIZES = ((32, 32), (24, 20))
+_EVAL_GOLDEN_ROWS: tuple[tuple, ...] = (
+    (0, 24, 20, 3, 0.0, 0.30588236451148987, 0.15294116735458374, 0.06862745434045792, 0.20196078717708588),
+    (0, 32, 32, 3, 0.0, 0.30588236451148987, 0.15294118225574493, 0.06666667014360428, 0.20000000298023224),
+    (1, 24, 20, 3, 0.015931373462080956, 0.5997549295425415, 0.3078431487083435, 0.18063727021217346, 0.36299020051956177),
+    (1, 32, 32, 3, 0.01568627543747425, 0.6000000238418579, 0.3078431487083435, 0.17371323704719543, 0.3592524528503418),
+    (2, 24, 20, 3, 0.03921568766236305, 0.5921568870544434, 0.31568628549575806, 0.1919117569923401, 0.3703431487083435),
+    (2, 32, 32, 3, 0.03921568766236305, 0.5921568870544434, 0.31568628549575806, 0.18694853782653809, 0.36660540103912354),
+    (3, 24, 20, 3, 0.0313725508749485, 0.615686297416687, 0.3235294222831726, 0.1928921490907669, 0.3791666626930237),
+    (3, 32, 32, 3, 0.0313725508749485, 0.615686297416687, 0.3235294222831726, 0.18939951062202454, 0.3749387264251709),
+    (4, 24, 20, 3, 0.036274511367082596, 0.6264706254005432, 0.33137252926826477, 0.1973039209842682, 0.38749998807907104),
+    (4, 32, 32, 3, 0.03529411926865578, 0.6274510025978088, 0.33137255907058716, 0.19589459896087646, 0.38290441036224365),
+    (5, 24, 20, 3, 0.05441176891326904, 0.91813725233078, 0.4862745404243469, 0.30931374430656433, 0.5485294461250305),
+    (5, 32, 32, 3, 0.05098039284348488, 0.9215686321258545, 0.4862745702266693, 0.3029412031173706, 0.5421569347381592),
+    (6, 24, 20, 3, 0.0784313753247261, 0.9098039269447327, 0.4941176474094391, 0.32058823108673096, 0.5558823943138123),
+    (6, 32, 32, 3, 0.07450980693101883, 0.9137254953384399, 0.4941176474094391, 0.31617647409439087, 0.5495098233222961),
+    (7, 24, 20, 3, 0.03921568766236305, 0.4745098054409027, 0.2568627595901489, 0.15196079015731812, 0.3088235557079315),
+    (7, 32, 32, 3, 0.03921568766236305, 0.4745098054409027, 0.2568627595901489, 0.14834560453891754, 0.30594363808631897),
+    (8, 24, 20, 3, 0.0313725508749485, 0.49803921580314636, 0.26470592617988586, 0.15294116735458374, 0.3176470398902893),
+    (8, 32, 32, 3, 0.0313725508749485, 0.49803921580314636, 0.2647058963775635, 0.150796577334404, 0.3142769932746887),
+    (9, 24, 20, 3, 0.0674019604921341, 0.7718137502670288, 0.41960784792900085, 0.2718137204647064, 0.4776960611343384),
+    (9, 32, 32, 3, 0.06666667014360428, 0.772549033164978, 0.41960787773132324, 0.2645833492279053, 0.4729166626930237),
+    (10, 24, 20, 3, 0.07107843458652496, 0.783823549747467, 0.4274509847164154, 0.2762255072593689, 0.48602938652038574),
+    (10, 32, 32, 3, 0.07058823853731155, 0.7843137383460999, 0.4274509847164154, 0.2710784673690796, 0.48088234663009644),
+    (11, 24, 20, 3, 0.07696078717708588, 0.7936274409294128, 0.43529418110847473, 0.280637264251709, 0.4943627715110779),
+    (11, 32, 32, 3, 0.07450980693101883, 0.7960784435272217, 0.43529415130615234, 0.27757352590560913, 0.4888480305671692),
+    (12, 24, 20, 3, 0.07107843458652496, 0.8151960968971252, 0.4431372880935669, 0.281617671251297, 0.5031863451004028),
+    (12, 32, 32, 3, 0.06666667014360428, 0.8196078538894653, 0.4431372582912445, 0.28002452850341797, 0.49718138575553894),
+    (13, 24, 20, 3, 0.06372549384832382, 0.6421568989753723, 0.3529411852359772, 0.22745099663734436, 0.40784314274787903),
+    (13, 32, 32, 3, 0.062745101749897, 0.6431372761726379, 0.3529411852359772, 0.2194852977991104, 0.40428921580314636),
+    (14, 24, 20, 3, 0.06666667014360428, 0.6549019813537598, 0.3607843220233917, 0.23186275362968445, 0.4161764681339264),
+    (14, 32, 32, 3, 0.06666667014360428, 0.6549019813537598, 0.3607843220233917, 0.22598040103912354, 0.4122549295425415),
+    (15, 24, 20, 3, 0.09019608050584793, 0.6470588445663452, 0.3686274588108063, 0.24313727021217346, 0.42352941632270813),
+    (15, 32, 32, 3, 0.09019608050584793, 0.6470588445663452, 0.3686274588108063, 0.239215686917305, 0.41960784792900085),
+    (16, 24, 20, 3, 0.08235294371843338, 0.6705882549285889, 0.37647056579589844, 0.2441176474094391, 0.4323529303073883),
+    (16, 32, 32, 3, 0.08235294371843338, 0.6705882549285889, 0.3764705955982208, 0.24166665971279144, 0.4279411733150482),
+    (17, 24, 20, 3, 0.10122548788785934, 0.9615196585655212, 0.531372606754303, 0.35612747073173523, 0.5933823585510254),
+    (17, 32, 32, 3, 0.09803921729326248, 0.9647058844566345, 0.5313725471496582, 0.3487132489681244, 0.5871936082839966),
+    (18, 24, 20, 3, 0.10588235408067703, 0.9725490808486938, 0.5392156839370728, 0.3605392277240753, 0.6017157435417175),
+    (18, 32, 32, 3, 0.10196078568696976, 0.9764705896377563, 0.5392156839370728, 0.3552083373069763, 0.5951592922210693),
+    (19, 24, 20, 3, 0.08627451211214066, 0.5176470875740051, 0.3019607961177826, 0.198774516582489, 0.3536764979362488),
+    (19, 32, 32, 3, 0.08627451211214066, 0.5176470875740051, 0.3019607961177826, 0.19411765038967133, 0.35098040103912354),
+    (20, 24, 20, 3, 0.0784313753247261, 0.5411764979362488, 0.30980393290519714, 0.19975489377975464, 0.36249998211860657),
+    (20, 32, 32, 3, 0.0784313753247261, 0.5411764979362488, 0.30980393290519714, 0.19656862318515778, 0.3593137264251709),
+    (21, 24, 20, 3, 0.12647059559822083, 0.8029411435127258, 0.4647059142589569, 0.32205885648727417, 0.5220588445663452),
+    (21, 32, 32, 3, 0.125490203499794, 0.8039215803146362, 0.46470585465431213, 0.3143995404243469, 0.517585813999176),
+    (22, 24, 20, 3, 0.11764705926179886, 0.8274509906768799, 0.4725490212440491, 0.3230392336845398, 0.5308823585510254),
+    (22, 32, 32, 3, 0.11764705926179886, 0.8274509906768799, 0.47254905104637146, 0.316850483417511, 0.5259190797805786),
+    (23, 24, 20, 3, 0.12303921580314636, 0.8377450704574585, 0.4803921580314636, 0.3274509906768799, 0.5392156839370728),
+    (23, 32, 32, 3, 0.12156862765550613, 0.8392156958580017, 0.480392187833786, 0.3233456015586853, 0.5338848233222961),
+    (24, 24, 20, 3, 0.11715686321258545, 0.8593137264251709, 0.4882352948188782, 0.3284313678741455, 0.5480392575263977),
+    (24, 32, 32, 3, 0.11372549086809158, 0.8627451062202454, 0.48823532462120056, 0.32579660415649414, 0.5422182083129883),
+    (25, 24, 20, 3, 0.09803921729326248, 0.40392157435417175, 0.2509803771972656, 0.1666666567325592, 0.30000001192092896),
+    (25, 32, 32, 3, 0.09803921729326248, 0.40392157435417175, 0.250980406999588, 0.16470587253570557, 0.2980392575263977),
+    (26, 24, 20, 3, 0.11397059261798859, 0.6977941393852234, 0.4058823883533478, 0.27867650985717773, 0.46102944016456604),
+    (26, 32, 32, 3, 0.11372549086809158, 0.6980392336845398, 0.4058823585510254, 0.2717524766921997, 0.4572916626930237),
+    (27, 24, 20, 3, 0.13725490868091583, 0.6901960968971252, 0.41372549533843994, 0.289950966835022, 0.4683823585510254),
+    (27, 32, 32, 3, 0.13725490868091583, 0.6901960968971252, 0.41372549533843994, 0.28498774766921997, 0.4646446108818054),
+    (28, 24, 20, 3, 0.12941177189350128, 0.7137255072593689, 0.4215686321258545, 0.29093137383461, 0.47720587253570557),
+    (28, 32, 32, 3, 0.12941177189350128, 0.7137255072593689, 0.4215686321258545, 0.2874387502670288, 0.47297796607017517),
+    (29, 24, 20, 3, 0.13431371748447418, 0.7245098352432251, 0.42941176891326904, 0.29534316062927246, 0.4855392575263977),
+    (29, 32, 32, 3, 0.13333334028720856, 0.7254902124404907, 0.42941176891326904, 0.29393380880355835, 0.48094362020492554),
+    (30, 24, 20, 3, 0.15245100855827332, 0.990686297416687, 0.583202600479126, 0.40735292434692383, 0.6465686559677124),
+    (30, 32, 32, 3, 0.007230392657220364, 0.9920343160629272, 0.583280086517334, 0.4009804129600525, 0.6401961445808411),
+    (31, 24, 20, 3, 0.1764705926179886, 0.9892157316207886, 0.5914597511291504, 0.41862744092941284, 0.6539216041564941),
+    (31, 32, 32, 3, 0.007843137718737125, 0.9992647171020508, 0.5915504693984985, 0.41421571373939514, 0.6475490927696228),
+    (32, 24, 20, 3, 0.13725490868091583, 0.572549045085907, 0.3549019396305084, 0.25, 0.4068627655506134),
+    (32, 32, 32, 3, 0.13725490868091583, 0.572549045085907, 0.3549019992351532, 0.24638481438159943, 0.40398281812667847),
+    (33, 24, 20, 3, 0.12941177189350128, 0.5960784554481506, 0.362745076417923, 0.2509803771972656, 0.4156862795352936),
+    (33, 32, 32, 3, 0.12941177189350128, 0.5960784554481506, 0.36274513602256775, 0.24883578717708588, 0.4123162031173706),
+    (34, 24, 20, 3, 0.16544117033481598, 0.8698529601097107, 0.5176470875740051, 0.3698529303073883, 0.575735330581665),
+    (34, 32, 32, 3, 0.16470588743686676, 0.8705882430076599, 0.5176470875740051, 0.36262255907058716, 0.5709559321403503),
+    (35, 24, 20, 3, 0.16911764442920685, 0.8818627595901489, 0.5254902243614197, 0.3742647171020508, 0.5840686559677124),
+    (35, 32, 32, 3, 0.16862745583057404, 0.8823529481887817, 0.5254902243614197, 0.3691176474094391, 0.5789215564727783),
+    (36, 24, 20, 3, 0.17500001192092896, 0.8916666507720947, 0.5333333611488342, 0.37867647409439087, 0.5924019813537598),
+    (36, 32, 32, 3, 0.1725490242242813, 0.8941176533699036, 0.5333333015441895, 0.375612735748291, 0.5868872404098511),
+    (37, 24, 20, 3, 0.16911764442920685, 0.9132353067398071, 0.5411764979362488, 0.3796568512916565, 0.6012254953384399),
+    (37, 32, 32, 3, 0.16470588743686676, 0.9176470637321472, 0.5411764979362488, 0.37806373834609985, 0.5952205657958984),
+    (38, 24, 20, 3, 0.1617647111415863, 0.7401960492134094, 0.45098042488098145, 0.32549020648002625, 0.5058823227882385),
+    (38, 32, 32, 3, 0.16078431904315948, 0.7411764860153198, 0.45098042488098145, 0.3175245225429535, 0.5023284554481506),
+    (39, 24, 20, 3, 0.16470588743686676, 0.7529411911964417, 0.458823561668396, 0.32990196347236633, 0.5142157077789307),
+    (39, 32, 32, 3, 0.16470588743686676, 0.7529411911964417, 0.4588235318660736, 0.3240196108818054, 0.5102941393852234),
+    (40, 24, 20, 3, 0.1882352977991104, 0.7450980544090271, 0.46666666865348816, 0.34117648005485535, 0.5215686559677124),
+    (40, 32, 32, 3, 0.1882352977991104, 0.7450980544090271, 0.46666669845581055, 0.33725491166114807, 0.5176470875740051),
+    (41, 24, 20, 3, 0.18039216101169586, 0.7686274647712708, 0.4745098054409027, 0.34215688705444336, 0.5303921699523926),
+    (41, 32, 32, 3, 0.18039216101169586, 0.7686274647712708, 0.4745098352432251, 0.3397058844566345, 0.5259804129600525),
+    (42, 24, 20, 3, 0.027205882593989372, 0.9928921461105347, 0.621950626373291, 0.4541666507720947, 0.691421627998352),
+    (42, 32, 32, 3, 0.0024509804788976908, 0.9926470518112183, 0.6221149563789368, 0.4467524588108063, 0.6852328777313232),
+    (43, 24, 20, 3, 0.000735294132027775, 0.9882352948188782, 0.6260073184967041, 0.4585784375667572, 0.6997549533843994),
+    (43, 32, 32, 3, 0.004595588427037001, 0.9916054010391235, 0.6262226700782776, 0.4532475769519806, 0.693198561668396),
+    (44, 24, 20, 3, 0.18431372940540314, 0.615686297416687, 0.4000000059604645, 0.2968137264251709, 0.45171570777893066),
+    (44, 32, 32, 3, 0.18431372940540314, 0.615686297416687, 0.4000000059604645, 0.2921569049358368, 0.4490196108818054),
+    (45, 24, 20, 3, 0.1764705926179886, 0.6392157077789307, 0.40784314274787903, 0.2977941036224365, 0.46053919196128845),
+    (45, 32, 32, 3, 0.1764705926179886, 0.6392157077789307, 0.40784314274787903, 0.29460781812667847, 0.4573529362678528),
+    (46, 24, 20, 3, 0.2245098054409027, 0.9009804129600525, 0.5627450942993164, 0.42009806632995605, 0.6200981140136719),
+    (46, 32, 32, 3, 0.2235294133424759, 0.9019607901573181, 0.5627451539039612, 0.4124387502670288, 0.6156249642372131),
+    (47, 24, 20, 3, 0.21568627655506134, 0.9254902005195618, 0.570588231086731, 0.4210784435272217, 0.6289215683937073),
+    (47, 32, 32, 3, 0.21568627655506134, 0.9254902005195618, 0.570588231086731, 0.41488969326019287, 0.6239583492279053),
+    (48, 24, 20, 3, 0.22107844054698944, 0.9357843399047852, 0.5784313678741455, 0.42549020051956177, 0.6372549533843994),
+    (48, 32, 32, 3, 0.21960784494876862, 0.9372549057006836, 0.5784313678741455, 0.4213848114013672, 0.631924033164978),
+    (49, 24, 20, 3, 0.21519607305526733, 0.9573529362678528, 0.5862745642662048, 0.4264705777168274, 0.6460784673690796),
+    (49, 32, 32, 3, 0.21176470816135406, 0.9607843160629272, 0.5862745046615601, 0.42383578419685364, 0.6402573585510254),
+    (50, 24, 20, 3, 0.19607843458652496, 0.501960813999176, 0.3490196168422699, 0.2647058963775635, 0.39803922176361084),
+    (50, 32, 32, 3, 0.19607843458652496, 0.501960813999176, 0.3490196168422699, 0.26274508237838745, 0.3960784673690796),
+    (51, 24, 20, 3, 0.21200981736183167, 0.7958333492279053, 0.5039215683937073, 0.3767157196998596, 0.5590686798095703),
+    (51, 32, 32, 3, 0.21176470816135406, 0.7960784435272217, 0.5039215683937073, 0.3697916865348816, 0.5553309321403503),
+    (52, 24, 20, 3, 0.23529411852359772, 0.7882353067398071, 0.5117647647857666, 0.38799017667770386, 0.5664215683937073),
+    (52, 32, 32, 3, 0.23529411852359772, 0.7882353067398071, 0.5117647051811218, 0.38302698731422424, 0.5626838803291321),
+    (53, 24, 20, 3, 0.22745098173618317, 0.8117647171020508, 0.5196078419685364, 0.3889705538749695, 0.5752451419830322),
+    (53, 32, 32, 3, 0.22745098173618317, 0.8117647171020508, 0.5196078419685364, 0.3854779601097107, 0.5710172057151794),
+    (54, 24, 20, 3, 0.23235294222831726, 0.8225489854812622, 0.5274509787559509, 0.39338237047195435, 0.5835784673690796),
+    (54, 32, 32, 3, 0.23137255012989044, 0.8235294222831726, 0.5274509787559509, 0.39197301864624023, 0.5789828896522522),
+    (55, 24, 20, 3, 0.01617647148668766, 0.9946078658103943, 0.6533594727516174, 0.5053921937942505, 0.7446079254150391),
+    (55, 32, 32, 3, 0.004779411945492029, 0.9944852590560913, 0.6535146832466125, 0.4990196228027344, 0.7382352948188782),
+    (56, 24, 20, 3, 0.003921568859368563, 0.9911764860153198, 0.6599855422973633, 0.5166666507720947, 0.751960813999176),
+    (56, 32, 32, 3, 0.003676470834761858, 0.9963235259056091, 0.6602877378463745, 0.5122548937797546, 0.7455882430076599),
+    (57, 24, 20, 3, 0.23529411852359772, 0.6705882549285889, 0.4529411792755127, 0.3480392098426819, 0.5049020051956177),
+    (57, 32, 32, 3, 0.23529411852359772, 0.6705882549285889, 0.4529411792755127, 0.3444240093231201, 0.5020220875740051),
+    (58, 24, 20, 3, 0.22745098173618317, 0.6941176652908325, 0.46078431606292725, 0.3490196168422699, 0.5137255191802979),
+    (58, 32, 32, 3, 0.22745098173618317, 0.6941176652908325, 0.46078428626060486, 0.34687501192092896, 0.5103554129600525),
+    (59, 24, 20, 3, 0.26348039507865906, 0.9678921103477478, 0.615686297416687, 0.4678921699523926, 0.6737745404243469),
+    (59, 32, 32, 3, 0.26274511218070984, 0.9686274528503418, 0.6156862378120422, 0.46066176891326904, 0.6689951419830322),
+    (60, 24, 20, 3, 0.2671568691730499, 0.9799019694328308, 0.6235294342041016, 0.47230392694473267, 0.6821078658103943),
+    (60, 32, 32, 3, 0.2666666805744171, 0.9803921580314636, 0.6235294342041016, 0.46715688705444336, 0.676960825920105),
+    (61, 24, 20, 3, 0.27303922176361084, 0.9897058606147766, 0.6313725113868713, 0.47671571373939514, 0.6904411911964417),
+    (61, 32, 32, 3, 0.2705882489681244, 0.9921568632125854, 0.6313725113868713, 0.4736519455909729, 0.6849265098571777),
+    (62, 24, 20, 3, 0.225637286901474, 0.987500011920929, 0.6368743777275085, 0.4776960611343384, 0.6992647051811218),
+    (62, 32, 32, 3, 0.003492647083476186, 0.9912377595901489, 0.6370432376861572, 0.47610294818878174, 0.6932598352432251),
+    (63, 24, 20, 3, 0.2598039507865906, 0.8382353186607361, 0.5490196347236633, 0.4235294461250305, 0.6039215922355652),
+    (63, 32, 32, 3, 0.25882354378700256, 0.8392156958580017, 0.5490196347236633, 0.41556376218795776, 0.6003676652908325),
+)
+
+
+def _q83g_sql() -> str:
+    vals = ",\n      ".join(
+        f"({d}, {h}, {w}, {c}, '{mn!r}', '{mx!r}', '{me!r}', '{pa!r}', '{pb!r}')"
+        for (d, h, w, c, mn, mx, me, pa, pb) in _EVAL_GOLDEN_ROWS
+    )
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(out_h AS INTEGER) AS out_h,
+           CAST(out_w AS INTEGER) AS out_w,
+           CAST(channels AS INTEGER) AS channels,
+           CAST(px_min AS DOUBLE) AS px_min,
+           CAST(px_max AS DOUBLE) AS px_max,
+           CAST(px_mean AS DOUBLE) AS px_mean,
+           CAST(px_probe_a AS DOUBLE) AS px_probe_a,
+           CAST(px_probe_b AS DOUBLE) AS px_probe_b
+    FROM (VALUES {vals})
+      AS t(doc_id, out_h, out_w, channels, px_min, px_max, px_mean,
+           px_probe_a, px_probe_b)
+    """
+
+
+@query(
+    "q83g_eval_golden",
+    oracle=_q83g_sql() if _EVAL_GOLDEN_ROWS else None,
+)
+def q83g_eval_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flt = F.col("doc_id") < _GOLDEN_DOCS
+    corpus = synthetic_corpus(spark, sf_dir, docs_filter=flt).select(
+        "path", "image_format", "content"
+    )
+
+    def ev(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, fmt, content in zip(
+                pdf["path"], pdf["image_format"], pdf["content"]
+            ):
+                doc_id = _doc_id_of(path)
+                arr = decode_image(bytes(content), fmt)
+                for out_h, out_w in _EVAL_SIZES:
+                    out = preprocess_for_eval(arr, out_h, out_w)
+                    rows.append(
+                        (
+                            doc_id,
+                            out_h,
+                            out_w,
+                            out.shape[2],
+                            float(out.min()),
+                            float(out.max()),
+                            float(out.mean()),
+                            float(out[out_h // 3, out_w // 3, 0]),
+                            float(out[out_h // 2, out_w // 2, -1]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "out_h", "out_w", "channels",
+                    "px_min", "px_max", "px_mean", "px_probe_a", "px_probe_b",
+                ],
+            )
+
+    return corpus.mapInPandas(
+        ev,
+        schema="doc_id bigint, out_h int, out_w int, channels int, "
+        "px_min double, px_max double, px_mean double, "
+        "px_probe_a double, px_probe_b double",
+    )
+
+
+# --------------------------------------------------------------------------
 # q84 — the full ETL job round-trip (reference EP4, make_tf_record.py:
 # 149-163): corpus -> dense labels -> seeded split -> 5-shard parquet
 # write -> re-scan -> per-split audit. The oracle replays the label

@@ -62,6 +62,11 @@ GATE_ORDER = [
     "q05_region_revenue",
     "q1w_approx_quantiles",
     "q1i_heavy_hitters",
+    # Round-5 rotation: q32 -> q1y (CDC snapshot diff, late-round-4
+    # relational surface previously behind the window; q32's exact-head
+    # split numbering stays evidenced in-gate by qp1's composite and
+    # locally oracle-checked).
+    "q1y_snapshot_diff",
     # window/analytic
     "q21_window_running",
     "q22_topk_per_group",
@@ -69,7 +74,6 @@ GATE_ORDER = [
     # (q36 shard math is subsumed by q84's sharded-write row)
     "qp1_feed_pipeline",
     "qp2_label_metrics",
-    "q32_split_exact_head",
     # events (batch). Round-4 rotation: q40 -> q4d (the multi-grain
     # rollup computes tumbling minute/hour/day windows in one pass, so
     # tumbling-window semantics stay evidenced while the hypertable
@@ -82,7 +86,11 @@ GATE_ORDER = [
     "q4y_gap_fill",
     "q4g_cogroup_asof",
     "q4r_range_join",
-    "q4v_range_join_salted",
+    # Round-5 rotation: q4v -> q4n (OHLC bars, late-round-4 events
+    # surface; the salted range join shares q4r's oracle so the
+    # range-join class stays value-evidenced in-gate, and q4v's
+    # salt-exchange plan stays pinned in test_plans.py).
+    "q4n_ohlc_bars",
     "q4i_range_frame",
     "q4c_retention_cohorts",
     # structured streaming. Round-4 rotation: the append-mode production
@@ -96,11 +104,22 @@ GATE_ORDER = [
     # in-flight-crawl dedup shape gains a driver row; q4t stays locally
     # checked).
     "q4p_stream_append_windows",
-    "q4u_stream_stream_join",
+    # Round-5 rotation: q4u -> q4b (stream-stream LEFT OUTER interval
+    # join — the same class as q4u's inner join with the strictly
+    # subtler semantics on top: min-of-both-sides watermark NULL
+    # emission for unmatched left rows; q4u stays locally checked and
+    # its row set is a subset of q4b's by construction).
+    "q4b_stream_outer_join",
     "q4q_stream_append_sessions",
     "q4s_stream_stateful_counts",
     "q6c_stream_incremental_dedup",
     "q4x_stream_incremental_rollup",
+    # Round-5 addition: qt4 (composite streaming ingest — quality gate +
+    # in-flight exact/near-dup anti-joins in one micro-batched flow)
+    # takes q86's slot: the audio-window mapInPandas byte-slicing class
+    # stays evidenced in-gate by q87/q8h/q84, and q86 stays locally
+    # oracle-checked.
+    "qt4_stream_ingest",
     # text analysis. Round-4 rotation: qt0 -> qt1 (the end-to-end prep
     # composite subsumes the profile; recursive-CTE oracle), q56 -> q5g
     # (overlapping context-window chunking), q57 -> q5h (winnowing
@@ -112,7 +131,11 @@ GATE_ORDER = [
     "qt1_prep_pipeline",
     "q55_tfidf",
     "q5g_doc_chunking",
-    "q5h_winnow_fingerprint",
+    # Round-5 rotation: q5h -> q5l (CCNet-style perplexity buckets,
+    # late-round-4 quality surface; winnowing's windowed-min fingerprint
+    # machinery stays evidenced in-gate by q69's rolling-hash spans and
+    # q5h stays locally oracle-checked).
+    "q5l_perplexity_buckets",
     "q5k_bm25",
     "q5c_contamination",
     "q5d_sequence_packing",
@@ -125,8 +148,15 @@ GATE_ORDER = [
     # q61/q66 stay registered + locally oracle-checked.
     "q69_substring_dup",
     "q63_minhash_lsh_pairs",
-    "q64_simhash",
-    "q65_ngram_jaccard",
+    # Round-5 rotation: q64 -> q6a (incremental delta-vs-corpus dedup,
+    # the production crawl shape, O(delta) cost) and q65 -> q6b (the
+    # r5-reworked scaled SemDeDup with the capped-coarse executor-side
+    # hierarchy and its new dynamic-cell oracle — the r4 verdict's top
+    # two asks in one row). SimHash stays locally oracle-checked; the
+    # banded-candidate exact-Jaccard verify class stays evidenced by
+    # q63+q6a's band machinery and q65 stays locally checked.
+    "q6a_incremental_dedup",
+    "q6b_semantic_dedup_scaled",
     "q68_semantic_dedup",
     "q67_dedup_clusters",
     # similarity search (ANN variants q71/q73 are rows-only by design —
@@ -145,7 +175,12 @@ GATE_ORDER = [
     "q80_image_metadata",
     "q8i_image_near_dup",
     "q8b_png_decode",
-    "q8c_bbox_overlay",
+    # Round-5 rotation: q8c -> q83g (per-doc literal-VALUES oracle for
+    # the eval chain M9 + fractional-scale bilinear, with spatial probe
+    # pixels — the r4 verdict's task 5; the bbox-overlay class q8c
+    # evidences is partially covered by q82g's chain and q8c stays
+    # locally oracle-checked).
+    "q83g_eval_golden",
     "q84_etl_sharded_write",
     # q8h (native TFRecord container round-trip, round 3) takes q85's
     # slot: the frame-sample's mapInPandas byte-slicing plumbing is
@@ -154,7 +189,9 @@ GATE_ORDER = [
     # the r2 verdict listed as missing). q85 stays registered and locally
     # oracle-checked behind the window.
     "q8h_tfrecord_roundtrip",
-    "q86_audio_rms",
+    # (q86 audio-RMS rotated out round 5 for qt4 — see the streaming
+    # section; its mapInPandas byte-slicing class stays evidenced by
+    # q87/q8h/q84 and q86 stays locally oracle-checked.)
     "q87_binaryfile_scan",
     # round 4: q82g (golden-hash value check of the whole seeded augment
     # chain M2-M9 — crop, dual-method resize, flip, jitter, normalize)
