@@ -114,6 +114,83 @@ def test_jpeg_lower_quality_decodes_with_exact_dims():
     assert abs(float(out.mean()) - float(img.mean())) < 8.0
 
 
+def test_jpeg_engine_matches_independent_decoder():
+    """r4 verdict task 6: decode non-trivial content (gradient AND noise,
+    4:4:4 AND 4:2:0, three quality levels) with the engine codec and a
+    SEPARATELY-derived reference decoder (tests/jpeg_independent.py: own
+    marker parse, own T.81 F.2.2.3 canonical-huffman walk, own stuffed
+    bit reader, diagonal-walk zigzag, direct O(N^4) Annex A.3.3 IDCT —
+    no shared code) and pin max-abs-diff <= 1 (IDCT rounding tolerance;
+    measured 0 on all 12 fixtures)."""
+    from tests.jpeg_independent import decode_jpeg_reference
+    from tf_datapipeline_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:37, 0:29]
+    grad = np.stack(
+        [(yy * 3 + xx * 2) % 256, (yy * 5) % 256, (xx * 7) % 256], axis=-1
+    ).astype(np.uint8)
+    noise = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    for img in (grad, noise):
+        for sub in ("444", "420"):
+            for q in (100, 75, 50):
+                data = encode_jpeg(img, quality=q, subsampling=sub)
+                a = decode_jpeg(data).astype(int)
+                b = decode_jpeg_reference(data).astype(int)
+                assert a.shape == b.shape == img.shape
+                assert np.abs(a - b).max() <= 1, (sub, q)
+    gray = rng.integers(0, 256, (19, 22), dtype=np.uint8)
+    data = encode_jpeg(gray, quality=90)
+    assert np.abs(
+        decode_jpeg(data).astype(int)
+        - decode_jpeg_reference(data).astype(int)
+    ).max() <= 1
+
+
+def test_jpeg_420_chroma_constant_roundtrip_is_exact():
+    """r=g=b content has constant chroma planes (Cb=Cr=128), so the 2x2
+    box subsample and replication upsample are both lossless and the
+    4:2:0 quality-100 roundtrip must reproduce every pixel exactly —
+    isolates the subsampling path from DCT loss."""
+    from tf_datapipeline_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:37, 0:29]
+    g = np.repeat(
+        ((yy * 3 + xx * 5) % 256)[:, :, None].astype(np.uint8), 3, axis=2
+    )
+    out = decode_jpeg(encode_jpeg(g, quality=100, subsampling="420"))
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(h=st.integers(1, 33), w=st.integers(1, 33), seed=st.integers(0, 2**31))
+def test_jpeg_420_roundtrip_dims_and_smooth_tolerance(h, w, seed):
+    """4:2:0 at any dims (incl. non-multiples of 16) crops back exactly.
+    Pixel tolerance is asserted on SMOOTH content only: on noise the 2x2
+    chroma box filter legitimately loses tens of levels (and RGB clamping
+    then couples that into recomputed luma), but on a low-frequency
+    gradient the subsample+replicate error stays within a few levels."""
+    from tf_datapipeline_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    noise = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(noise, quality=100, subsampling="420"))
+    assert out.shape == (h, w, 3)
+
+    a, b, c = (int(x) for x in rng.integers(1, 4, 3))
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.stack(
+        [
+            np.clip(60 + a * yy + b * xx, 0, 255),
+            np.clip(90 + b * yy, 0, 255),
+            np.clip(120 + c * xx, 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(smooth, quality=100, subsampling="420"))
+    assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 8
+
+
 def test_jpeg_rejects_non_baseline_and_garbage():
     from tf_datapipeline_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
 

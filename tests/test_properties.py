@@ -173,6 +173,31 @@ def test_cc_labels_memoized_across_queries(spark):
     assert a is b
 
 
+def test_approx_top_k_certification_regime(spark):
+    """Found by the round-5 sf1 parity sweep: with capacity below the
+    distinct-key count, the frequent-items sketch reports only items it
+    can CERTIFY as heavy, and on near-uniform data that set is
+    legitimately empty — q1i's exact oracle therefore requires
+    capacity >= distinct (_TOPK_TRACKED covers sf10), while the
+    small-capacity production regime still certifies genuinely skewed
+    keys. Pin all three behaviors so the capacity contract can't rot
+    silently."""
+    df = spark.range(0, 100000).selectExpr("CAST(id % 30000 AS BIGINT) AS k")
+    small = spark.sql(
+        "SELECT approx_top_k(k, 5, 8192) t FROM {df}", df=df
+    ).collect()[0].t
+    assert small == []  # uniform data, capacity << distinct: none certifiable
+    big = spark.sql(
+        "SELECT approx_top_k(k, 5, 32768) t FROM {df}", df=df
+    ).collect()[0].t
+    assert len(big) == 5 and all(it["count"] == 4 for it in big)
+    skew = df.union(spark.range(0, 5000).selectExpr("CAST(777777 AS BIGINT) AS k"))
+    got = spark.sql(
+        "SELECT approx_top_k(k, 1, 1024) t FROM {skew}", skew=skew
+    ).collect()[0].t
+    assert [it["item"] for it in got] == [777777]
+
+
 def test_semantic_dedup_production_twin_agrees(spark):
     """q6b (production shape: corpus-scaled cluster count, numpy cell
     assignment, float cosines) must reach the same keep decisions as the

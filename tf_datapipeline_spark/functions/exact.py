@@ -33,9 +33,24 @@ _PRECISION = 28
 
 
 def dsum(col: Column | str, scale: int = 4) -> Column:
-    """Exact sum: cast each addend to DECIMAL(28, scale), sum, emit double."""
+    """Exact sum: cast each addend to DECIMAL(28, scale), sum, emit double.
+
+    The final decimal -> double conversion goes THROUGH A STRING on both
+    engines. Found by the round-5 sf1 parity sweep: once a sum carries
+    >16 significant digits (5e10 at scale 6 — any 10x growth step gets
+    there), DuckDB's direct decimal->double cast double-rounds (int128
+    -> double, then / 10^scale: two roundings) while Spark's
+    BigDecimal.doubleValue() rounds once, so the engines differ in the
+    last ulp. Both engines' string->double parse is correctly rounded
+    from identical digit strings, so the string route is deterministic
+    and engine-independent at ANY magnitude. Cost: one tiny conversion
+    per GROUP (not per row)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(T.DecimalType(_PRECISION, scale))).cast("double")
+    return (
+        F.sum(c.cast(T.DecimalType(_PRECISION, scale)))
+        .cast("string")
+        .cast("double")
+    )
 
 
 def davg(col: Column | str, scale: int = 4) -> Column:
@@ -46,8 +61,14 @@ def davg(col: Column | str, scale: int = 4) -> Column:
 
 
 def sql_dsum(expr: str, scale: int = 4) -> str:
-    """DuckDB twin of :func:`dsum`."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({_PRECISION},{scale}))) AS DOUBLE)"
+    """SQL twin of :func:`dsum` (same string-routed final conversion).
+    CONCAT(x, '') is the decimal->string spelling BOTH dialects accept
+    with identical digit output (several queries run one shared SQL
+    string in Spark and DuckDB, so VARCHAR/STRING type names are out)."""
+    return (
+        f"CAST(CONCAT(SUM(CAST(({expr}) AS DECIMAL({_PRECISION},{scale}))), "
+        "'') AS DOUBLE)"
+    )
 
 
 def sql_davg(expr: str, scale: int = 4) -> str:

@@ -301,17 +301,36 @@ def _dht_payload(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
     return bytes([tc << 4 | th] + bits + vals)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 100) -> bytes:
+def _box_downsample2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box average (the conventional 4:2:0 chroma reduction; T.81
+    leaves the filter to the encoder). Odd dims are edge-padded first."""
+    h, w = plane.shape
+    if h % 2 or w % 2:
+        plane = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+    return (
+        plane[0::2, 0::2] + plane[1::2, 0::2]
+        + plane[0::2, 1::2] + plane[1::2, 1::2]
+    ) / 4.0
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 100, subsampling: str = "444"
+) -> bytes:
     """Encode (H, W) or (H, W, 1) grayscale, or (H, W, 3) RGB, as baseline
     JFIF. Grayscale streams carry 1 component (no color transform); RGB is
-    4:4:4 YCbCr. quality=100 -> unit quant tables."""
+    YCbCr at 4:4:4 (1x1 sampling) or 4:2:0 (Y 2x2, chroma 1x1 with 2x2
+    box-averaged planes and 16x16 MCUs per T.81 A.2.3). quality=100 ->
+    unit quant tables."""
     if img.dtype != np.uint8:
         raise ValueError(f"expected uint8, got {img.dtype}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
     if img.ndim == 3 and img.shape[2] == 1:
         img = img[..., 0]
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
         raise ValueError(f"expected (H,W), (H,W,1) or (H,W,3), got {img.shape}")
+    sub420 = subsampling == "420" and not gray
     h, w = img.shape[:2]
     qluma, qchroma = quant_tables(quality)
 
@@ -330,8 +349,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 100) -> bytes:
     ncomp = 1 if gray else 3
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
-        # component id, sampling 1x1 (no subsampling), quant table id
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        # component id, sampling factors (Hi<<4 | Vi), quant table id
+        samp = 0x22 if (sub420 and ci == 0) else 0x11
+        sof += bytes([ci + 1, samp, 0 if ci == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     # DHT
     for tc, th, bits, vals in (
@@ -351,52 +371,80 @@ def encode_jpeg(img: np.ndarray, quality: int = 100) -> bytes:
     sos += bytes([0, 63, 0])  # spectral selection + approximation (baseline)
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
+    def pad_to(plane: np.ndarray, th: int, tw: int) -> np.ndarray:
+        hh, ww = plane.shape
+        if th > hh or tw > ww:
+            plane = np.pad(plane, ((0, th - hh), (0, tw - ww)), mode="edge")
+        return plane
+
     if gray:
         planes = [_pad_to_blocks(img.astype(np.float64))]
         quants = [qluma]
+        sampling = [(1, 1)]
     else:
         ycc = _rgb_to_ycbcr(img)
-        planes = [_pad_to_blocks(ycc[..., c]) for c in range(3)]
+        if sub420:
+            mcy, mcx = -(-h // 16), -(-w // 16)
+            planes = [
+                pad_to(ycc[..., 0], 16 * mcy, 16 * mcx),
+                pad_to(_box_downsample2(ycc[..., 1]), 8 * mcy, 8 * mcx),
+                pad_to(_box_downsample2(ycc[..., 2]), 8 * mcy, 8 * mcx),
+            ]
+            sampling = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [_pad_to_blocks(ycc[..., c]) for c in range(3)]
+            sampling = [(1, 1)] * 3
         quants = [qluma, qchroma, qchroma]
 
-    # Interleaved MCU scan: with 1x1 sampling an MCU is one block per
-    # component (T.81 A.2.3).
+    # Interleaved MCU scan (T.81 A.2.3): each MCU carries Hi x Vi blocks
+    # per component in row-major order — one block each at 4:4:4, four Y
+    # plus one Cb and one Cr at 4:2:0.
     writer = _BitWriter()
     preds = [0] * ncomp
-    ph, pw = planes[0].shape
     q2ds = [q.reshape(8, 8).astype(np.float64) for q in quants]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+
+    def emit(block: np.ndarray, ci: int) -> None:
+        tbl = 0 if ci == 0 else 1
+        coeffs = _D @ block @ _D.T
+        zz = np.round(coeffs / q2ds[ci]).astype(np.int64).ravel()[_ZIGZAG]
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        cat = _magnitude_category(diff)
+        code, length = _ENC_DC[tbl][cat]
+        writer.write(code, length)
+        if cat:
+            writer.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                zc, zl = _ENC_AC[tbl][0xF0]
+                writer.write(zc, zl)
+                run -= 16
+            size = _magnitude_category(v)
+            ac, al = _ENC_AC[tbl][(run << 4) | size]
+            writer.write(ac, al)
+            writer.write(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if run:
+            ec, el = _ENC_AC[tbl][0x00]
+            writer.write(ec, el)
+
+    y_hi, y_vi = sampling[0]
+    mcuy = planes[0].shape[0] // (8 * y_vi)
+    mcux = planes[0].shape[1] // (8 * y_hi)
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci in range(ncomp):
-                tbl = 0 if ci == 0 else 1
-                block = planes[ci][by : by + 8, bx : bx + 8] - 128.0
-                coeffs = _D @ block @ _D.T
-                zz = np.round(coeffs / q2ds[ci]).astype(np.int64).ravel()[_ZIGZAG]
-                diff = int(zz[0]) - preds[ci]
-                preds[ci] = int(zz[0])
-                cat = _magnitude_category(diff)
-                code, length = _ENC_DC[tbl][cat]
-                writer.write(code, length)
-                if cat:
-                    writer.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        zc, zl = _ENC_AC[tbl][0xF0]
-                        writer.write(zc, zl)
-                        run -= 16
-                    size = _magnitude_category(v)
-                    ac, al = _ENC_AC[tbl][(run << 4) | size]
-                    writer.write(ac, al)
-                    writer.write(v if v >= 0 else v + (1 << size) - 1, size)
-                    run = 0
-                if run:
-                    ec, el = _ENC_AC[tbl][0x00]
-                    writer.write(ec, el)
+                hi, vi = sampling[ci]
+                for v in range(vi):
+                    for u in range(hi):
+                        by = (my * vi + v) * 8
+                        bx = (mx * hi + u) * 8
+                        emit(planes[ci][by : by + 8, bx : bx + 8] - 128.0, ci)
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
@@ -413,9 +461,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     Grayscale streams are replicated across 3 channels (matching the
     ``convert("RGB")`` contract of decode_image). Supports 8-bit baseline
-    (SOF0), 1 or 3 components, 1x1 sampling; progressive and subsampled
-    streams raise ValueError. Reference analog: tf.image.decode_jpeg
-    (make_tf_record.py:18-19)."""
+    (SOF0), 1 or 3 components, sampling factors 1-2 per axis (so 4:4:4,
+    4:2:0, 4:2:2 and 4:4:0 all decode; subsampled planes upsample by
+    sample replication); progressive streams raise ValueError. Reference
+    analog: tf.image.decode_jpeg (make_tf_record.py:18-19)."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -458,12 +507,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for ci in range(ncomp):
                 cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(
-                        "chroma subsampling unsupported: this codec handles "
-                        f"1x1 sampling only (got 0x{samp:02X})"
+                        "unsupported sampling factors "
+                        f"0x{samp:02X} (this codec handles 1-2 per axis)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hi, vi))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -487,7 +537,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan = []
             for si in range(ns):
                 cs, tdta = payload[1 + 2 * si : 3 + 2 * si]
-                idx = next(i for i, (cid, _) in enumerate(comps) if cid == cs)
+                idx = next(i for i, c in enumerate(comps) if c[0] == cs)
                 scan.append((idx, tdta >> 4, tdta & 0x0F))
             break
         # APPn / COM / others: skipped via seglen
@@ -497,13 +547,51 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if h is None or not scan:
         raise ValueError("JPEG missing SOF0 or SOS")
     ncomp = len(comps)
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in range(ncomp)]
+    if len(scan) == 1:
+        # single-component scans are never interleaved (T.81 A.2.2):
+        # the data unit is one block regardless of declared sampling
+        cid, tq, _, _ = comps[scan[0][0]]
+        comps[scan[0][0]] = (cid, tq, 1, 1)
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcuy, mcux = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+    planes = [
+        np.zeros((mcuy * 8 * c[3], mcux * 8 * c[2]), dtype=np.float64)
+        for c in comps
+    ]
     reader = _BitReader(data, pos)
     preds = [0] * ncomp
+
+    def read_block(idx: int, td: int, ta: int) -> np.ndarray:
+        zz = np.zeros(64, dtype=np.int64)
+        sym = reader.read_symbol(huff_dc[td])
+        if sym:
+            diff = _extend(reader.read_bits(sym), sym)
+        else:
+            diff = 0
+        preds[idx] += diff
+        zz[0] = preds[idx]
+        k = 1
+        while k < 64:
+            rs = reader.read_symbol(huff_ac[ta])
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = rs >> 4, rs & 0x0F
+            k += run
+            if k > 63:
+                raise ValueError("AC coefficient index out of range")
+            zz[k] = _extend(reader.read_bits(size), size)
+            k += 1
+        quant = qtables[comps[idx][1]]
+        coeffs = (zz[_UNZIGZAG] * quant).reshape(8, 8).astype(np.float64)
+        return _D.T @ coeffs @ _D + 128.0
+
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 # RSTn marker: byte-align and consume the marker
                 reader._nbits = 0
@@ -515,35 +603,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     reader.pos += 2
                 preds = [0] * ncomp
             for idx, td, ta in scan:
-                zz = np.zeros(64, dtype=np.int64)
-                sym = reader.read_symbol(huff_dc[td])
-                if sym:
-                    diff = _extend(reader.read_bits(sym), sym)
-                else:
-                    diff = 0
-                preds[idx] += diff
-                zz[0] = preds[idx]
-                k = 1
-                while k < 64:
-                    rs = reader.read_symbol(huff_ac[ta])
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = rs >> 4, rs & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient index out of range")
-                    zz[k] = _extend(reader.read_bits(size), size)
-                    k += 1
-                quant = qtables[comps[idx][1]]
-                coeffs = (zz[_UNZIGZAG] * quant).reshape(8, 8).astype(np.float64)
-                block = _D.T @ coeffs @ _D + 128.0
-                planes[idx][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                _, _, hi, vi = comps[idx]
+                for v in range(vi):
+                    for u in range(hi):
+                        by = (my * vi + v) * 8
+                        bx = (mx * hi + u) * 8
+                        planes[idx][by : by + 8, bx : bx + 8] = read_block(
+                            idx, td, ta
+                        )
             mcu += 1
 
-    cropped = [p[:h, :w] for p in planes]
+    # Subsampled components upsample by sample replication (T.81 leaves
+    # the reconstruction filter to the decoder; replication keeps
+    # chroma-constant roundtrips exact), then crop the MCU padding.
+    cropped = []
+    for ci, (_, _, hi, vi) in enumerate(comps):
+        p = planes[ci]
+        if vi != vmax or hi != hmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        cropped.append(p[:h, :w])
     if ncomp == 1:
         gray = np.clip(np.round(cropped[0]), 0, 255).astype(np.uint8)
         return np.repeat(gray[:, :, None], 3, axis=2)

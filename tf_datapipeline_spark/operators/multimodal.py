@@ -404,6 +404,158 @@ def q8d_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q8d2 — JPEG codec on NON-trivial content (r4 verdict task 6): a 64-doc
+# gradient-RGB corpus (every AC band populated, odd non-multiple-of-16
+# dims) encoded 4:2:0 at quality 75 and decoded executor-side — the
+# huffman AC run/size paths, chroma subsample/upsample and MCU padding
+# that q8d's flat-block (DC-only) corpus never touches. The lossy DCT
+# has no closed-form SQL twin, so the oracle is frozen per-doc literals
+# (q83g's device): decode stats plus two spatial probe pixels, integers
+# only, a pure function of doc_id — identical at every sf. The codec
+# itself is verified against an independently-derived T.81 decoder in
+# tests/test_multimodal.py::test_jpeg_engine_matches_independent_decoder.
+# --------------------------------------------------------------------------
+_J420_DOCS = 64
+_J420_GOLDEN_ROWS: tuple[tuple, ...] = (
+    (0, 17, 17, 0, 118, 39294, 25, 54),
+    (1, 32, 26, 0, 187, 213460, 48, 98),
+    (2, 31, 19, 1, 165, 143118, 44, 88),
+    (3, 30, 28, 3, 227, 252104, 51, 146),
+    (4, 29, 21, 4, 190, 174248, 45, 122),
+    (5, 28, 30, 0, 255, 273374, 52, 170),
+    (6, 27, 23, 5, 233, 203469, 45, 148),
+    (7, 26, 32, 3, 253, 268772, 50, 209),
+    (8, 25, 25, 0, 255, 213399, 48, 187),
+    (9, 24, 18, 8, 238, 154783, 45, 171),
+    (10, 23, 27, 2, 242, 204377, 49, 218),
+    (11, 22, 20, 9, 252, 159261, 45, 211),
+    (12, 21, 29, 9, 249, 203631, 50, 137),
+    (13, 20, 22, 11, 249, 149120, 43, 226),
+    (14, 19, 31, 8, 242, 197563, 70, 21),
+    (15, 18, 24, 5, 247, 140641, 68, 37),
+    (16, 17, 17, 5, 247, 93202, 42, 7),
+    (17, 32, 26, 0, 255, 294401, 66, 49),
+    (18, 31, 19, 0, 255, 197736, 59, 51),
+    (19, 30, 28, 0, 255, 299499, 66, 96),
+    (20, 29, 21, 0, 255, 196179, 59, 73),
+    (21, 28, 30, 0, 250, 309682, 68, 123),
+    (22, 27, 23, 0, 255, 218411, 61, 100),
+    (23, 26, 32, 0, 255, 323734, 67, 162),
+    (24, 25, 25, 0, 255, 237223, 64, 139),
+    (25, 24, 18, 0, 255, 156653, 61, 122),
+    (26, 23, 27, 0, 255, 239852, 58, 161),
+    (27, 22, 20, 0, 255, 170644, 61, 154),
+    (28, 21, 29, 0, 255, 222859, 65, 212),
+    (29, 20, 22, 0, 255, 169119, 58, 255),
+    (30, 19, 31, 0, 255, 206640, 69, 236),
+    (31, 18, 24, 0, 255, 146192, 59, 227),
+    (32, 17, 17, 0, 255, 102916, 57, 207),
+    (33, 32, 26, 0, 255, 266326, 71, 0),
+    (34, 31, 19, 0, 255, 185293, 83, 255),
+    (35, 30, 28, 0, 255, 262295, 66, 28),
+    (36, 29, 21, 0, 255, 174018, 67, 33),
+    (37, 28, 30, 0, 246, 244024, 87, 73),
+    (38, 27, 23, 0, 243, 164528, 85, 59),
+    (39, 26, 32, 4, 217, 248521, 77, 108),
+    (40, 25, 25, 4, 179, 172507, 80, 92),
+    (41, 24, 18, 18, 146, 113296, 77, 75),
+    (42, 23, 27, 29, 218, 198180, 81, 122),
+    (43, 22, 20, 42, 177, 134183, 77, 116),
+    (44, 21, 29, 0, 253, 215137, 84, 159),
+    (45, 20, 22, 45, 223, 152805, 77, 139),
+    (46, 19, 31, 7, 251, 209536, 86, 191),
+    (47, 18, 24, 45, 255, 163912, 82, 186),
+    (48, 17, 17, 46, 230, 108664, 72, 166),
+    (49, 32, 26, 11, 255, 356127, 95, 210),
+    (50, 31, 19, 1, 255, 268548, 91, 200),
+    (51, 30, 28, 5, 255, 354018, 97, 140),
+    (52, 29, 21, 0, 255, 268480, 91, 248),
+    (53, 28, 30, 0, 255, 361195, 105, 27),
+    (54, 27, 23, 0, 255, 262480, 96, 2),
+    (55, 26, 32, 2, 255, 361519, 100, 60),
+    (56, 25, 25, 0, 255, 254728, 94, 54),
+    (57, 24, 18, 0, 255, 167355, 92, 36),
+    (58, 23, 27, 0, 255, 253161, 98, 79),
+    (59, 22, 20, 0, 255, 164568, 95, 85),
+    (60, 21, 29, 0, 255, 255030, 100, 112),
+    (61, 20, 22, 0, 246, 171445, 93, 90),
+    (62, 19, 31, 2, 253, 261636, 101, 142),
+    (63, 18, 24, 0, 255, 184680, 91, 151),
+)
+
+
+def _q8d2_sql() -> str:
+    vals = ",\n      ".join(
+        f"({d}, {h}, {w}, {mn}, {mx}, {s}, {pa}, {pb})"
+        for (d, h, w, mn, mx, s, pa, pb) in _J420_GOLDEN_ROWS
+    )
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(height AS INTEGER) AS height,
+           CAST(width AS INTEGER) AS width,
+           CAST(px_min AS INTEGER) AS px_min,
+           CAST(px_max AS INTEGER) AS px_max,
+           CAST(px_sum AS BIGINT) AS px_sum,
+           CAST(px_probe_a AS INTEGER) AS px_probe_a,
+           CAST(px_probe_b AS INTEGER) AS px_probe_b
+    FROM (VALUES {vals})
+      AS t(doc_id, height, width, px_min, px_max, px_sum,
+           px_probe_a, px_probe_b)
+    """
+
+
+@query(
+    "q8d2_jpeg420_golden",
+    oracle=_q8d2_sql() if _J420_GOLDEN_ROWS else None,
+)
+def q8d2_jpeg420_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.catalog import load_table
+    from tf_datapipeline_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+    from tf_datapipeline_spark.sources.images import synthetic_jpeg_rgb_pixels
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _J420_DOCS)
+        .select("doc_id")
+    )
+
+    def codec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                src = synthetic_jpeg_rgb_pixels(int(doc_id))
+                out = decode_jpeg(
+                    encode_jpeg(src, quality=75, subsampling="420")
+                ).astype(np.int64)
+                hh, ww = out.shape[:2]
+                rows.append(
+                    (
+                        int(doc_id),
+                        hh,
+                        ww,
+                        int(out.min()),
+                        int(out.max()),
+                        int(out.sum()),
+                        int(out[hh // 3, ww // 3, 0]),
+                        int(out[hh // 2, ww // 2, 2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "height", "width", "px_min", "px_max",
+                    "px_sum", "px_probe_a", "px_probe_b",
+                ],
+            )
+
+    return docs.mapInPandas(
+        codec,
+        schema="doc_id bigint, height int, width int, px_min int, "
+        "px_max int, px_sum bigint, px_probe_a int, px_probe_b int",
+    )
+
+
+# --------------------------------------------------------------------------
 # q82 — fused train-time augment (reference M2-M9: distorted crop, random
 # resize method, random flip, 4-ordering color jitter, [-1,1] normalize)
 # with seeded per-row RNG (seed = f(42, doc_id) — stable under task

@@ -849,12 +849,28 @@ def q1h_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # part keys. The sketch is mergeable map-side — the only viable "top
 # sellers over 100 TB" shape; exact per-key counts would shuffle every
 # key. WHICH tied items the sketch reports is engine-specific, but the
-# top-10 count multiset is tie-invariant, and with maxItemsTracked=65536
-# >= distinct part keys at every test SF the tracked counts are exact —
-# so (n_items, sum, floor) of the top-10 counts is a value-level oracle.
-# Tests additionally assert the approx item set recovers the exact top
-# items.
+# top-10 count multiset is tie-invariant, and with maxItemsTracked >=
+# distinct part keys the tracked counts are exact — so (n_items, sum,
+# floor) of the top-10 counts is a value-level oracle. Tests additionally
+# assert the approx item set recovers the exact top items.
+#
+# Capacity regimes (found by the round-5 sf1 parity sweep): below
+# capacity >= distinct, the Datasketches frequent-items sketch reports
+# only items it can CERTIFY as heavy (count lower-bound above the purge
+# error), and on near-uniform data that set is legitimately EMPTY — at
+# sf1 (200k distinct part keys, ~30 rows each) the old 65536-item sketch
+# returned zero items while the oracle listed an exact top-10. That is
+# correct sketch semantics, not a bug (pinned in
+# tests/test_properties.py::test_approx_top_k_certification_regime), but
+# it means the exact-oracle contract REQUIRES capacity >= distinct.
+# _TOPK_TRACKED = 10^6 is Spark's HARD ceiling for approx_top_k
+# (APPROX_TOP_K_MAX_ITEMS_TRACKED_EXCEEDS_LIMIT above it) and holds the
+# exact regime through sf1; past ~1M distinct keys (sf10's 2M parts, or
+# any 100 TB corpus) ONLY the certified regime exists, and an empty
+# result reads as "no key exceeds n/capacity" — the statistically honest
+# answer on uniform data.
 # --------------------------------------------------------------------------
+_TOPK_TRACKED = 1_000_000
 @query(
     "q1i_heavy_hitters",
     oracle="""
@@ -879,10 +895,10 @@ def q1i_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(item.count) AS BIGINT) AS top10_total,
                CAST(MIN(item.count) AS BIGINT) AS top10_floor
         FROM (
-          SELECT explode(approx_top_k(l_partkey, 10, 65536)) AS item
+          SELECT explode(approx_top_k(l_partkey, 10, {tracked})) AS item
           FROM lineitem
         )
-        """
+        """.format(tracked=_TOPK_TRACKED)
     )
 
 

@@ -199,12 +199,14 @@ GATE_ORDER = [
     # chain q82g pins, and q89 stays locally oracle-checked.
     "q82g_augment_golden",
     "q8e_format_sniff",
-    # q8d (baseline JPEG decode, bit-exact flat-block corpus) takes the
-    # last slot over q8a_channel_stats: q8a's per-channel reduction is
-    # largely subsumed by q81's pixel stats, while q8d is the only driver
-    # row exercising the huffman/DCT codec (reference S3). q8a stays
-    # registered and locally oracle-checked behind the window.
-    "q8d_jpeg_decode",
+    # Round-5 rotation: q8d -> q8d2. q8d's flat-block corpus is DC-only
+    # (analytic oracle, but the huffman AC paths and any subsampling
+    # never execute); q8d2 decodes gradient-RGB content encoded 4:2:0 at
+    # quality 75 — AC runs, chroma subsample/upsample, MCU padding — with
+    # frozen per-doc literals + probe pixels as the oracle and the
+    # independent T.81 reference decoder as the codec-level check
+    # (tests/jpeg_independent.py). q8d stays locally oracle-checked.
+    "q8d2_jpeg420_golden",
 ]
 
 

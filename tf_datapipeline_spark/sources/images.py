@@ -79,6 +79,20 @@ def synthetic_jpeg_pixels(doc_id: int) -> np.ndarray:
     return ((37 * bi + 59 * bj + doc_id) % 256).astype(np.uint8)
 
 
+def synthetic_jpeg_rgb_pixels(doc_id: int) -> np.ndarray:
+    """RGB gradient (H, W, 3) uint8 with per-doc phase — NON-flat content
+    (every AC band populated) at odd dims (never multiples of 16), so a
+    4:2:0 encode exercises huffman AC runs, chroma subsampling and MCU
+    padding. Pure function of doc_id: identical at every sf."""
+    h = 17 + (doc_id * 7919) % 16
+    w = 17 + (doc_id * 104729) % 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (3 * yy + 2 * xx + doc_id) % 256
+    g = (5 * yy + 7 * doc_id) % 256
+    b = (7 * xx + 13 * doc_id) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
 def synthetic_corpus(
     spark: SparkSession, sf_dir: str, fmt: str = "ppm", docs_filter=None
 ) -> DataFrame:
