@@ -588,12 +588,17 @@ def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the whole pipeline (assignment -> in-cell pairs -> keep flags) is
 # value-checked, not rows-only.
 #
-# Scale (100 TB): the production path assigns cells with q73's numpy
-# Pandas-UDF (one matmul per Arrow batch) and joins pairs per cell —
-# shuffle keyed by cell, never all-pairs; cluster count grows with the
-# corpus so cell populations stay bounded (SemDeDup used 50k clusters
-# for LAION). In-cell pair cost is capped the same way q63 caps LSH
-# buckets. Reference analog: none (extension family, BASELINE.json).
+# Scale (100 TB): q68's FROZEN 16 cells are the oracle-checkable harness
+# contract, not the deployment config — in-cell pair work is O(n^2/16)
+# here by design. The deployment shape is q6b below: cluster count grows
+# as max(16, n/128) so cell populations (and pair cost per cell) stay
+# ~constant, assignment is one numpy matmul per Arrow batch, and the
+# driver footprint is capped at _COARSE_CAP coarse centroids with the
+# residual split executor-side (_COARSE_CAP is the one knob: it bounds
+# both the driver/broadcast bytes and the per-task coarse-group size at
+# n/k1 vectors). Keep-decision equality between the two is test-pinned
+# at the shared 16-cell scales. Reference analog: none (extension
+# family, BASELINE.json).
 # --------------------------------------------------------------------------
 _SEM_TAU = 0.4  # same exercise threshold as q66 (corpus has no seeded
                 # embedding dups; production ~0.95)
