@@ -78,6 +78,11 @@ EXTRA = [
     "q4b_stream_outer_join",
     "q4n_ohlc_bars",
     "q83g_eval_golden",
+    "q8d2_jpeg420_golden",
+    "q6e_bloom_prescreen",
+    "q9a_zorder_layout",
+    "q9b_sketch_rollup",
+    "q7c_mutual_knn",
 ]
 
 

@@ -178,10 +178,11 @@ def test_approx_top_k_certification_regime(spark):
     distinct-key count, the frequent-items sketch reports only items it
     can CERTIFY as heavy, and on near-uniform data that set is
     legitimately empty — q1i's exact oracle therefore requires
-    capacity >= distinct (_TOPK_TRACKED covers sf10), while the
-    small-capacity production regime still certifies genuinely skewed
-    keys. Pin all three behaviors so the capacity contract can't rot
-    silently."""
+    capacity >= distinct (_TOPK_TRACKED = Spark's 1M ceiling covers
+    sf1's 200k keys; past ~1M distinct only the certified regime
+    exists), while the small-capacity production regime still certifies
+    genuinely skewed keys. Pin all three behaviors so the capacity
+    contract can't rot silently."""
     df = spark.range(0, 100000).selectExpr("CAST(id % 30000 AS BIGINT) AS k")
     small = spark.sql(
         "SELECT approx_top_k(k, 5, 8192) t FROM {df}", df=df
@@ -311,3 +312,63 @@ def test_triangles_live_inside_cc_clusters(spark):
     assert tris, "corpus should contain at least one near-dup triangle"
     for t in tris:
         assert label[t.doc_a] == label[t.doc_b] == label[t.doc_c], t
+
+
+def test_bloom_prescreen_has_no_false_negatives(spark):
+    """Bloom screening may pass non-duplicates (the FP trade) but must
+    NEVER clear an actual duplicate — a false negative silently admits a
+    dup past the expensive dedup stage it was routed around. The driver
+    corpus has no cross-boundary exact dups, so pin the guarantee on a
+    seeded frame: delta docs 30/40 duplicate corpus texts and MUST carry
+    maybe_dup=1 (and exact_dup=1), while a unique delta doc may carry
+    either maybe flag but never exact."""
+    from tf_datapipeline_spark.operators.dedup import _bloom_body
+
+    rows = [(i, f"text {i}") for i in range(1, 30)] + [
+        (30, "text 3"),
+        (40, "text 7"),
+        (50, "nothing like the corpus"),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").createOrReplaceTempView(
+        "documents"
+    )
+    try:
+        out = {
+            r.doc_id: (r.maybe_dup, r.exact_dup)
+            for r in spark.sql(_bloom_body("spark")).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert out[30] == (1, 1)
+    assert out[40] == (1, 1)
+    assert out[50][1] == 0
+    assert all(m == 1 for m, e in out.values() if e == 1)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark):
+    """The point of the interleaved-bit layout: the 2-D probe box must
+    scan strictly fewer files AND rows than the single-column (date
+    sorted) layout, and stats-based scanning must remain a superset of
+    the true matches (skipping is conservative, never lossy)."""
+    from tests.conftest import SF_ORACLE
+    from tf_datapipeline_spark.operators.layout import q9a_zorder_layout
+
+    row = q9a_zorder_layout(spark, SF_ORACLE).collect()[0]
+    assert row.z_files_scanned < row.linear_files_scanned
+    assert row.z_rows_scanned < row.linear_rows_scanned
+    assert row.z_rows_scanned >= row.matching_rows
+    assert row.matching_rows > 0
+
+
+def test_sketch_rollup_merge_equals_direct(spark):
+    """Sketch-union associativity is the property that lets stored hourly
+    partials replace event rescans: the merged-daily estimate must equal
+    the direct-daily estimate exactly, and sit inside the HLL error
+    envelope of the exact count, for every day."""
+    from tests.conftest import SF_ORACLE
+    from tf_datapipeline_spark.operators.layout import q9b_sketch_rollup
+
+    rows = q9b_sketch_rollup(spark, SF_ORACLE).collect()
+    assert len(rows) > 0
+    assert all(r.merged_eq_direct == 1 for r in rows)
+    assert all(r.within_tolerance == 1 for r in rows)

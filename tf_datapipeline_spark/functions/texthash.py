@@ -73,6 +73,21 @@ def sql_hash32_from_md5_dialect(md5_expr: str, dialect: str) -> str:
     return sql_hash32_from_md5(md5_expr)
 
 
+def sql_hash32_from_md5_at(md5_expr: str, start: int, dialect: str) -> str:
+    """32-bit integer from an 8-hex-digit window of an md5 digest starting
+    at 1-based offset `start` — lets one md5 computation yield several
+    independent hash values (Bloom double-hashing uses windows 1 and 9).
+    Spark spells it conv(); DuckDB keeps the instr digit arithmetic."""
+    if dialect == "spark":
+        return f"CAST(conv(substr({md5_expr}, {start}, 8), 16, 10) AS BIGINT)"
+    terms = []
+    for i in range(8):
+        digit = f"substr({md5_expr}, {start + i}, 1)"
+        val = f"CAST(instr('0123456789abcdef', {digit}) - 1 AS BIGINT)"
+        terms.append(f"{val} * {16 ** (7 - i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
 def sql_minhash_perm(h_expr: str, a: int, b: int) -> str:
     """One universal-hash permutation of a 32-bit hash value. The input is
     reduced mod the Mersenne prime first so a*h stays under 2^62 (Spark

@@ -1369,3 +1369,92 @@ def q6d_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("doc_c"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q6e — BLOOM-FILTER dedup pre-screen: the crawl-frontier membership
+# check that runs BEFORE any join-based dedup. The existing corpus is
+# folded into a fixed-size bit array (m = 64513 bits as 1025 63-bit
+# BIGINT words — 63 avoids the sign bit under ANSI shiftleft), k = 3
+# positions per doc via double hashing (two independent 32-bit windows
+# of ONE md5); the delta slice then probes the filter: all-k-bits-set =
+# "maybe seen" (route to the real dedup pass), any-bit-clear =
+# definitely new (skip the expensive path entirely).
+#
+# Scale (100 TB): the filter build is one bit_or aggregation whose
+# output is 1025 rows REGARDLESS of corpus size — the whole index
+# broadcasts in ~8 KB, so frontier screening is a broadcast join at
+# O(delta) cost with zero shuffle of the corpus. False positives are the
+# documented trade (the output exposes them: maybe_dup=1, exact_dup=0
+# rows); false negatives are impossible, pinned on a seeded-dup frame in
+# tests/test_properties.py. Production sizes m to the corpus cardinality
+# (~10 bits/key for 1% FP); the harness m is small enough that the FP
+# path genuinely fires at sf0.1 (13.5k of 64.5k bits set -> ~0.7% FP;
+# one observed, replayed bit-for-bit by the oracle). The same md5-window
+# arithmetic runs in both engines, so every bit — and therefore every
+# maybe/exact flag — is hash-exact against the oracle.
+# --------------------------------------------------------------------------
+_BLOOM_M = 64513  # prime -> double-hash probe sequence cycles full period
+_BLOOM_K = 3
+_BLOOM_WORD = 63
+
+
+def _bloom_body(dialect: str) -> str:
+    from tf_datapipeline_spark.functions.texthash import sql_hash32_from_md5_at
+
+    h1 = sql_hash32_from_md5_at("m", 1, dialect)
+    h2 = sql_hash32_from_md5_at("m", 9, dialect)
+    if dialect == "spark":
+        def shl(b: str) -> str:
+            return f"shiftleft(CAST(1 AS BIGINT), CAST({b} AS INT))"
+    else:
+        def shl(b: str) -> str:
+            return f"(CAST(1 AS BIGINT) << CAST({b} AS INT))"
+    ks = ", ".join(f"({k})" for k in range(_BLOOM_K))
+    return f"""
+    WITH corpus AS (
+      SELECT md5(text) AS m FROM documents WHERE doc_id % {_DELTA_MOD} <> 0
+    ),
+    chash AS (SELECT {h1} AS h1, {h2} AS h2 FROM corpus),
+    cpos AS (
+      SELECT DISTINCT ((h1 + k.k * h2) % {_BLOOM_M}) AS pos
+      FROM chash, (VALUES {ks}) AS k(k)
+    ),
+    filter_words AS (
+      SELECT CAST(FLOOR(pos / {_BLOOM_WORD}.0) AS INT) AS word_idx,
+             BIT_OR({shl(f"pos % {_BLOOM_WORD}")}) AS bits
+      FROM cpos GROUP BY 1
+    ),
+    delta AS (
+      SELECT doc_id, md5(text) AS m
+      FROM documents WHERE doc_id % {_DELTA_MOD} = 0
+    ),
+    dpos AS (
+      SELECT doc_id, m, ((h1 + k.k * h2) % {_BLOOM_M}) AS pos
+      FROM (SELECT doc_id, m, {h1} AS h1, {h2} AS h2 FROM delta) d,
+           (VALUES {ks}) AS k(k)
+    ),
+    probe AS (
+      SELECT d.doc_id,
+             MIN(CASE WHEN (COALESCE(f.bits, 0)
+                            & {shl(f"d.pos % {_BLOOM_WORD}")}) <> 0
+                      THEN 1 ELSE 0 END) AS maybe_dup
+      FROM dpos d
+      LEFT JOIN filter_words f
+        ON f.word_idx = CAST(FLOOR(d.pos / {_BLOOM_WORD}.0) AS INT)
+      GROUP BY d.doc_id
+    ),
+    corpus_set AS (SELECT DISTINCT m FROM corpus)
+    SELECT d.doc_id,
+           CAST(p.maybe_dup AS INT) AS maybe_dup,
+           CAST(c.m IS NOT NULL AS INT) AS exact_dup
+    FROM delta d
+    JOIN probe p ON p.doc_id = d.doc_id
+    LEFT JOIN corpus_set c ON c.m = d.m
+    """
+
+
+@query("q6e_bloom_prescreen", oracle=_bloom_body("duckdb"))
+def q6e_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_bloom_body("spark"))

@@ -1,0 +1,197 @@
+"""Storage-layout & index-maintenance operators (round 5: the q9 family).
+
+At 100 TB the scan you avoid is worth more than the scan you speed up:
+data layout (multi-dimensional clustering + per-file min/max stats) and
+mergeable-sketch rollups are the two levers that turn full-table scans
+into file-skipping range reads and incremental metric refreshes. Both
+operators here are pure integer/sketch arithmetic expressed in one
+dialect-parameterized SQL body, so every file assignment, every min/max
+stat and every skip decision is hash-exact against the DuckDB oracle.
+
+Reference analog: none (extension family, BASELINE.json) — these are the
+maintenance jobs a production deployment of the engine runs around the
+reference's query surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tf_datapipeline_spark.catalog import register_views
+from tf_datapipeline_spark.registry import query
+
+# --------------------------------------------------------------------------
+# q9a — Z-ORDER layout vs single-column layout, measured by file skipping.
+# Rows are bucketed on (order date, customer key) into 8-bit grids, the
+# two bucket ids are bit-interleaved into a 16-bit z-value, and files are
+# STATIC z-ranges (z DIV 1024 -> 64 files; a production writer gets
+# balanced files from the same key via repartitionByRange — no global
+# sort appears here or there). Each file carries min/max stats for both
+# dimensions, exactly what parquet footers / Delta file stats expose, and
+# a fixed 2-D probe box is answered twice: against the z-order layout and
+# against a date-sorted layout (xb DIV 4 -> 64 files). The output is the
+# skip arithmetic itself — file and row counts each layout must scan —
+# so the oracle value-checks the entire layout+stats+pruning pipeline.
+# The z-order layout prunes on BOTH dimensions (the point of interleaved
+# bits: locality in every axis), the linear layout only on its sort key.
+#
+# Scale: bucket ids, z-values and file ids are per-row scalar arithmetic
+# (codegen, no shuffle); the stats pass is one partial-aggregated
+# groupBy(file). The only data-dependent inputs are the four min/max
+# scalars (one metadata-cheap aggregate, broadcast as a 1-row cross
+# join). At a real deployment the same z expression feeds
+# repartitionByRange(z).sortWithinPartitions(z) at write time.
+# --------------------------------------------------------------------------
+_GRID = 256  # 8-bit buckets per dimension
+_N_FILES = 64
+_QX = (64, 79)  # probe box: 1/16 of the date axis
+_QY = (128, 159)  # 1/8 of the key axis
+
+
+def _bit(v: str, i: int) -> str:
+    return f"(CAST(FLOOR(({v}) / {2 ** i}.0) AS BIGINT) % 2)"
+
+
+def _interleave(xb: str, yb: str) -> str:
+    terms = []
+    for i in range(8):
+        terms.append(f"{_bit(xb, i)} * {2 ** (2 * i + 1)}")
+        terms.append(f"{_bit(yb, i)} * {2 ** (2 * i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _zorder_body(dialect: str) -> str:
+    if dialect == "spark":
+        day = "datediff(o_orderdate, DATE '1970-01-01')"
+    else:
+        day = "datediff('day', DATE '1970-01-01', o_orderdate)"
+    xb = (
+        f"LEAST(CAST(FLOOR((d.ep_day - b.min_day) * {_GRID}.0 "
+        f"/ (b.max_day - b.min_day + 1)) AS BIGINT), {_GRID - 1})"
+    )
+    yb = (
+        f"LEAST(CAST(FLOOR((d.o_custkey - b.min_key) * {_GRID}.0 "
+        f"/ (b.max_key - b.min_key + 1)) AS BIGINT), {_GRID - 1})"
+    )
+    zspan = 65536 // _N_FILES
+    xspan = _GRID // _N_FILES
+    return f"""
+    WITH bounds AS (
+      SELECT MIN({day}) AS min_day, MAX({day}) AS max_day,
+             MIN(o_custkey) AS min_key, MAX(o_custkey) AS max_key
+      FROM orders
+    ),
+    bucketed AS (
+      SELECT {xb} AS xb, {yb} AS yb
+      FROM (SELECT {day} AS ep_day, o_custkey FROM orders) d, bounds b
+    ),
+    zfiles AS (
+      SELECT CAST(FLOOR({_interleave('xb', 'yb')} / {zspan}.0) AS INT)
+               AS file_id,
+             MIN(xb) AS xmin, MAX(xb) AS xmax,
+             MIN(yb) AS ymin, MAX(yb) AS ymax,
+             COUNT(*) AS n_rows
+      FROM bucketed GROUP BY 1
+    ),
+    lfiles AS (
+      SELECT CAST(FLOOR(xb / {xspan}.0) AS INT) AS file_id,
+             MIN(xb) AS xmin, MAX(xb) AS xmax,
+             MIN(yb) AS ymin, MAX(yb) AS ymax,
+             COUNT(*) AS n_rows
+      FROM bucketed GROUP BY 1
+    ),
+    zscan AS (
+      SELECT COUNT(*) AS files, CAST(SUM(n_rows) AS BIGINT) AS rows_scanned
+      FROM zfiles
+      WHERE xmin <= {_QX[1]} AND xmax >= {_QX[0]}
+        AND ymin <= {_QY[1]} AND ymax >= {_QY[0]}
+    ),
+    lscan AS (
+      SELECT COUNT(*) AS files, CAST(SUM(n_rows) AS BIGINT) AS rows_scanned
+      FROM lfiles
+      WHERE xmin <= {_QX[1]} AND xmax >= {_QX[0]}
+        AND ymin <= {_QY[1]} AND ymax >= {_QY[0]}
+    ),
+    hits AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS matching_rows FROM bucketed
+      WHERE xb BETWEEN {_QX[0]} AND {_QX[1]}
+        AND yb BETWEEN {_QY[0]} AND {_QY[1]}
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM zfiles) AS n_files_z,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lfiles) AS n_files_linear,
+           CAST(z.files AS BIGINT) AS z_files_scanned,
+           z.rows_scanned AS z_rows_scanned,
+           CAST(l.files AS BIGINT) AS linear_files_scanned,
+           l.rows_scanned AS linear_rows_scanned,
+           h.matching_rows
+    FROM zscan z, lscan l, hits h
+    """
+
+
+@query("q9a_zorder_layout", oracle=_zorder_body("duckdb"))
+def q9a_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_zorder_body("spark"))
+
+
+# --------------------------------------------------------------------------
+# q9b — MERGEABLE-SKETCH rollup: hourly HLL user sketches merged into
+# daily distinct-user estimates WITHOUT rescanning the events (Spark's
+# Datasketches hll_sketch_agg / hll_union_agg). The incremental-rollup
+# pattern at 100 TB: the hourly sketches are the stored partial state
+# (bytes per hour, not users per hour), daily/weekly/monthly figures are
+# unions of those partials, and re-aggregation cost is O(hours), not
+# O(events). Estimates are engine-specific, so the oracle checks the
+# INVARIANTS that make the pattern sound, each computed as a value the
+# driver hashes: the merged estimate must equal the direct single-pass
+# daily estimate EXACTLY (sketch-union associativity — the property that
+# lets partials replace rescans), and it must sit within the published
+# HLL error envelope of the exact distinct count (computed engine-side
+# against the exact value, emitted as a flag the oracle replays as
+# literal truth).
+# --------------------------------------------------------------------------
+_HLL_LGK = 12  # Datasketches lgConfigK; relative error ~ 1.04 / sqrt(2^12)
+_HLL_TOL = 0.05  # 3-sigma-ish envelope for the harness corpora
+
+
+def _sketch_rollup_oracle() -> str:
+    return f"""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS INT) AS merged_eq_direct,
+           CAST(1 AS INT) AS within_tolerance
+    FROM events
+    GROUP BY 1
+    """
+
+
+@query("q9b_sketch_rollup", oracle=_sketch_rollup_oracle())
+def q9b_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH hourly AS (
+          SELECT CAST(ts AS DATE) AS day, date_trunc('hour', ts) AS hr,
+                 hll_sketch_agg(user_id, {_HLL_LGK}) AS sk
+          FROM events GROUP BY 1, 2
+        ),
+        merged AS (
+          SELECT day,
+                 hll_sketch_estimate(hll_union_agg(sk)) AS merged_est
+          FROM hourly GROUP BY day
+        ),
+        direct AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 hll_sketch_estimate(hll_sketch_agg(user_id, {_HLL_LGK}))
+                   AS direct_est,
+                 COUNT(DISTINCT user_id) AS exact_users
+          FROM events GROUP BY 1
+        )
+        SELECT d.day,
+               CAST(d.exact_users AS BIGINT) AS exact_users,
+               CAST(m.merged_est = d.direct_est AS INT) AS merged_eq_direct,
+               CAST(ABS(m.merged_est - d.exact_users)
+                    <= {_HLL_TOL} * d.exact_users AS INT) AS within_tolerance
+        FROM direct d JOIN merged m ON m.day = d.day
+        """
+    )

@@ -1002,3 +1002,124 @@ def q79_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_s.rrf_score").alias("rrf_score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q7c — MUTUAL-kNN graph over the embedding corpus, blocked by label:
+# each vector's top-_MKNN_K cosine neighbors WITHIN its label block, kept
+# as a graph edge only when the relation is reciprocal (a in top-k of b
+# AND b in top-k of a). Mutual-kNN is the standard density signal for
+# embedding-space QA (reciprocal neighbors mark genuine cluster cores;
+# one-directional neighbors mark hubness artifacts) and the edge set
+# UMAP/HDBSCAN-style structure analyses start from.
+#
+# Scale: the label is the blocking key — pair work is O(sum b_i^2), never
+# all-pairs, and the b-side salt (q6b's device) spreads each block over
+# the cluster instead of one task per label; at deployment the blocks
+# are the IVF cells q6b assigns (same machinery, corpus-scaled cell
+# count), so block populations stay bounded as the corpus grows. The
+# top-k is a per-vector window over the blocked pairs (shuffle keyed by
+# vec_id), and the reciprocity check is a self-join of the (k*n)-row
+# edge list — never of the pair set. Cosines are plain float on both
+# engines (q6b's contract: rank flips live inside a ~1e-12 sliver this
+# corpus never hits; ties break by partner id identically in both).
+# --------------------------------------------------------------------------
+_MKNN_K = 3
+
+
+def _mutual_knn_oracle() -> str:
+    return f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cos
+      FROM embeddings a JOIN embeddings b
+        ON b.label = a.label AND b.vec_id <> a.vec_id
+    ),
+    edges AS (
+      SELECT va, vb FROM (
+        SELECT va, vb,
+               ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+        FROM pairs
+      ) r WHERE rn <= {_MKNN_K}
+    ),
+    mutual AS (
+      SELECT e1.va AS a, e1.vb AS b
+      FROM edges e1 JOIN edges e2 ON e2.va = e1.vb AND e2.vb = e1.va
+    ),
+    per_vec AS (
+      SELECT a AS vec_id, COUNT(*) AS n_mutual, MIN(b) AS nearest_partner
+      FROM mutual GROUP BY a
+    )
+    SELECT e.vec_id,
+           CAST(COALESCE(p.n_mutual, 0) AS INT) AS n_mutual,
+           p.nearest_partner
+    FROM embeddings e LEFT JOIN per_vec p ON p.vec_id = e.vec_id
+    """
+
+
+@query("q7c_mutual_knn", oracle=_mutual_knn_oracle())
+def q7c_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    cv = emb.select("vec_id", "label", "embedding", norm.alias("nrm"))
+    _SALT = 16
+    a = cv.select(
+        F.col("label"),
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+        F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1))).alias("slice"),
+    )
+    b = cv.select(
+        F.col("label"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        F.pmod(F.col("vec_id"), F.lit(_SALT)).cast("int").alias("slice"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "a_emb", "b_emb", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, ["label", "slice"])
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            "va", "vb", (dot / (F.col("a_nrm") * F.col("b_nrm"))).alias("cos")
+        )
+    )
+    w = Window.partitionBy("va").orderBy(F.desc("cos"), F.asc("vb"))
+    edges = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MKNN_K)
+        .select("va", "vb")
+    )
+    rev = edges.select(F.col("va").alias("rva"), F.col("vb").alias("rvb"))
+    mutual = edges.join(
+        rev, (F.col("rva") == F.col("vb")) & (F.col("rvb") == F.col("va"))
+    ).select(F.col("va").alias("a"), F.col("vb").alias("b"))
+    per_vec = mutual.groupBy("a").agg(
+        F.count(F.lit(1)).cast("int").alias("n_mutual"),
+        F.min("b").alias("nearest_partner"),
+    )
+    return (
+        cv.select("vec_id")
+        .join(per_vec, cv.vec_id == per_vec.a, "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_mutual", F.lit(0)).cast("int").alias("n_mutual"),
+            "nearest_partner",
+        )
+    )

@@ -38,6 +38,7 @@ _OPERATOR_MODULES = [
     "tf_datapipeline_spark.streaming.events_stream",
     "tf_datapipeline_spark.operators.formats",
     "tf_datapipeline_spark.operators.prep",
+    "tf_datapipeline_spark.operators.layout",
 ]
 
 _loaded = False
