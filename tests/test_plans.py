@@ -215,14 +215,31 @@ def test_no_accidental_cross_products(spark):
         "q79_hybrid_rrf",  # inherits q5k's scalars + 1-row query vector
         "q68_semantic_dedup",  # broadcast 16-row centroid dim (cell scoring)
         "qt2_prep_semantic",  # inherits q68's 16-row centroid broadcast
+        # q6e: 3-row VALUES k-index fan-out + 1-row filter-config scalar
+        # CTEs join against the bloom-bits scalar — every NLJ side is a
+        # literal relation bounded by the query text, not the corpus.
+        "q6e_bloom_prescreen",
+        # q1i: 1-row capacity-regime guard scalar (assert_true over the
+        # distinct-key count) cross-joined against the 1-row top-k agg.
+        "q1i_heavy_hitters",
+        # q9a: the bounds/zscan/lscan/hits CTEs are 1-row per-layout
+        # aggregates (min/max/file counts) joined back as scalars; all 14
+        # NLJs carry exactly one row on the broadcast side by construction.
+        "q9a_zorder_layout",
     }
+    # Accumulate violations across ALL queries before asserting — a single
+    # failure must not shadow the rest of the sweep (round-5 lesson: an
+    # in-loop assert left q7c/q9a/q9b unaudited).
+    violations: list[tuple[str, list[str]]] = []
     for name, fn in sorted(registry.queries().items()):
         if "stream" in name:
             continue  # streaming results come from a memory sink scan
         joins = join_strategies(fn(spark, SF_SMOKE))
-        assert "CartesianProduct" not in joins, (name, joins)
-        if "BroadcastNestedLoopJoin" in joins:
-            assert name in nlj_allowed, (name, joins)
+        if "CartesianProduct" in joins:
+            violations.append((name, joins))
+        elif "BroadcastNestedLoopJoin" in joins and name not in nlj_allowed:
+            violations.append((name, joins))
+    assert not violations, violations
 
 
 def test_chunking_has_no_exchange(spark):

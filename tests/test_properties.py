@@ -199,6 +199,26 @@ def test_approx_top_k_certification_regime(spark):
     assert [it["item"] for it in got] == [777777]
 
 
+def test_heavy_hitters_regime_guard_fires(spark):
+    """q1i's capacity guard (round 6): when distinct keys exceed
+    _TOPK_TRACKED the query must fail FAST with a capacity message, not
+    hand the gate an opaque empty-vs-top10 value mismatch. Shrink the
+    capacity under the sf0.001 distinct-part-key count and expect the
+    assert_true to fire with the regime text."""
+    import pytest
+
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark.operators import relational
+
+    orig = relational._TOPK_TRACKED
+    relational._TOPK_TRACKED = 20  # << distinct part keys at any sf
+    try:
+        with pytest.raises(Exception, match="out of exact-oracle regime"):
+            relational.q1i_heavy_hitters(spark, SF_SMOKE).collect()
+    finally:
+        relational._TOPK_TRACKED = orig
+
+
 def test_semantic_dedup_production_twin_agrees(spark):
     """q6b (production shape: corpus-scaled cluster count, numpy cell
     assignment, float cosines) must reach the same keep decisions as the

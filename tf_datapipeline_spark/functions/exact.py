@@ -64,10 +64,17 @@ def sql_dsum(expr: str, scale: int = 4) -> str:
     """SQL twin of :func:`dsum` (same string-routed final conversion).
     CONCAT(x, '') is the decimal->string spelling BOTH dialects accept
     with identical digit output (several queries run one shared SQL
-    string in Spark and DuckDB, so VARCHAR/STRING type names are out)."""
+    string in Spark and DuckDB, so VARCHAR/STRING type names are out).
+
+    TRY_CAST, not CAST, for the final string->double step: DuckDB's
+    CONCAT *skips* NULL arguments, so an empty/all-NULL group produces
+    '' — a hard Conversion Error under CAST — while Spark's CONCAT
+    propagates NULL. TRY_CAST maps both '' (DuckDB) and NULL (Spark) to
+    NULL, matching dsum()'s NULL-on-empty-group behavior on both engines
+    (both dialects support TRY_CAST with identical semantics here)."""
     return (
-        f"CAST(CONCAT(SUM(CAST(({expr}) AS DECIMAL({_PRECISION},{scale}))), "
-        "'') AS DOUBLE)"
+        f"TRY_CAST(CONCAT(SUM(CAST(({expr}) AS "
+        f"DECIMAL({_PRECISION},{scale}))), '') AS DOUBLE)"
     )
 
 

@@ -1403,7 +1403,12 @@ def _bloom_body(dialect: str) -> str:
     from tf_datapipeline_spark.functions.texthash import sql_hash32_from_md5_at
 
     h1 = sql_hash32_from_md5_at("m", 1, dialect)
-    h2 = sql_hash32_from_md5_at("m", 9, dialect)
+    # Standard double-hash stride guard: h2' = 1 + (h2 mod (m-1)) keeps
+    # the probe stride in [1, m-1], never 0 — without it, any key whose
+    # raw h2 is divisible by m collapses all k probe positions onto one
+    # bit (~1/m of the corpus), silently inflating the FP rate. Same
+    # arithmetic in both dialects, so oracle parity is unaffected.
+    h2 = f"(1 + (({sql_hash32_from_md5_at('m', 9, dialect)}) % {_BLOOM_M - 1}))"
     if dialect == "spark":
         def shl(b: str) -> str:
             return f"shiftleft(CAST(1 AS BIGINT), CAST({b} AS INT))"

@@ -889,15 +889,39 @@ def q1i_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tf_datapipeline_spark.catalog import register_views
 
     register_views(spark, sf_dir)
+    # Regime guard (round-6, from the round-5 advisor): the exact-oracle
+    # contract above REQUIRES distinct keys <= _TOPK_TRACKED. Past that,
+    # the sketch legitimately enters certified-only mode and the gate row
+    # would hard-fail with an opaque value mismatch. The 1-row guard
+    # scalar (cross-joined, forced by the WHERE so pruning can't drop it)
+    # makes an out-of-regime run fail FAST with a capacity message
+    # instead. assert_true yields NULL on success, so the predicate keeps
+    # every result row; the exact distinct count is one extra key-shuffle
+    # over the same scan — the documented price of the exact contract.
     return spark.sql(
         """
-        SELECT COUNT(*) AS n_items,
-               CAST(SUM(item.count) AS BIGINT) AS top10_total,
-               CAST(MIN(item.count) AS BIGINT) AS top10_floor
-        FROM (
-          SELECT explode(approx_top_k(l_partkey, 10, {tracked})) AS item
+        WITH guard AS (
+          SELECT assert_true(
+                   COUNT(DISTINCT l_partkey) <= {tracked},
+                   CONCAT('q1i_heavy_hitters out of exact-oracle regime: ',
+                          COUNT(DISTINCT l_partkey),
+                          ' distinct part keys > approx_top_k capacity {tracked}',
+                          ' (Spark hard ceiling); above it the sketch is',
+                          ' certified-only and may return an empty set')
+                 ) AS ok
           FROM lineitem
         )
+        SELECT n_items, top10_total, top10_floor
+        FROM (
+          SELECT COUNT(*) AS n_items,
+                 CAST(SUM(item.count) AS BIGINT) AS top10_total,
+                 CAST(MIN(item.count) AS BIGINT) AS top10_floor
+          FROM (
+            SELECT explode(approx_top_k(l_partkey, 10, {tracked})) AS item
+            FROM lineitem
+          )
+        ) CROSS JOIN guard
+        WHERE guard.ok IS NULL
         """.format(tracked=_TOPK_TRACKED)
     )
 
