@@ -316,8 +316,9 @@ def test_collect_sites_are_bounded_metadata_only():
         ("operators/similarity.py", "q77_knn_ivfpq"),  # k=16 seed-centroid rows
         # <= _COARSE_CAP coarse seed rows — the filter itself caps the row
         # count at a corpus-INDEPENDENT constant (r5 fix; the fine split
-        # happens executor-side). Pinned corpus-independent below.
-        ("operators/dedup.py", "q6b_semantic_dedup_scaled"),
+        # happens executor-side). Pinned corpus-independent below. Moved
+        # to semcells.semantic_cells_df in r6 (shared by q6b and q7c).
+        ("operators/semcells.py", "semantic_cells_df"),
         ("streaming/events_stream.py", "q7a_stream_sq_ingest"),  # 64 dim-range rows
         ("streaming/events_stream.py", "q7b_stream_ivf_assign"),  # <=16 seed rows
     }

@@ -219,6 +219,27 @@ def test_heavy_hitters_regime_guard_fires(spark):
         relational._TOPK_TRACKED = orig
 
 
+def test_semantic_cells_fine_path_oracle_exact(spark):
+    """The hierarchical (coarse x fine) cell path only fires above
+    ~_COARSE_CAP*128 vectors, so the sf0.001/sf0.01 gates never execute
+    it. Force it locally: shrink _COARSE_CAP to 4 (500 vecs -> target 16,
+    k1 4, n_fine 4), rebuild the dynamic-cell oracle with the SAME
+    patched cap, and require q6b hash-exact — this pins the r6 two-pass
+    fine split (narrow-window stride picks + cogrouped block assignment)
+    to the oracle's grp/fcfg/fcent replay at test scale."""
+    from tests.conftest import SF_ORACLE
+    from tests.oracle_harness import compare
+    from tf_datapipeline_spark.operators import dedup, semcells
+
+    orig = semcells._COARSE_CAP
+    semcells._COARSE_CAP = 4
+    try:
+        df = dedup.q6b_semantic_dedup_scaled(spark, SF_ORACLE)
+        compare(df, dedup._q6b_sql(), SF_ORACLE, "q6b-fine-path")
+    finally:
+        semcells._COARSE_CAP = orig
+
+
 def test_semantic_dedup_production_twin_agrees(spark):
     """q6b (production shape: corpus-scaled cluster count, numpy cell
     assignment, float cosines) must reach the same keep decisions as the

@@ -457,3 +457,190 @@ def test_stateless_ingest_antijoin_invariant_to_batch_count(spark, tmp_path):
     got_split, n_batches = drain(split, 1)
     assert n_batches >= 3
     assert got_one == got_split == [0, 3, 5]
+
+
+def _write_ohlc_events(path: str, rows: list[tuple[int, int, str, float]]) -> None:
+    """(ts_us, event_id, event_type, value) -> parquet."""
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array([r[0] for r in rows], type=pa.timestamp("us")),
+                "event_id": pa.array([r[1] for r in rows], type=pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], type=pa.string()),
+                "value": pa.array([r[3] for r in rows], type=pa.float64()),
+            }
+        ),
+        path,
+    )
+
+
+def test_ohlc_bars_invariant_to_batch_count(spark, tmp_path):
+    """q4o's class (r5 verdict task 8): watermarked min_by/max_by OHLC
+    aggregation in append mode must emit identical bars whether the
+    input arrives in one batch or file-by-file. The split is adversarial
+    for the open/close state merge: the same minute's rows land in TWO
+    different files (open arrives in f0, close in f1 — the cross-batch
+    min_by/max_by merge must still pick the struct-key extremes), and f2
+    carries an in-horizon late row for an earlier minute plus the
+    watermark-advancing tail that flushes everything."""
+    minute = 60_000_000
+    hour = 3_600_000_000
+    t0 = (_T0 // minute) * minute  # align to a minute boundary
+    rows = [
+        # minute 0 of type A: open (v=10) and high in f0...
+        (t0 + 1_000_000, 1, "A", 10.0),
+        (t0 + 2_000_000, 2, "A", 50.0),
+        # ... close (v=20) only in f1 — state must merge across batches
+        (t0 + 59_000_000, 3, "A", 20.0),
+        # same-ts tie in minute 1: event_id breaks open deterministically
+        (t0 + minute, 4, "B", 7.0),
+        (t0 + minute, 5, "B", 9.0),
+        # late-but-in-horizon row for minute 0 delivered in f2 (max ts
+        # after f1 is t0+1m; watermark = that - 1h, so minute 0 is
+        # still open and must absorb this new low v=3)
+        (t0 + 30_000_000, 6, "A", 3.0),
+        # watermark-advancing tail: pushes cutoff past minutes 0/1
+        (t0 + 2 * hour, 7, "A", 99.0),
+    ]
+    files = [rows[:3], rows[3:5], rows[5:]]
+    one = str(tmp_path / "ohlc_one")
+    split = str(tmp_path / "ohlc_split")
+    os.makedirs(one), os.makedirs(split)
+    _write_ohlc_events(os.path.join(one, "all.parquet"), rows)
+    now = time.time()
+    for k, slice_rows in enumerate(files):
+        p = os.path.join(split, f"f{k}.parquet")
+        _write_ohlc_events(p, slice_rows)
+        os.utime(p, (now + k, now + k))
+
+    def drain(src_dir: str, max_files: int | None):
+        reader = spark.readStream.schema(
+            "ts timestamp, event_id bigint, event_type string, value double"
+        ).format("parquet")
+        if max_files is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files))
+        sdf = reader.load(src_dir)
+        order_key = F.struct(F.col("ts"), F.col("event_id"))
+        agg = (
+            sdf.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+            .agg(
+                F.min_by("value", order_key).alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.max_by("value", order_key).alias("close"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select(F.col("w.start").alias("ws"), "event_type", "open",
+                    "high", "low", "close", "n_events")
+        )
+        name = f"ohlc_{os.path.basename(src_dir)}_{max_files}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+        return sorted(map(tuple, spark.table(name).collect())), n_batches
+
+    got_one, _ = drain(one, None)
+    got_split, n_batches = drain(split, 1)
+    assert n_batches >= 3, f"expected >=3 data micro-batches, saw {n_batches}"
+    assert got_one == got_split
+    flushed = {(str(r[1]), float(r[2]), float(r[5])) for r in got_one}
+    # minute-0 A bar: open=10 (f0), close=20 (f1), low absorbed late 3.0
+    assert ("A", 10.0, 20.0) in flushed
+    bar0 = [r for r in got_one if r[1] == "A" and r[6] == 4][0]
+    assert float(bar0[4]) == 3.0  # the f2 late row reached the open bar
+    # minute-1 B bar: same-ts tie broken by event_id on both paths
+    assert ("B", 7.0, 9.0) in flushed
+
+
+def test_stateless_stream_twins_invariant_to_batch_count(spark, tmp_path):
+    """q7a/q7b/q8j's class (r5 verdict task 8): stateless stream-static
+    row-local transforms — int8 SQ encode against a static (mn, mx)
+    index, IVF cell assign against static centroids, and the Arrow-
+    batched image decode probe — must be exactly batching-independent.
+    Drive each over one file and over three files with
+    maxFilesPerTrigger=1 and pin equal row sets."""
+    import pandas as pd
+
+    from tf_datapipeline_spark.functions.imagecodec import (
+        decode_image,
+        encode_ppm,
+    )
+    from tf_datapipeline_spark.sources.images import synthetic_pixels
+
+    ids = list(range(9))
+    one = str(tmp_path / "tw_one")
+    split = str(tmp_path / "tw_split")
+    os.makedirs(one), os.makedirs(split)
+
+    def write(path, id_slice):
+        pq.write_table(
+            pa.table({"doc_id": pa.array(id_slice, type=pa.int64())}), path
+        )
+
+    write(os.path.join(one, "all.parquet"), ids)
+    now = time.time()
+    for k in range(3):
+        p = os.path.join(split, f"f{k}.parquet")
+        write(p, ids[3 * k : 3 * k + 3])
+        os.utime(p, (now + k, now + k))
+
+    def transforms(sdf):
+        # q7a shape: per-row arithmetic against static broadcast literals
+        sq = sdf.select(
+            "doc_id",
+            F.expr(
+                "CAST(FLOOR((CAST(doc_id AS DOUBLE) - 0.0) / 8.0 * 255.0 + 0.5)"
+                " AS INT)"
+            ).alias("code"),
+        )
+        # q7b shape: argmax-cosine against two static centroids
+        ivf = sdf.select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN CAST(doc_id AS DOUBLE) / 8.0 >= 0.5 THEN 1 ELSE 0 END"
+            ).alias("cell"),
+        )
+
+        # q8j shape: the REAL Arrow-batched synthetic-pixels -> ppm ->
+        # decode probe
+        def probe(batches):
+            for pdf in batches:
+                out = []
+                for d in pdf["doc_id"]:
+                    arr = decode_image(encode_ppm(synthetic_pixels(int(d))), "ppm")
+                    out.append((int(d), arr.shape[0], arr.shape[1]))
+                yield pd.DataFrame(out, columns=["doc_id", "h", "w"])
+
+        img = sdf.mapInPandas(probe, schema="doc_id bigint, h bigint, w bigint")
+        return {"sq": sq, "ivf": ivf, "img": img}
+
+    def drain(src_dir: str, max_files: int | None, kind: str):
+        reader = spark.readStream.schema("doc_id bigint").format("parquet")
+        if max_files is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files))
+        out = transforms(reader.load(src_dir))[kind]
+        name = f"tw_{kind}_{os.path.basename(src_dir)}_{max_files}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+        return sorted(map(tuple, spark.table(name).collect())), n_batches
+
+    for kind in ("sq", "ivf", "img"):
+        got_one, _ = drain(one, None, kind)
+        got_split, n_batches = drain(split, 1, kind)
+        assert n_batches >= 3, (kind, n_batches)
+        assert got_one == got_split, kind
+        assert len(got_one) == len(ids), kind

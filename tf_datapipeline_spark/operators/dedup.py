@@ -37,6 +37,12 @@ from tf_datapipeline_spark.functions.texthash import (
     sql_hash32_from_md5_dialect,
     sql_minhash_perm,
 )
+from tf_datapipeline_spark.operators.semcells import (  # noqa: F401
+    _COARSE_CAP,  # re-export: tests and docs reference it via dedup
+    _cells_ctes_sql,
+    _semantic_cells_config,
+    semantic_cells_df,
+)
 from tf_datapipeline_spark.registry import query
 
 _K = 8  # MinHash signature length
@@ -1085,108 +1091,11 @@ def q6a_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # agg(count, collect_list(when(...))) would force a full read of the
 # embedding column for every row.
 # --------------------------------------------------------------------------
-_COARSE_CAP = 1024  # corpus-INDEPENDENT ceiling on driver-collected /
-                    # broadcast centroid rows (tests/test_plans.py pins it)
-
-
-def _semantic_cells_config(n_vecs: int) -> tuple[int, int, int]:
-    """(n_cells_target, k1, n_fine_per) for a corpus of ``n_vecs`` vectors.
-
-    target grows with the corpus so per-cell population stays ~128; the
-    coarse level k1 is capped at _COARSE_CAP (the only part the driver
-    ever materializes); n_fine_per = ceil(target / k1) sub-cells are
-    split executor-side inside each coarse group. n_fine_per == 1 (any
-    corpus below ~_COARSE_CAP*128 vectors) degenerates to the flat
-    single-level assignment q68 uses."""
-    target = max(16, n_vecs // 128)
-    k1 = min(target, _COARSE_CAP)
-    n_fine_per = -(-target // k1)
-    return target, k1, n_fine_per
-
-
 def _q6b_sql() -> str:
-    """Dynamic-cell oracle: replays the capped-coarse + in-group-fine
-    hierarchy in pure SQL (cell count computed from COUNT(*), coarse
-    centroids = stride seeds below the cap, fine centroids = every
-    step-th row of the coarse group ordered by vec_id)."""
-    from tf_datapipeline_spark.operators.similarity import _CENTROID_STRIDE
-
-    s = _CENTROID_STRIDE
+    """Dynamic-cell oracle: the shared cell-assignment CTEs plus the
+    in-cell near-dup pair scan and keep-first representative pick."""
     return f"""
-    WITH cfg AS (
-      SELECT GREATEST(16, COUNT(*) // 128) AS target,
-             LEAST(GREATEST(16, COUNT(*) // 128), {_COARSE_CAP}) AS k1
-      FROM embeddings
-    ),
-    cfg2 AS (
-      SELECT target, k1,
-             CAST(CEIL(CAST(target AS DOUBLE) / k1) AS BIGINT) AS n_fine
-      FROM cfg
-    ),
-    cent AS (
-      SELECT CAST((e.vec_id - 8) // {s} AS INTEGER) AS coarse,
-             CAST(e.embedding AS DOUBLE[]) AS cvec
-      FROM embeddings e, cfg2
-      WHERE e.vec_id >= 8 AND (e.vec_id - 8) % {s} = 0
-        AND (e.vec_id - 8) // {s} < cfg2.k1
-    ),
-    csim AS (
-      -- cosine projected BEFORE the argmax window so the n x k1
-      -- intermediate carries (vec_id, coarse, cos) — ~20 bytes/row —
-      -- not the 0.5 KB embedding lists (the inline form spilled ~200 GB
-      -- at the 200k-vector sf10 replica)
-      SELECT v.vec_id, c.coarse,
-             list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cvec)
-               AS cos_c
-      FROM embeddings v CROSS JOIN cent c
-    ),
-    casg AS (
-      SELECT vec_id, coarse FROM (
-        SELECT vec_id, coarse,
-               ROW_NUMBER() OVER (
-                 PARTITION BY vec_id
-                 ORDER BY cos_c DESC, coarse) AS rn
-        FROM csim
-      ) r WHERE rn = 1
-    ),
-    grp AS (
-      SELECT vec_id, coarse,
-             ROW_NUMBER() OVER (PARTITION BY coarse ORDER BY vec_id) - 1
-               AS gpos,
-             COUNT(*) OVER (PARTITION BY coarse) AS gsz
-      FROM casg
-    ),
-    fcfg AS (
-      SELECT g.coarse,
-             LEAST(c.n_fine, g.gsz) AS n_f,
-             GREATEST(1, g.gsz // LEAST(c.n_fine, g.gsz)) AS step
-      FROM (SELECT DISTINCT coarse, gsz FROM grp) g, cfg2 c
-    ),
-    fcent AS (
-      SELECT g.coarse, CAST(g.gpos // f.step AS INTEGER) AS fine,
-             CAST(e.embedding AS DOUBLE[]) AS fvec
-      FROM grp g
-      JOIN fcfg f ON f.coarse = g.coarse
-      JOIN embeddings e ON e.vec_id = g.vec_id
-      WHERE g.gpos % f.step = 0 AND g.gpos // f.step < f.n_f
-    ),
-    fsim AS (
-      SELECT g.vec_id, g.coarse, fc.fine,
-             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), fc.fvec)
-               AS cos_f
-      FROM grp g
-      JOIN embeddings e ON e.vec_id = g.vec_id
-      JOIN fcent fc ON fc.coarse = g.coarse
-    ),
-    cells AS (
-      SELECT vec_id, CAST(coarse * n_fine + fine AS INTEGER) AS cell FROM (
-        SELECT f.vec_id, f.coarse, f.fine, c2.n_fine,
-               ROW_NUMBER() OVER (
-                 PARTITION BY f.vec_id
-                 ORDER BY f.cos_f DESC, f.fine) AS rn
-        FROM fsim f CROSS JOIN cfg2 c2
-      ) r WHERE rn = 1
-    ),
+    WITH {_cells_ctes_sql()},
     pairs AS (
       SELECT ca.vec_id AS vec_a, cb.vec_id AS vec_b
       FROM cells ca
@@ -1208,86 +1117,7 @@ def _q6b_sql() -> str:
 def q6b_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup at deployment scale: corpus-proportional cell count,
     corpus-INDEPENDENT driver footprint (see block comment above)."""
-    from tf_datapipeline_spark.operators.similarity import _CENTROID_STRIDE
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    n_vecs = emb.count()  # parquet-footer metadata count: config scalar only
-    _target, k1, n_fine = _semantic_cells_config(n_vecs)
-
-    s = _CENTROID_STRIDE
-    cid = F.floor((F.col("vec_id") - 8) / s)
-    cent_rows = (
-        emb.filter(
-            (F.col("vec_id") >= 8)
-            & ((F.col("vec_id") - 8) % s == 0)
-            & (cid < k1)
-        )
-        .select(cid.cast("int").alias("coarse"), "embedding")
-        .collect()
-    )  # <= _COARSE_CAP rows by the filter itself — corpus-independent
-    cent_rows.sort(key=lambda r: r.coarse)
-    cell_ids = np.array([r.coarse for r in cent_rows], dtype=np.int32)
-    cents = np.stack(
-        [np.asarray(r.embedding, dtype=np.float64) for r in cent_rows]
-    )
-    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-    bc = spark.sparkContext.broadcast((cell_ids, cents))
-
-    @F.pandas_udf("int")
-    def coarse_udf(emb_col: pd.Series) -> pd.Series:
-        ids, m = bc.value
-        mat = np.stack(emb_col.to_numpy()).astype(np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        return pd.Series(ids[np.argmax(mat @ m.T, axis=1)])
-
-    norm = F.sqrt(
-        F.aggregate(
-            F.col("embedding"),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
-    cv0 = emb.select(
-        "vec_id",
-        "embedding",
-        norm.alias("nrm"),
-        coarse_udf("embedding").alias("coarse"),
-    )
-    if n_fine == 1:
-        cv = cv0.select(
-            "vec_id", "embedding", "nrm", F.col("coarse").alias("cell")
-        )
-    else:
-        # Executor-side residual split: each coarse group picks its own
-        # stride-sample fine centroids (rows 0, step, 2*step, ... by
-        # vec_id order) and assigns by local matmul — the driver never
-        # sees these centroids, and the oracle's fcent CTE replays the
-        # identical picks.
-        def fine_split(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-            g = len(pdf)
-            n_f = min(n_fine, g)
-            step = max(1, g // n_f)
-            pos = [i * step for i in range(n_f)]
-            fmat = np.stack(
-                pdf["embedding"].iloc[pos].to_numpy()
-            ).astype(np.float64)
-            fmat /= np.maximum(
-                np.linalg.norm(fmat, axis=1, keepdims=True), 1e-12
-            )
-            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            mat /= np.maximum(
-                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
-            )
-            fine = np.argmax(mat @ fmat.T, axis=1).astype(np.int64)
-            coarse = int(pdf["coarse"].iloc[0])
-            out = pdf[["vec_id", "embedding", "nrm"]].copy()
-            out["cell"] = (coarse * n_fine + fine).astype(np.int32)
-            return out
-
-        cv = cv0.groupBy("coarse").applyInPandas(
-            fine_split, "vec_id long, embedding array<float>, nrm double, cell int"
-        )
+    cv = semantic_cells_df(spark, sf_dir)
     _SALT = 16
     a = cv.select(
         F.col("cell"),

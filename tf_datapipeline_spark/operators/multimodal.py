@@ -779,6 +779,14 @@ def q82g_augment_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
 # literals are a value-level oracle at any scale. Floats are embedded as
 # quoted strings cast to DOUBLE (strtod round-trip is exact; a bare SQL
 # literal would parse as DECIMAL and could lose the last ulp).
+#
+# Golden provenance: these literals were GENERATED by this
+# implementation (frozen round 5) — they pin behavior against future
+# regressions, they do not independently verify it. The independent
+# check is tests/test_eval_independent.py (round 6): hand-derived
+# closed-form bilinear literals + a scalar spec-loop derivation of the
+# full /255 -> central-slice -> bilinear chain, sharing no code with
+# functions/imageops.py — the q83g analog of tests/jpeg_independent.py.
 # --------------------------------------------------------------------------
 _EVAL_SIZES = ((32, 32), (24, 20))
 _EVAL_GOLDEN_ROWS: tuple[tuple, ...] = (

@@ -62,15 +62,24 @@ GATE_ORDER = [
     "q01_pricing_summary",
     "q05_region_revenue",
     "q1w_approx_quantiles",
-    "q1i_heavy_hitters",
+    # Round-6 rotation: q1i -> q9b (both sketch-class — approx_top_k's
+    # error-bound oracle stays evidenced in-gate by q1w's quantile
+    # sketch, and q1i keeps its local oracle check plus the new runtime
+    # capacity-regime guard; q9b's mergeable-HLL hourly->daily rollup was
+    # a round-5 addition with no driver row).
+    "q9b_sketch_rollup",
     # Round-5 rotation: q32 -> q1y (CDC snapshot diff, late-round-4
     # relational surface previously behind the window; q32's exact-head
     # split numbering stays evidenced in-gate by qp1's composite and
     # locally oracle-checked).
     "q1y_snapshot_diff",
-    # window/analytic
+    # window/analytic. Round-6 rotation: q22 -> q9a (top-k-per-group's
+    # rank-window machinery stays evidenced in-gate by q21's running
+    # windows and the per-vector rank windows inside q7c/q70-class rows;
+    # q9a's z-order file-skipping arithmetic was a round-5 addition with
+    # no driver row; q22 stays locally oracle-checked).
     "q21_window_running",
-    "q22_topk_per_group",
+    "q9a_zorder_layout",
     # reference pipeline surface (composites + exact-numbering ops)
     # (q36 shard math is subsumed by q84's sharded-write row)
     "qp1_feed_pipeline",
@@ -158,7 +167,14 @@ GATE_ORDER = [
     # q63+q6a's band machinery and q65 stays locally checked.
     "q6a_incremental_dedup",
     "q6b_semantic_dedup_scaled",
-    "q68_semantic_dedup",
+    # Round-6 rotation: q68 -> q6e (the Bloom-filter frontier pre-screen,
+    # a round-5 addition with no driver row — and the round-6 stride-
+    # guard fix deserves gate evidence). The semantic-dedup class stays
+    # evidenced in-gate by q6b, whose production shape supersedes q68's
+    # frozen-16-cell oracle twin; q68 stays registered + locally
+    # oracle-checked, and keep-decision equality with q6b at shared
+    # scales stays pinned in tests/test_properties.py.
+    "q6e_bloom_prescreen",
     "q67_dedup_clusters",
     # similarity search (ANN variants q71/q73 are rows-only by design —
     # recall-tested behind the window)
@@ -166,7 +182,12 @@ GATE_ORDER = [
     # evidences centroid recompute in-gate; hybrid RRF fusion adds the
     # BM25 arm, the exact-decimal cosine arm, and the cross-modal
     # doc_id=vec_id join in one row; q72 stays locally checked).
-    "q70_knn_bruteforce",
+    # Round-6 rotation: q70 -> q7c (mutual-kNN, round-5 addition with no
+    # driver row — and round 6 rebased its blocking from label onto the
+    # corpus-scaled semantic cells, which deserves gate evidence). The
+    # brute-force-cosine class stays evidenced in-gate by q79's exact-
+    # decimal cosine arm; q70 stays locally oracle-checked.
+    "q7c_mutual_knn",
     "q79_hybrid_rrf",
     "q74_kmeans_step",
     # multimodal. Late-round-4 rotation: q81 -> q8i (pixel-exact decode
