@@ -401,15 +401,64 @@ def test_zorder_layout_prunes_both_dimensions(spark):
     assert row.matching_rows > 0
 
 
-def test_sketch_rollup_merge_equals_direct(spark):
-    """Sketch-union associativity is the property that lets stored hourly
-    partials replace event rescans: the merged-daily estimate must equal
-    the direct-daily estimate exactly, and sit inside the HLL error
-    envelope of the exact count, for every day."""
+def test_sketch_rollup_envelope(spark):
+    """The q9b contract after the round-6 sf1 finding: both the merged
+    (union-of-hourly) and direct daily estimates sit inside the HLL
+    error envelope of the exact count, for every day. (The old
+    merged==DIRECT assertion was a sparse-regime artifact; no
+    estimate-level equality survives the transition band — see the q9b
+    regime note and the probe test below.)"""
     from tests.conftest import SF_ORACLE
     from tf_datapipeline_spark.operators.layout import q9b_sketch_rollup
 
     rows = q9b_sketch_rollup(spark, SF_ORACLE).collect()
     assert len(rows) > 0
-    assert all(r.merged_eq_direct == 1 for r in rows)
-    assert all(r.within_tolerance == 1 for r in rows)
+    assert all(r.merged_within_tol == 1 for r in rows)
+    assert all(r.direct_within_tol == 1 for r in rows)
+
+
+def test_sketch_union_no_exact_invariant_in_transition(spark):
+    """The round-6 sf1 finding, pinned at test scale: replicate the sf1
+    day shape (1338 distinct users over 24 hourly sketches — past the
+    lgK=12 sparse band where estimates are exact counts) and document
+    that NO estimate-level equality survives there: merged vs direct
+    (HIP vs composite estimator), merged vs 6-hour-regrouped union, and
+    even union idempotence (duplicated inputs) all diverge — while
+    every estimate stays inside the error envelope, which is the
+    contract q9b certifies. If a future engine version makes these
+    equal again, this fails and the q9b contract should be revisited."""
+    df = spark.range(0, 1338).selectExpr(
+        "id AS user_id", "CAST(id % 24 AS INT) AS hr"
+    )
+    row = spark.sql(
+        """
+        WITH hourly AS (
+          SELECT hr, hll_sketch_agg(user_id, 12) AS sk FROM {df} GROUP BY hr
+        ),
+        merged AS (
+          SELECT hll_sketch_estimate(hll_union_agg(sk)) AS m FROM hourly
+        ),
+        regrouped AS (
+          SELECT hll_sketch_estimate(hll_union_agg(sk6)) AS r FROM (
+            SELECT FLOOR(hr / 6) AS h6, hll_union_agg(sk) AS sk6
+            FROM hourly GROUP BY 1
+          )
+        ),
+        idem AS (
+          SELECT hll_sketch_estimate(hll_union_agg(sk)) AS i FROM (
+            SELECT sk FROM hourly UNION ALL SELECT sk FROM hourly
+          )
+        ),
+        direct AS (
+          SELECT hll_sketch_estimate(hll_sketch_agg(user_id, 12)) AS d
+          FROM {df}
+        )
+        SELECT m, r, i, d FROM merged, regrouped, idem, direct
+        """,
+        df=df,
+    ).collect()[0]
+    # every equality candidate breaks in the transition band
+    assert row.m != row.d or row.m != row.r or row.m != row.i, row
+    # ... but the envelope holds for every estimator
+    for est in (row.m, row.r, row.i, row.d):
+        assert abs(est - 1338) <= 0.05 * 1338, row

@@ -170,13 +170,26 @@ def q9a_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (bytes per hour, not users per hour), daily/weekly/monthly figures are
 # unions of those partials, and re-aggregation cost is O(hours), not
 # O(events). Estimates are engine-specific, so the oracle checks the
-# INVARIANTS that make the pattern sound, each computed as a value the
-# driver hashes: the merged estimate must equal the direct single-pass
-# daily estimate EXACTLY (sketch-union associativity — the property that
-# lets partials replace rescans), and it must sit within the published
-# HLL error envelope of the exact distinct count (computed engine-side
-# against the exact value, emitted as a flag the oracle replays as
-# literal truth).
+# INVARIANT that makes the pattern sound, computed as values the driver
+# hashes: both the merged (union-of-hourly) estimate and a direct
+# single-pass sketch must sit inside the published HLL error envelope
+# of the exact distinct count (computed engine-side, emitted as flags
+# the oracle replays as literal truth).
+# REGIME NOTE (found by the round-6 sf1 parity sweep): round 5 asserted
+# merged == DIRECT exactly. That held at sf0.1 only because every daily
+# sketch stayed in sparse (coupon-list) mode, where estimates are exact
+# counts. Past that regime (~1.3k+ distinct at lgK=12 — every sf1 day:
+# 291/291 diverged), NO estimate-level equality survives: direct uses
+# the insertion-history-dependent HIP accumulator that unions cannot
+# merge, and a measured probe (tests/test_properties.py::
+# test_sketch_union_no_exact_invariant_in_transition) shows the union
+# estimate in the sparse->dense transition band differs even under
+# input DUPLICATION (idempotence) and 6-hour REGROUPING — the union
+# gadget keeps its own HIP history over the input multiset. The honest
+# mergeability contract — what this query now certifies — is the error
+# envelope at every grain, which is exactly what a production rollup
+# promises its consumers. (At the extremes the estimators coincide
+# again: exact counts below ~100, saturated composite at 60k.)
 # --------------------------------------------------------------------------
 _HLL_LGK = 12  # Datasketches lgConfigK; relative error ~ 1.04 / sqrt(2^12)
 _HLL_TOL = 0.05  # 3-sigma-ish envelope for the harness corpora
@@ -186,8 +199,8 @@ def _sketch_rollup_oracle() -> str:
     return f"""
     SELECT CAST(ts AS DATE) AS day,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           CAST(1 AS INT) AS merged_eq_direct,
-           CAST(1 AS INT) AS within_tolerance
+           CAST(1 AS INT) AS merged_within_tol,
+           CAST(1 AS INT) AS direct_within_tol
     FROM events
     GROUP BY 1
     """
@@ -217,9 +230,11 @@ def q9b_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT d.day,
                CAST(d.exact_users AS BIGINT) AS exact_users,
-               CAST(m.merged_est = d.direct_est AS INT) AS merged_eq_direct,
                CAST(ABS(m.merged_est - d.exact_users)
-                    <= {_HLL_TOL} * d.exact_users AS INT) AS within_tolerance
-        FROM direct d JOIN merged m ON m.day = d.day
+                    <= {_HLL_TOL} * d.exact_users AS INT) AS merged_within_tol,
+               CAST(ABS(d.direct_est - d.exact_users)
+                    <= {_HLL_TOL} * d.exact_users AS INT) AS direct_within_tol
+        FROM direct d
+        JOIN merged m ON m.day = d.day
         """
     )
