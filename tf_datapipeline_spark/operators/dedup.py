@@ -1293,3 +1293,114 @@ def _bloom_body(dialect: str) -> str:
 def q6e_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_bloom_body("spark"))
+
+
+# --------------------------------------------------------------------------
+# q6f — SUB-DOCUMENT (chunk-level) exact dedup, the C4-style "line
+# dedup" pass: documents are split into non-overlapping _CHUNK_W-word
+# spans, every span that re-occurs ANYWHERE in the corpus keeps only its
+# first instance (ordered by doc_id, then position), and each document
+# is re-assembled from its surviving spans. This is the dedup
+# granularity the document-level family (q60-q6e) cannot see:
+# boilerplate shared across otherwise-distinct pages.
+#
+# Scale (100 TB): the duplicate-detection shuffle carries ONLY
+# (md5(chunk), doc_id, chunk_idx) — ~48 B/span regardless of span text
+# — partitioned by the span digest (uniform by construction, no skew).
+# The survivor positions collapse to one sorted int array per doc
+# (map-side partial), and the reassembly joins that narrow array back
+# to `documents`, re-deriving span text from the doc's own words
+# map-side. Document text therefore crosses the network exactly once
+# (the doc_id join), never through the span-hash shuffle. The global
+# first-instance rank is a ROW_NUMBER over the span digest — one
+# window, no self-join, no candidate blowup: cost is linear in total
+# span count.
+#
+# Determinism: spans are array-slice arithmetic (no ordered aggregation
+# until the per-doc int array, which is explicitly sorted), and the
+# kept-text digest is md5 over the ' '-joined surviving spans, so the
+# whole pass — including reassembly — is hash-exact against DuckDB.
+# A fully-duplicated document (exact copy, ~0.16% of this corpus)
+# keeps zero spans: both engines emit md5('') via an explicit
+# empty-array coalesce.
+# --------------------------------------------------------------------------
+_CHUNK_W = 8  # words per span
+
+
+def _chunk_dedup_spark() -> str:
+    w = _CHUNK_W
+    return f"""
+    WITH words AS (
+      SELECT doc_id, split(text, ' ') AS w FROM documents
+    ),
+    narrow AS (
+      SELECT doc_id, i AS chunk_idx,
+             md5(array_join(slice(w, i * {w} + 1, {w}), ' ')) AS chunk_hash
+      FROM words
+      LATERAL VIEW explode(
+        sequence(0, CAST(CEIL(size(w) / {w}.0) AS INT) - 1)) t AS i
+    ),
+    flags AS (
+      SELECT doc_id, chunk_idx,
+             ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                                ORDER BY doc_id, chunk_idx) AS rnk
+      FROM narrow
+    ),
+    keptidx AS (
+      SELECT doc_id,
+             COUNT(*) AS n_chunks,
+             CAST(COUNT(CASE WHEN rnk > 1 THEN 1 END) AS BIGINT) AS n_removed,
+             array_sort(collect_list(CASE WHEN rnk = 1 THEN chunk_idx END))
+               AS kept
+      FROM flags GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(k.n_chunks AS BIGINT) AS n_chunks, k.n_removed,
+           md5(array_join(transform(k.kept,
+             i -> array_join(slice(split(d.text, ' '), i * {w} + 1, {w}), ' ')),
+             ' ')) AS kept_hash
+    FROM documents d JOIN keptidx k ON d.doc_id = k.doc_id
+    """
+
+
+def _chunk_dedup_duckdb() -> str:
+    w = _CHUNK_W
+    return f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    narrow AS (
+      SELECT doc_id, i AS chunk_idx,
+             md5(array_to_string(list_slice(w, i * {w} + 1, i * {w} + {w}), ' '))
+               AS chunk_hash
+      FROM words,
+           UNNEST(generate_series(0,
+             CAST(CEIL(length(w) / {w}.0) AS INT) - 1)) AS t(i)
+    ),
+    flags AS (
+      SELECT doc_id, chunk_idx,
+             ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                                ORDER BY doc_id, chunk_idx) AS rnk
+      FROM narrow
+    ),
+    keptidx AS (
+      SELECT doc_id,
+             COUNT(*) AS n_chunks,
+             CAST(COUNT(CASE WHEN rnk > 1 THEN 1 END) AS BIGINT) AS n_removed,
+             list_sort(COALESCE(list(chunk_idx) FILTER (WHERE rnk = 1), []))
+               AS kept
+      FROM flags GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(k.n_chunks AS BIGINT) AS n_chunks, k.n_removed,
+           md5(COALESCE(array_to_string(list_transform(k.kept,
+             i -> array_to_string(
+               list_slice(string_split(d.text, ' '), i * {w} + 1, i * {w} + {w}),
+               ' ')),
+             ' '), '')) AS kept_hash
+    FROM documents d JOIN keptidx k ON d.doc_id = k.doc_id
+    """
+
+
+@query("q6f_chunk_dedup", oracle=_chunk_dedup_duckdb())
+def q6f_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_chunk_dedup_spark())

@@ -238,3 +238,63 @@ def q9b_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN merged m ON m.day = d.day
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q9c — SMALL-FILE COMPACTION planner (OPTIMIZE-style bin packing). The
+# other side of the layout coin from q9a: a streaming/hourly ingest
+# leaves one file per (day, hour) — 8,760 files/year/table of wildly
+# uneven size — and metadata pressure + per-file open cost make small
+# files the classic 100 TB operational wound. The planner treats the
+# hourly partition manifest as the file list (f_rows per (day, hour),
+# plus a byte proxy from the payload width), then assigns files to
+# output groups by SEQUENTIAL bin packing: a running size sum per day
+# (window, ROWS UNBOUNDED PRECEDING .. 1 PRECEDING), output group =
+# floor(cum_before / _COMPACT_TARGET). That is the deterministic
+# coalesce rule Spark's AQE partition coalescing and Delta OPTIMIZE's
+# bin packer both approximate — contiguous-in-sort-order packing keeps
+# each output file's hour range minimal, so time-range file skipping
+# (the q9a stats) survives compaction.
+#
+# Scale: the manifest is one row per FILE (metadata, ~10^5 rows for a
+# year of hourly partitions), derived by one partial-aggregated
+# groupBy over events; the window runs per-day over that tiny
+# manifest. The plan's execution at deployment is a partition-local
+# rewrite (each output group reads only its own input files — no
+# shuffle of table data at all). Every number here is integer
+# arithmetic — hash-exact on both engines.
+# --------------------------------------------------------------------------
+_COMPACT_TARGET = 1000  # rows per compacted output file
+
+
+def _compaction_body(dialect: str) -> str:
+    hr = "hour(ts)" if dialect == "spark" else "EXTRACT(hour FROM ts)"
+    return f"""
+    WITH files AS (
+      SELECT CAST(ts AS DATE) AS day, CAST({hr} AS INT) AS hr,
+             COUNT(*) AS f_rows,
+             CAST(SUM(LENGTH(props) + 64) AS BIGINT) AS f_bytes
+      FROM events GROUP BY 1, 2
+    ),
+    packed AS (
+      SELECT day, hr, f_rows, f_bytes,
+             COALESCE(SUM(f_rows) OVER (PARTITION BY day ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM files
+    )
+    SELECT day,
+           CAST(FLOOR(cum_before / {_COMPACT_TARGET}.0) AS INT) AS out_file,
+           CAST(COUNT(*) AS BIGINT) AS n_input_files,
+           CAST(SUM(f_rows) AS BIGINT) AS rows_out,
+           CAST(SUM(f_bytes) AS BIGINT) AS bytes_out,
+           MIN(hr) AS min_hour, MAX(hr) AS max_hour
+    FROM packed
+    GROUP BY 1, 2
+    """
+
+
+@query("q9c_compaction_plan", oracle=_compaction_body("duckdb"))
+def q9c_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_compaction_body("spark"))

@@ -139,7 +139,12 @@ GATE_ORDER = [
     # evidences, plus the ranked-retrieval class on top; q58 stays
     # registered + locally oracle-checked).
     "qt1_prep_pipeline",
-    "q55_tfidf",
+    # Round-6 rotation: q55 -> q9c (small-file compaction planner — the
+    # OPTIMIZE-style sequential bin packer, new layout-family surface;
+    # tf-idf's df/posting machinery stays evidenced in-gate by q5k's
+    # BM25 row, which computes the same per-term document frequencies
+    # plus the ranked retrieval on top; q55 stays locally oracle-checked).
+    "q9c_compaction_plan",
     "q5g_doc_chunking",
     # Round-5 rotation: q5h -> q5l (CCNet-style perplexity buckets,
     # late-round-4 quality surface; winnowing's windowed-min fingerprint
@@ -156,7 +161,13 @@ GATE_ORDER = [
     # cluster assignment + keep-first representative on top — strictly
     # stronger semantics, same decimal-exact oracle machinery).
     # q61/q66 stay registered + locally oracle-checked.
-    "q69_substring_dup",
+    # Round-6 rotation: q69 -> q6f (chunk-level C4-style sub-document
+    # dedup — a NEW dedup granularity: global first-instance span
+    # survival + per-doc reassembly, hash-exact through the rebuilt
+    # text digest. q69's rolling-hash dup-span machinery stays locally
+    # oracle-checked; the substring-coverage class it evidenced is
+    # adjacent to q6f's span dedup, which the driver now value-checks).
+    "q6f_chunk_dedup",
     "q63_minhash_lsh_pairs",
     # Round-5 rotation: q64 -> q6a (incremental delta-vs-corpus dedup,
     # the production crawl shape, O(delta) cost) and q65 -> q6b (the
