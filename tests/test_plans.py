@@ -226,6 +226,11 @@ def test_no_accidental_cross_products(spark):
         # aggregates (min/max/file counts) joined back as scalars; all 14
         # NLJs carry exactly one row on the broadcast side by construction.
         "q9a_zorder_layout",
+        # q9d: 1-row COUNT(*) scalar (adaptive sample threshold), a 15-row
+        # boundary-index fan-out over the bounded sample, and the 1-row
+        # boundary-array broadcast — every NLJ side is O(B) by
+        # construction, independent of corpus size.
+        "q9d_range_partition_plan",
     }
     # Accumulate violations across ALL queries before asserting — a single
     # failure must not shadow the rest of the sweep (round-5 lesson: an

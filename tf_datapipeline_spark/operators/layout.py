@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from tf_datapipeline_spark.catalog import register_views
+from tf_datapipeline_spark.functions.texthash import sql_hash32_dialect
 from tf_datapipeline_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -298,3 +299,81 @@ def _compaction_body(dialect: str) -> str:
 def q9c_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_compaction_body("spark"))
+
+
+# --------------------------------------------------------------------------
+# q9d — RANGE-PARTITION planner: the repartitionByRange machinery made
+# explicit and value-checked. Balanced range partitioning is how a
+# 100 TB writer gets same-sized sorted output files from a skewed
+# continuous key (and how Spark's RangePartitioner / range-shuffle AQE
+# plan their split points): (1) draw a small deterministic sample of
+# the key, (2) take B-1 equi-rank order statistics of the sample as
+# split points, (3) assign every row map-side by counting boundaries
+# <= key (a binary search over a broadcast ~B-value array — here an
+# array-lambda filter, O(B) per row, no join with table data), (4)
+# audit the balance: per-bucket row counts, key ranges, and the skew
+# ratio (bucket share x B; 1.0 = perfectly balanced).
+#
+# Scale: the sample is a narrow hash filter (the q3c cross-engine md5
+# device, so BOTH engines keep the same rows — no RNG) whose threshold
+# ADAPTS to corpus size: keep rows with hash32 < ceil(TARGET * 2^32 /
+# count), so the sample is ~_RP_TARGET rows at ANY corpus size — the
+# bounded-sample-count trade RangePartitioner itself makes (a fixed
+# RATE would push 2 TB through the rank window at 100 TB; a fixed
+# COUNT keeps it at ~4096 rows forever, at the cost of ~B/sqrt(TARGET)
+# ≈ 6% expected balance error). The count is one metadata-cheap scalar
+# (1-row cross join); the rank window runs over the bounded sample
+# only; boundaries are a B-1-row aggregate collapsed to ONE broadcast
+# array row; assignment + the final agg are one partial-aggregated
+# map-side pass over the table. Nothing is proportional to table size
+# except the scan itself. Ties on a boundary value go to the upper
+# bucket on both engines (x <= val), so the plan is deterministic and
+# the whole audit — counts, ranges, IEEE skew ratios — is hash-exact.
+# --------------------------------------------------------------------------
+_RP_BUCKETS = 16
+_RP_TARGET = 4096  # expected sample rows, corpus-size-independent
+
+
+def _range_partition_body(dialect: str) -> str:
+    b = _RP_BUCKETS
+    ctype = "STRING" if dialect == "spark" else "VARCHAR"
+    h = sql_hash32_dialect(f"'rp-' || CAST(o_orderkey AS {ctype})", dialect)
+    if dialect == "spark":
+        idx = f"SELECT explode(sequence(1, {b - 1})) AS i"
+        arr = "array_sort(collect_list(val))"
+        nle = "size(filter(bs, x -> x <= val))"
+    else:
+        idx = f"SELECT i FROM generate_series(1, {b - 1}) AS t(i)"
+        arr = "list_sort(list(val))"
+        nle = "len(list_filter(bs, x -> x <= val))"
+    return f"""
+    WITH stats AS (SELECT COUNT(*) AS cnt FROM orders),
+    sample AS (
+      SELECT o_totalprice AS val, o_orderkey AS k FROM orders, stats
+      WHERE {h} < CAST(CEIL({_RP_TARGET}.0 * 4294967296 / cnt) AS BIGINT)
+    ),
+    ranked AS (
+      SELECT val, ROW_NUMBER() OVER (ORDER BY val, k) AS rn,
+             COUNT(*) OVER () AS n
+      FROM sample
+    ),
+    bounds AS (
+      SELECT r.val FROM ranked r
+      JOIN ({idx}) ix ON r.rn = CAST(CEIL(ix.i * r.n / {b}.0) AS BIGINT)
+    ),
+    barr AS (SELECT {arr} AS bs FROM bounds),
+    assigned AS (
+      SELECT CAST({nle} AS INT) AS bucket, val
+      FROM (SELECT o_totalprice AS val FROM orders) o, barr
+    )
+    SELECT bucket, COUNT(*) AS n_rows,
+           MIN(val) AS key_min, MAX(val) AS key_max,
+           CAST(COUNT(*) AS DOUBLE) * {b} / SUM(COUNT(*)) OVER () AS skew_ratio
+    FROM assigned GROUP BY bucket
+    """
+
+
+@query("q9d_range_partition_plan", oracle=_range_partition_body("duckdb"))
+def q9d_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_range_partition_body("spark"))

@@ -92,7 +92,12 @@ GATE_ORDER = [
     # q4f -> q4i (time-RANGE trailing-hour frame, new operator class).
     # q40/q4a/q4f stay registered + locally oracle-checked.
     "q4d_multigrain_rollup",
-    "q42_sessionization",
+    # Round-6 rotation: q42 -> q9d (range-partition planner — the
+    # repartitionByRange machinery with a corpus-size-adaptive bounded
+    # sample, new layout-family surface; session-window semantics stay
+    # evidenced in-gate by q4q's append-mode streaming sessionization,
+    # the strictly subtler twin, and q42 stays locally oracle-checked).
+    "q9d_range_partition_plan",
     "q4y_gap_fill",
     "q4g_cogroup_asof",
     "q4r_range_join",
