@@ -417,6 +417,32 @@ def test_sketch_rollup_envelope(spark):
     assert all(r.direct_within_tol == 1 for r in rows)
 
 
+def test_kmv_rollup_exact_mergeability_nonvacuous(spark):
+    """q9e's headline claim is that bottom-k, unlike HLL (q9b), is
+    EXACTLY mergeable: merged-of-hourly == direct daily sketch element
+    for element. The oracle already hash-checks the fingerprints; this
+    pins that the certification is NON-VACUOUS at test scale — sketches
+    genuinely truncate (n_events > sketch_k == _KMV_K on some day, so
+    merging really drops hourly survivors) and the equality still holds
+    on every day, and that the rank-based estimates are real values
+    bracketed by the day's data range."""
+    from tests.conftest import SF_ORACLE
+    from tf_datapipeline_spark.operators.layout import (
+        _KMV_K,
+        q9e_kmv_quantile_rollup,
+    )
+
+    rows = q9e_kmv_quantile_rollup(spark, SF_ORACLE).collect()
+    assert len(rows) > 0
+    assert all(r.merged_eq_direct == 1 for r in rows)
+    assert any(
+        r.sketch_k == _KMV_K and r.n_events > r.sketch_k for r in rows
+    ), "sketch never truncated — mergeability certification is vacuous"
+    for r in rows:
+        assert r.p50_est <= r.p90_est or r.sketch_k < 10
+        assert r.p50_exact <= r.p90_exact
+
+
 def test_sketch_union_no_exact_invariant_in_transition(spark):
     """The round-6 sf1 finding, pinned at test scale: replicate the sf1
     day shape (1338 distinct users over 24 hourly sketches — past the

@@ -377,3 +377,131 @@ def _range_partition_body(dialect: str) -> str:
 def q9d_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_range_partition_body("spark"))
+
+
+# --------------------------------------------------------------------------
+# q9e — EXACTLY-MERGEABLE quantile-sketch rollup: hourly KMV (k-minimum-
+# values / bottom-k) partials merged into daily quantile estimates
+# WITHOUT rescanning the events. The deliberate contrast with q9b: HLL's
+# HIP estimator broke every estimate-level equality past the sparse band
+# (q9b had to retreat to an error-envelope contract), while bottom-k is
+# a TRULY mergeable summary — bottomk(A ∪ B) == bottomk(bottomk(A) ∪
+# bottomk(B)) as a set identity, so merged-of-hourly equals the direct
+# daily sketch ELEMENT FOR ELEMENT, and this query certifies that via
+# md5 fingerprints of both sketches (plus the resulting estimates as raw
+# hashed values, not flags). The sketch is a uniform k-sample of the day
+# (rank by the q3c deterministic md5 hash of the unique event_id — no
+# RNG, both engines keep identical elements), so the value at rank
+# ceil(q*k) of the sketch estimates the q-quantile with ~1/sqrt(k)
+# error; the exact discrete quantile (rank ceil(q*n) under the same
+# (value, event_id) tie order) rides along for comparison.
+#
+# Scale: the production arm is hourly → merged — the stored partial is
+# ≤ _KMV_K rows/hour (~1.5 KB), the daily merge ranks 24·k rows/day,
+# and re-aggregation to any coarser grain is O(hours), never O(events);
+# the hourly pass itself is one window per (day, hour) partition, i.e.
+# partition-local work under hour-partitioned storage. The direct
+# sketch and the exact quantiles are the CERTIFICATION arms only (they
+# rescan events; a production rollup would not run them), which is why
+# the narrow (day, hr, hash, id, value) projection is materialized once
+# per session — the q9a memo pattern — instead of being re-derived per
+# consumer under Spark CTE inlining. Quantile ranks use integer-exact
+# ceil arithmetic (FLOOR((kk+1)/2.0), FLOOR((9kk+9)/10.0)) so neither
+# engine's decimal-vs-double literal typing can shift a rank boundary.
+# --------------------------------------------------------------------------
+_KMV_K = 32  # bottom-k sketch size; quantile error ~ 1/sqrt(k)
+
+_KMV_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _kmv_base_sql(dialect: str) -> str:
+    ctype = "STRING" if dialect == "spark" else "VARCHAR"
+    h = sql_hash32_dialect(f"'kmv-' || CAST(event_id AS {ctype})", dialect)
+    return f"""
+      SELECT CAST(ts AS DATE) AS day, date_trunc('hour', ts) AS hr,
+             value AS v, event_id AS ek, {h} AS hv
+      FROM events
+    """
+
+
+def _materialize_kmv_base(spark: SparkSession, sf_dir: str) -> None:
+    register_views(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _KMV_MEMO:
+        _KMV_MEMO[key] = spark.sql(_kmv_base_sql("spark")).localCheckpoint()
+    _KMV_MEMO[key].createOrReplaceTempView("kmv_base_mat")
+
+
+def _kmv_rollup_body(dialect: str) -> str:
+    k = _KMV_K
+    ctype = "STRING" if dialect == "spark" else "VARCHAR"
+    elem = f"CAST(hv AS {ctype}) || ':' || CAST(ek AS {ctype})"
+    if dialect == "spark":
+        base = "SELECT * FROM kmv_base_mat"
+        fp = f"md5(concat_ws(',', array_sort(collect_list({elem}))))"
+    else:
+        base = _kmv_base_sql(dialect)
+        fp = f"md5(array_to_string(list_sort(list({elem})), ','))"
+    p50 = "CAST(FLOOR((kk + 1) / 2.0) AS BIGINT)"
+    p90 = "CAST(FLOOR((9 * kk + 9) / 10.0) AS BIGINT)"
+    return f"""
+    WITH base AS ({base}),
+    hourly AS (
+      SELECT day, hv, ek, v,
+             ROW_NUMBER() OVER (PARTITION BY day, hr ORDER BY hv, ek) AS rn
+      FROM base
+    ),
+    hsk AS (SELECT day, hv, ek, v FROM hourly WHERE rn <= {k}),
+    mrank AS (
+      SELECT day, hv, ek, v,
+             ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv, ek) AS rn
+      FROM hsk
+    ),
+    msk AS (SELECT day, hv, ek, v FROM mrank WHERE rn <= {k}),
+    drank AS (
+      SELECT day, hv, ek,
+             ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv, ek) AS rn
+      FROM base
+    ),
+    dsk AS (SELECT day, hv, ek FROM drank WHERE rn <= {k}),
+    mfp AS (SELECT day, {fp} AS fp FROM msk GROUP BY day),
+    dfp AS (SELECT day, {fp} AS fp FROM dsk GROUP BY day),
+    mq AS (
+      SELECT day, v,
+             ROW_NUMBER() OVER (PARTITION BY day ORDER BY v, ek) AS vr,
+             COUNT(*) OVER (PARTITION BY day) AS kk
+      FROM msk
+    ),
+    est AS (
+      SELECT day, CAST(MAX(kk) AS INT) AS sketch_k,
+             MAX(CASE WHEN vr = {p50} THEN v END) AS p50_est,
+             MAX(CASE WHEN vr = {p90} THEN v END) AS p90_est
+      FROM mq GROUP BY day
+    ),
+    xq AS (
+      SELECT day, v,
+             ROW_NUMBER() OVER (PARTITION BY day ORDER BY v, ek) AS vr,
+             COUNT(*) OVER (PARTITION BY day) AS kk
+      FROM base
+    ),
+    exact AS (
+      SELECT day, CAST(MAX(kk) AS BIGINT) AS n_events,
+             MAX(CASE WHEN vr = {p50} THEN v END) AS p50_exact,
+             MAX(CASE WHEN vr = {p90} THEN v END) AS p90_exact
+      FROM xq GROUP BY day
+    )
+    SELECT m.day, x.n_events, e.sketch_k,
+           CAST(CASE WHEN m.fp = d.fp THEN 1 ELSE 0 END AS INT)
+             AS merged_eq_direct,
+           e.p50_est, x.p50_exact, e.p90_est, x.p90_exact
+    FROM mfp m
+    JOIN dfp d ON m.day = d.day
+    JOIN est e ON m.day = e.day
+    JOIN exact x ON m.day = x.day
+    """
+
+
+@query("q9e_kmv_quantile_rollup", oracle=_kmv_rollup_body("duckdb"))
+def q9e_kmv_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _materialize_kmv_base(spark, sf_dir)
+    return spark.sql(_kmv_rollup_body("spark"))

@@ -61,10 +61,15 @@ GATE_ORDER = [
     # the driver; q17 stays locally checked.
     "q01_pricing_summary",
     "q05_region_revenue",
-    "q1w_approx_quantiles",
+    # Round-6 rotation: q1w -> q9e (quantile-class both ways — q9e's KMV
+    # bottom-k rollup carries BOTH a rank-based quantile estimate and an
+    # exact discrete-quantile arm, plus the exact-mergeability
+    # fingerprint contract that contrasts with q9b's HLL envelope; q1w
+    # stays locally oracle-checked).
+    "q9e_kmv_quantile_rollup",
     # Round-6 rotation: q1i -> q9b (both sketch-class — approx_top_k's
-    # error-bound oracle stays evidenced in-gate by q1w's quantile
-    # sketch, and q1i keeps its local oracle check plus the new runtime
+    # error-bound oracle stays evidenced in-gate by the q9e/q9b sketch
+    # rows, and q1i keeps its local oracle check plus the new runtime
     # capacity-regime guard; q9b's mergeable-HLL hourly->daily rollup was
     # a round-5 addition with no driver row).
     "q9b_sketch_rollup",
