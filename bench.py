@@ -83,6 +83,11 @@ EXTRA = [
     "q9a_zorder_layout",
     "q9b_sketch_rollup",
     "q7c_mutual_knn",
+    # round 6 additions: timed for evidence, out of the headline total
+    "q6f_chunk_dedup",
+    "q9c_compaction_plan",
+    "q9d_range_partition_plan",
+    "q9e_kmv_quantile_rollup",
 ]
 
 

@@ -418,16 +418,92 @@ def _embedding_neardup_sql(dialect: str) -> str:
     """
 
 
+# Float-prescreen margin for the packed q66 (q68's _CMARGIN device): a
+# 64-term double dot over O(1) components carries ~1e-13 absolute error,
+# so any pair whose EXACT cosine clears the 0.4 threshold has float
+# cosine > 0.4 - 1e-9 — the prescreen cannot drop a true survivor, and
+# the exact-decimal recompute on the tiny candidate set restores
+# bit-for-bit oracle parity (both the membership decision and the
+# emitted cos_sim value).
+_Q66_TAU = 0.4
+_Q66_MARGIN = 1e-9
+
+
 @query("q66_embedding_near_dup", oracle=_embedding_neardup_sql("duckdb"))
 def q66_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs. Exact decimal dot products so both
-    engines agree bit-for-bit. Threshold 0.4 exercises the op on this
-    corpus (no seeded embedding dups; production would use ~0.95 with
-    LSH-bucketed candidates — see similarity.q71 for the bucketed path)."""
-    from tf_datapipeline_spark.operators.similarity import _materialize_dims
+    """Embedding-cosine near-dup pairs — the exact BRUTE-FORCE baseline
+    (quadratic pair enumeration by contract; q71/q8i are the bucketed
+    scale paths, threshold 0.4 exercises the op on a corpus with no
+    seeded embedding dups).
 
-    _materialize_dims(spark, sf_dir)
-    return spark.sql(_embedding_neardup_sql("spark"))
+    Spark side is the PACKED two-phase form (q68's pattern, applied
+    here after the round-6 sf1 parity sweep measured the old exploded
+    (vec,pos)-join form stalling at sf1 — its equi-key was `pos`, 64
+    distinct values, so the shuffle materialized ~n²/2 x 64 rows into a
+    ~n²/2-group aggregation; the identical defect class the r4 sweep
+    caught in q68). Vectors stay as arrays: the all-pairs enumeration
+    is a vec_id<vec_id nested-loop over two array-column relations
+    (O(n²) pair rows — the baseline's contract — but ZERO shuffle and
+    no giant hash aggregation), each pair costs one codegen double
+    fold, and only pairs inside _Q66_MARGIN of the threshold recompute
+    with the per-term DECIMAL(38,12) quantization + decimal(20,12)
+    accumulation that makes the sum order-independent and hash-exact
+    against the oracle's exploded-dims formulation."""
+    from tf_datapipeline_spark.operators.similarity import _ACC, _dec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast(_ACC),
+        lambda acc, x: (acc + _dec(x.cast("double") * x.cast("double"))).cast(_ACC),
+    )
+    corpus = emb.select(
+        "vec_id", "embedding", F.sqrt(norm2.cast("double")).alias("nrm")
+    )
+    # Left side repartitioned to the cluster's parallelism: the pair
+    # enumeration is a nested-loop join whose task count is the STREAM
+    # side's partition count — a single small parquet split would
+    # otherwise run the whole n² float scan on one core. The prescreen
+    # dot is a FLAT 64-term element_at expression, not a higher-order
+    # zip_with/aggregate: lambda functions are interpreted per element
+    # (no whole-stage codegen), which made the hot loop ~10x slower
+    # than the same arithmetic as a codegen expression tree. The
+    # multiply form (dot >= tau' * na * nb) avoids a per-pair divide.
+    a = corpus.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot_f = sum(
+        F.element_at("ea", i).cast("double") * F.element_at("eb", i).cast("double")
+        for i in range(1, 65)
+    )
+    cand = a.join(
+        b,
+        (F.col("vec_a") < F.col("vec_b"))
+        & (dot_f >= F.lit(_Q66_TAU - _Q66_MARGIN) * F.col("na") * F.col("nb")),
+    )
+    # localCheckpoint = optimizer barrier: without it Catalyst pushes
+    # the exact-decimal fold below into the join condition (and is free
+    # to REORDER the conjuncts — observed: decimal first, i.e. the
+    # expensive fold on every ordered pair). The candidate set is
+    # margin-bounded (~survivor count), so materializing it is free.
+    cand = cand.select("vec_a", "vec_b", "ea", "eb", "na", "nb").localCheckpoint()
+    dot_d = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0).cast(_ACC),
+        lambda acc, x: (acc + _dec(x)).cast(_ACC),
+    ).cast("double")
+    return (
+        cand.withColumn("cos_sim", dot_d / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos_sim") >= _Q66_TAU)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
 
 
 # --------------------------------------------------------------------------
