@@ -391,23 +391,36 @@ def q65_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_neardup_sql(dialect: str) -> str:
-    # dims comes from similarity's shared exploded-table helper: the
-    # spark dialect reads the session-materialized view (one scan + one
-    # explode for the three references below), the duckdb oracle stays
-    # self-contained.
+    # DuckDB oracle, ALSO two-phase (round-6): the original single-phase
+    # exploded form built the full ~n²/2 x 64 pair-dim intermediate into
+    # an ~n²/2-group decimal aggregation — tractable at sf0.1, but the
+    # sf1 sweep measured it grinding for over an hour. The prescreen is
+    # LOSSLESS: list_cosine_similarity runs in float32 (error << 1e-4
+    # for 64 O(1) terms), so with a 1e-3 margin no pair whose EXACT
+    # cosine clears 0.4 can be dropped; the exact DECIMAL(38,12)
+    # exploded-dims arithmetic — the thing parity certifies — is
+    # unchanged and still decides membership and the emitted value,
+    # now computed only for the margin-bounded candidate set.
     from tf_datapipeline_spark.operators.similarity import _dims_cte
 
     return f"""
-    WITH dims AS ({_dims_cte(dialect)}),
+    WITH cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.399
+    ),
+    dims AS ({_dims_cte(dialect)}),
     norms AS (
       SELECT vec_id,
              SQRT(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
       FROM dims GROUP BY vec_id
     ),
     dots AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      SELECT c.vec_a, c.vec_b,
              CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
-      FROM dims a JOIN dims b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      FROM cand c
+      JOIN dims a ON a.vec_id = c.vec_a
+      JOIN dims b ON b.vec_id = c.vec_b AND b.pos = a.pos
       GROUP BY 1, 2
     )
     SELECT d.vec_a, d.vec_b, d.dot / (na.nrm * nb.nrm) AS cos_sim
