@@ -231,6 +231,14 @@ def test_no_accidental_cross_products(spark):
         # boundary-array broadcast — every NLJ side is O(B) by
         # construction, independent of corpus size.
         "q9d_range_partition_plan",
+        # q66: the brute-force near-dup BASELINE — the vec_a<vec_b pair
+        # enumeration IS the contract (quadratic by design, like q70;
+        # q71/q8i are the bucketed scale paths). The round-6 packed form
+        # deliberately plans it as a nested loop with a codegen float
+        # prescreen in the condition: O(n²) condition evals but ZERO
+        # shuffle — the previous exploded form's 12.8B-row exchange was
+        # the actual 100 TB explosion this sweep exists to catch.
+        "q66_embedding_near_dup",
     }
     # Accumulate violations across ALL queries before asserting — a single
     # failure must not shadow the rest of the sweep (round-5 lesson: an

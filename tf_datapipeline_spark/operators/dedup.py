@@ -496,24 +496,41 @@ def q66_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ea", i).cast("double") * F.element_at("eb", i).cast("double")
         for i in range(1, 65)
     )
-    cand = a.join(
+    cand_ids = a.join(
         b,
         (F.col("vec_a") < F.col("vec_b"))
         & (dot_f >= F.lit(_Q66_TAU - _Q66_MARGIN) * F.col("na") * F.col("nb")),
+    ).select("vec_a", "vec_b")
+    # The exact arm REJOINS the corpus by id instead of carrying the
+    # arrays through the nested loop: the id-only candidate set is the
+    # sole BNLJ output, and because the decimal fold's inputs (ea/eb)
+    # are attributes of these separate broadcast equi-joins, Catalyst
+    # cannot push the expensive fold into the nested-loop condition
+    # (observed without this split: the optimizer pushed AND REORDERED
+    # it first, running the decimal fold on every ordered pair). The
+    # fold therefore evaluates only for margin-bounded candidate rows,
+    # and the whole query stays lazy (no mid-build action).
+    e1 = corpus.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
-    # localCheckpoint = optimizer barrier: without it Catalyst pushes
-    # the exact-decimal fold below into the join condition (and is free
-    # to REORDER the conjuncts — observed: decimal first, i.e. the
-    # expensive fold on every ordered pair). The candidate set is
-    # margin-bounded (~survivor count), so materializing it is free.
-    cand = cand.select("vec_a", "vec_b", "ea", "eb", "na", "nb").localCheckpoint()
+    e2 = corpus.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     dot_d = F.aggregate(
         F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0).cast(_ACC),
         lambda acc, x: (acc + _dec(x)).cast(_ACC),
     ).cast("double")
+    # Broadcast the margin-bounded candidate side, not the corpus: each
+    # rejoin streams the corpus once against a tiny hash table.
+    with_a = e1.join(F.broadcast(cand_ids), "vec_a")
     return (
-        cand.withColumn("cos_sim", dot_d / (F.col("na") * F.col("nb")))
+        e2.join(F.broadcast(with_a), "vec_b")
+        .withColumn("cos_sim", dot_d / (F.col("na") * F.col("nb")))
         .filter(F.col("cos_sim") >= _Q66_TAU)
         .select("vec_a", "vec_b", "cos_sim")
     )
