@@ -396,32 +396,45 @@ def _embedding_neardup_sql(dialect: str) -> str:
     # an ~n²/2-group decimal aggregation — tractable at sf0.1, but the
     # sf1 sweep measured it grinding for over an hour. The prescreen is
     # LOSSLESS: list_cosine_similarity runs in float32 (error << 1e-4
-    # for 64 O(1) terms), so with a 1e-3 margin no pair whose EXACT
-    # cosine clears 0.4 can be dropped; the exact DECIMAL(38,12)
-    # exploded-dims arithmetic — the thing parity certifies — is
-    # unchanged and still decides membership and the emitted value,
-    # now computed only for the margin-bounded candidate set.
-    from tf_datapipeline_spark.operators.similarity import _dims_cte
+    # for 64 O(1) terms), so with a 1e-3 margin no pair whose true
+    # cosine clears 0.4 can be dropped.
+    #
+    # The exact arm's cross-engine contract is ORDER-PINNED IEEE DOUBLE,
+    # not decimal (a round-6 sf1 finding): the old per-term
+    # CAST(double AS DECIMAL(38,12)) device is NOT correctly rounded in
+    # DuckDB near half-ulp boundaries (it scales by 1e12 in double and
+    # half-even-rounds the scaled value; e.g. exact product
+    # ..2945000020978 cast to ..294, where Spark's BigDecimal HALF_UP
+    # correctly gives ..295) — 47 of 98k sf1 pairs diverged in the last
+    # ulp. Decimals were only ever needed for ORDER independence under
+    # exploded SUM(); both engines now fold the SAME array sequentially
+    # (DuckDB list_reduce ≡ Spark aggregate(), left fold, float32
+    # products exact in double), so every intermediate double is
+    # bit-identical by construction and no rounding device is needed.
+    del dialect  # single-dialect oracle; Spark side is DataFrame code
 
+    ddot = (
+        "list_reduce(list_transform(list_zip(ea, eb), "
+        "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), "
+        "(a, b) -> a + b)"
+    )
+    dnorm2 = (
+        "list_reduce(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)"
+    )
     return f"""
     WITH cand AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.embedding AS ea, b.embedding AS eb
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.399
     ),
-    dims AS ({_dims_cte(dialect)}),
     norms AS (
-      SELECT vec_id,
-             SQRT(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-      FROM dims GROUP BY vec_id
+      SELECT vec_id, SQRT(CAST({dnorm2} AS DOUBLE)) AS nrm
+      FROM embeddings
     ),
     dots AS (
-      SELECT c.vec_a, c.vec_b,
-             CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
-      FROM cand c
-      JOIN dims a ON a.vec_id = c.vec_a
-      JOIN dims b ON b.vec_id = c.vec_b AND b.pos = a.pos
-      GROUP BY 1, 2
+      SELECT vec_a, vec_b, CAST({ddot} AS DOUBLE) AS dot FROM cand
     )
     SELECT d.vec_a, d.vec_b, d.dot / (na.nrm * nb.nrm) AS cos_sim
     FROM dots d
@@ -431,15 +444,17 @@ def _embedding_neardup_sql(dialect: str) -> str:
     """
 
 
-# Float-prescreen margin for the packed q66 (q68's _CMARGIN device): a
-# 64-term double dot over O(1) components carries ~1e-13 absolute error,
-# so any pair whose EXACT cosine clears the 0.4 threshold has float
-# cosine > 0.4 - 1e-9 — the prescreen cannot drop a true survivor, and
-# the exact-decimal recompute on the tiny candidate set restores
-# bit-for-bit oracle parity (both the membership decision and the
-# emitted cos_sim value).
+# Float-prescreen margin for the packed q66 (q68's _CMARGIN device): the
+# prescreen's differently-ordered (BLAS/float32) summation differs from
+# the order-pinned sequential fold by ~1e-13 absolute for 64 O(1) terms,
+# so any pair whose pinned-fold cosine clears the 0.4 threshold has
+# prescreen cosine > 0.4 - 1e-9 — the prescreen cannot drop a true
+# survivor, and the sequential-fold recompute on the tiny candidate set
+# restores bit-for-bit oracle parity (both the membership decision and
+# the emitted cos_sim value).
 _Q66_TAU = 0.4
 _Q66_MARGIN = 1e-9
+_Q66_BLOCK = 2048  # GEMM tile rows; per-task mem ~2 blocks + 32 MB tile
 
 
 @query("q66_embedding_near_dup", oracle=_embedding_neardup_sql("duckdb"))
@@ -449,67 +464,98 @@ def q66_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale paths, threshold 0.4 exercises the op on a corpus with no
     seeded embedding dups).
 
-    Spark side is the PACKED two-phase form (q68's pattern, applied
-    here after the round-6 sf1 parity sweep measured the old exploded
-    (vec,pos)-join form stalling at sf1 — its equi-key was `pos`, 64
-    distinct values, so the shuffle materialized ~n²/2 x 64 rows into a
-    ~n²/2-group aggregation; the identical defect class the r4 sweep
-    caught in q68). Vectors stay as arrays: the all-pairs enumeration
-    is a vec_id<vec_id nested-loop over two array-column relations
-    (O(n²) pair rows — the baseline's contract — but ZERO shuffle and
-    no giant hash aggregation), each pair costs one codegen double
-    fold, and only pairs inside _Q66_MARGIN of the threshold recompute
-    with the per-term DECIMAL(38,12) quantization + decimal(20,12)
-    accumulation that makes the sum order-independent and hash-exact
-    against the oracle's exploded-dims formulation."""
-    from tf_datapipeline_spark.operators.similarity import _ACC, _dec
-
+    Spark side is TWO-PHASE (q68's margin device), reworked twice by
+    the round-6 sf1 sweep: the original exploded (vec,pos)-join form
+    shuffled ~n²/2 x 64 rows into an ~n²/2-group aggregation (the
+    defect class the r4 sweep caught in q68) and stalled at sf1; the
+    first rework evaluated a per-pair dot expression under a nested
+    loop — zero shuffle, but 400M interpreted/non-JIT expression evals
+    still burned ~25 min at sf1. The landed form recognizes the float
+    prescreen IS a GEMM and tiles it: corpus-size-adaptive blocks,
+    one cogrouped applyInPandas task per unordered block pair, numpy
+    float64 A @ B.T per tile (seconds for sf1's 25.6 GFLOPs), margin-
+    bounded emission. Only candidate pairs then recompute with the
+    ORDER-PINNED sequential double fold — both engines fold the same
+    array left-to-right with exact float32-product terms, so every
+    intermediate double is bit-identical to the oracle's list_reduce
+    (the old decimal quantization device turned out to be the UNSAFE
+    choice cross-engine: DuckDB's double->DECIMAL cast mis-rounds near
+    half-ulp boundaries — see the oracle comment)."""
     emb = load_table(spark, sf_dir, "embeddings")
     norm2 = F.aggregate(
         F.col("embedding"),
-        F.lit(0).cast(_ACC),
-        lambda acc, x: (acc + _dec(x.cast("double") * x.cast("double"))).cast(_ACC),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
-    corpus = emb.select(
-        "vec_id", "embedding", F.sqrt(norm2.cast("double")).alias("nrm")
+    corpus = emb.select("vec_id", "embedding", F.sqrt(norm2).alias("nrm"))
+    # Pair enumeration = TILED BLOCK MATMUL, not a per-pair expression.
+    # A dense all-pairs float prescreen is a GEMM; evaluating it as a
+    # join-condition expression tree ran interpreted/non-JIT and burned
+    # ~25 min at sf1 (400M evals), while numpy does the same 25.6
+    # GFLOPs in seconds. The corpus is cut into ~_Q66_BLOCK-row blocks
+    # by vec_id mod B (B adapts to corpus size via one count, so
+    # per-task memory is two ~1 MB blocks + a ~32 MB score tile at ANY
+    # scale); each unordered block pair (bi <= bj) is cogrouped to one
+    # task that emits the margin-passing id pairs from a float64
+    # A @ B.T — exactly how production exact search tiles brute force
+    # (FAISS IndexFlat). Shuffle volume is n x B rows (the sqrt-scaled
+    # replication every tiled self-join pays), never n² of anything.
+    # BLAS summation order is machine-dependent, but the prescreen only
+    # needs |err| < _Q66_MARGIN — membership and emitted values are
+    # decided by the exact-decimal arm below, so the result is
+    # reproducible across backends.
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    n = emb.count()
+    n_blocks = max(1, math.ceil(n / _Q66_BLOCK))
+    bids = spark.range(n_blocks).select(F.col("id").cast("int").alias("bi"))
+    bpairs = bids.join(
+        bids.select(F.col("bi").alias("bj")), F.col("bi") <= F.col("bj")
     )
-    # Left side repartitioned to the cluster's parallelism: the pair
-    # enumeration is a nested-loop join whose task count is the STREAM
-    # side's partition count — a single small parquet split would
-    # otherwise run the whole n² float scan on one core. The prescreen
-    # dot is a FLAT 64-term element_at expression, not a higher-order
-    # zip_with/aggregate: lambda functions are interpreted per element
-    # (no whole-stage codegen), which made the hot loop ~10x slower
-    # than the same arithmetic as a codegen expression tree. The
-    # multiply form (dot >= tau' * na * nb) avoids a per-pair divide.
-    a = corpus.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
+    blocked = corpus.withColumn(
+        "blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    ).select("vec_id", "embedding", "blk")
+    left = blocked.join(F.broadcast(bpairs), F.col("blk") == F.col("bi"))
+    right = blocked.join(F.broadcast(bpairs), F.col("blk") == F.col("bj"))
+    both = left.withColumn("side", F.lit(0)).unionByName(
+        right.withColumn("side", F.lit(1))
     )
-    b = corpus.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
+    thresh = _Q66_TAU - _Q66_MARGIN
+
+    def emit_pairs(key, pdf: "pd.DataFrame"):
+        bi, bj = int(key[0]), int(key[1])
+        rows = pdf[pdf["side"] == 0]
+        cols = pdf[pdf["side"] == 1] if bi != bj else rows
+        ra = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
+        ca = np.stack(cols["embedding"].to_numpy()).astype(np.float64)
+        sims = (ra / np.linalg.norm(ra, axis=1, keepdims=True)) @ (
+            ca / np.linalg.norm(ca, axis=1, keepdims=True)
+        ).T
+        ii, jj = np.nonzero(sims >= thresh)
+        va = rows["vec_id"].to_numpy()[ii]
+        vb = cols["vec_id"].to_numpy()[jj]
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        keep = lo < hi  # drop self-pairs (diagonal of bi == bj tiles)
+        out = pd.DataFrame({"vec_a": lo[keep], "vec_b": hi[keep]})
+        if bi == bj:  # symmetric tile emits both orders; keep one
+            out = out.drop_duplicates()
+        return out
+
+    cand_ids = both.groupBy("bi", "bj").applyInPandas(
+        emit_pairs, schema="vec_a long, vec_b long"
     )
-    dot_f = sum(
-        F.element_at("ea", i).cast("double") * F.element_at("eb", i).cast("double")
-        for i in range(1, 65)
-    )
-    cand_ids = a.join(
-        b,
-        (F.col("vec_a") < F.col("vec_b"))
-        & (dot_f >= F.lit(_Q66_TAU - _Q66_MARGIN) * F.col("na") * F.col("nb")),
-    ).select("vec_a", "vec_b")
     # The exact arm REJOINS the corpus by id instead of carrying the
     # arrays through the nested loop: the id-only candidate set is the
     # sole BNLJ output, and because the decimal fold's inputs (ea/eb)
     # are attributes of these separate broadcast equi-joins, Catalyst
     # cannot push the expensive fold into the nested-loop condition
     # (observed without this split: the optimizer pushed AND REORDERED
-    # it first, running the decimal fold on every ordered pair). The
-    # fold therefore evaluates only for margin-bounded candidate rows,
-    # and the whole query stays lazy (no mid-build action).
+    # it first, running the fold on every ordered pair). The fold
+    # therefore evaluates only for margin-bounded candidate rows, and
+    # the whole query stays lazy (no mid-build action).
     e1 = corpus.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
@@ -522,9 +568,9 @@ def q66_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dot_d = F.aggregate(
         F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0).cast(_ACC),
-        lambda acc, x: (acc + _dec(x)).cast(_ACC),
-    ).cast("double")
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     # Broadcast the margin-bounded candidate side, not the corpus: each
     # rejoin streams the corpus once against a tiny hash table.
     with_a = e1.join(F.broadcast(cand_ids), "vec_a")
