@@ -417,6 +417,54 @@ def test_sketch_rollup_envelope(spark):
     assert all(r.direct_within_tol == 1 for r in rows)
 
 
+def test_duckdb_decimal_cast_misrounds_near_half_ulp(spark):
+    """The round-6 sf1 finding behind q66's order-pinned-double rework,
+    pinned: DuckDB's double->DECIMAL cast is NOT correctly rounded near
+    half-ulp boundaries (it scales by 10^s in double and half-even
+    rounds), while Spark's BigDecimal cast rounds the exact decimal
+    expansion HALF_UP. The witness is a real sf1 embedding product:
+    (-0.19141115248203278)^2 = 0.036638229294500002... — digits beyond
+    position 12 exceed a half, so correct rounding is UP (...295, what
+    Spark and python's exact Decimal give); DuckDB 1.0 returns ...294.
+    The mis-rounding lives in the VECTORIZED executor only — a literal
+    expression constant-folds at bind time through a correctly-rounded
+    path and hides the bug, so the probe routes the value through a
+    table. If a DuckDB upgrade makes this pass the shared-device
+    assumption changes: oracles using per-term CAST(double AS DECIMAL)
+    (q68/q6b/similarity) could then be revisited, and this probe should
+    be updated rather than deleted."""
+    from decimal import Decimal
+
+    import duckdb
+
+    x = -0.19141115248203278
+    exact = Decimal(x * x)  # exact binary expansion: ...2945000020978...
+    correct = exact.quantize(Decimal("1e-12"))  # HALF_UP irrelevant: > half
+    assert str(correct) == "0.036638229295"
+    spark_val = (
+        spark.range(1)
+        .selectExpr(
+            f"CAST(CAST({x!r} AS DOUBLE) * CAST({x!r} AS DOUBLE)"
+            " AS DECIMAL(38,12)) AS v"
+        )
+        .collect()[0]
+        .v
+    )
+    assert str(spark_val) == "0.036638229295", spark_val  # correctly rounded
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE t AS SELECT CAST({x!r} AS FLOAT) AS x")
+    duck_vec = con.execute(
+        "SELECT CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+        " AS DECIMAL(38,12)) FROM t"
+    ).fetchone()[0]
+    assert str(duck_vec) == "0.036638229294", duck_vec  # mis-rounded (pinned)
+    duck_folded = con.execute(
+        f"SELECT CAST(CAST({x!r} AS DOUBLE) * CAST({x!r} AS DOUBLE)"
+        " AS DECIMAL(38,12))"
+    ).fetchone()[0]
+    assert str(duck_folded) == "0.036638229295", duck_folded  # folding hides it
+
+
 def test_kmv_rollup_exact_mergeability_nonvacuous(spark):
     """q9e's headline claim is that bottom-k, unlike HLL (q9b), is
     EXACTLY mergeable: merged-of-hourly == direct daily sketch element
