@@ -239,6 +239,11 @@ def test_no_accidental_cross_products(spark):
         # shuffle — the previous exploded form's 12.8B-row exchange was
         # the actual 100 TB explosion this sweep exists to catch.
         "q66_embedding_near_dup",
+        # q9f: 1-row MAX(o_orderkey) scalar (file-range layout), the 3-row
+        # VALUES k-index fan-out (q6e's device), and the 8-row probe-key
+        # dim crossed with the 64-row file dim — every NLJ side is bounded
+        # by a literal in the query text, never by the corpus.
+        "q9f_bloom_skipping",
     }
     # Accumulate violations across ALL queries before asserting — a single
     # failure must not shadow the rest of the sweep (round-5 lesson: an

@@ -536,3 +536,78 @@ def test_sketch_union_no_exact_invariant_in_transition(spark):
     # ... but the envelope holds for every estimator
     for est in (row.m, row.r, row.i, row.d):
         assert abs(est - 1338) <= 0.05 * 1338, row
+
+
+def test_spectro_quantization_never_near_flip_boundary():
+    """q8m's cross-engine contract rests on floor(A*cos + 0.5) agreeing
+    between numpy's cos and DuckDB's libm cos. Both are correctly
+    rounded to within ~1 ulp (~1e-16 here), so the quantization can only
+    diverge if some sample sits within ulp distance of an integer flip
+    boundary. The sample space is FINITE (angles are pi*j/128, j in
+    0..255, amplitudes 100-3w for w in 0..10 plus the fixed 30-amp
+    harmonic): enumerate all of it and pin the worst-case margin at
+    >= 1e-6 — ten orders above libm divergence. By Niven's theorem no
+    boundary is hit exactly, but the MEASURED margin is the contract."""
+    import numpy as np
+
+    worst = 1.0
+    amps = [100 - 3 * w for w in range(11)] + [30]
+    j = np.arange(256)
+    ang = 2.0 * np.pi * j / 256.0
+    for amp in amps:
+        x = amp * np.cos(ang) + 0.5
+        d = np.minimum(x - np.floor(x), np.ceil(x) - x)
+        d = d[d > 1e-12]  # exact integers would be distance 0 from both
+        worst = min(worst, float(d.min()))
+    assert worst > 1e-6, worst
+
+
+def test_spectro_fft_contracts_hold_over_full_waveform_space():
+    """The three q8m oracle contracts (dominant bin == f, dc == sum(v),
+    Parseval round == integer energy) over every distinct waveform the
+    corpus can produce: (f, window_idx) in 13 x 7 — doc_id only selects
+    within this space. Also pins that the spectral gap to the runner-up
+    bin is macroscopic (no argmax tie is ever decided by float noise)."""
+    import numpy as np
+
+    from tf_datapipeline_spark.operators.multimodal import (
+        _WIN,
+        spectro_waveform,
+    )
+
+    for f_idx in range(13):
+        doc_id = f_idx  # f = 3 + doc_id % 13
+        for window_idx in range(7):
+            v = spectro_waveform(doc_id, window_idx)
+            spec = np.fft.rfft(v)
+            mag = np.abs(spec)
+            dom = int(np.argmax(mag[1:129])) + 1
+            assert dom == 3 + doc_id % 13
+            gap = np.sort(mag[1:129])[-1] - np.sort(mag[1:129])[-2]
+            assert gap > 1000.0, (f_idx, window_idx, gap)
+            assert int(round(float(spec[0].real))) == int(v.sum())
+            parseval = (
+                mag[0] ** 2 + 2.0 * float((mag[1:128] ** 2).sum()) + mag[128] ** 2
+            ) / _WIN
+            assert abs(parseval - float((v * v).sum())) < 0.5
+
+
+def test_bloom_skipping_no_false_negatives(spark):
+    """q9f's structural guarantee: a Bloom filter can only over-report.
+    Every file that truly contains a probe key must be hit (false_neg
+    == 0 for every probe), files_hit >= files_true, and the scan set the
+    index plans is a superset in rows too (rows_scanned >= rows_matched).
+    Checked at SF_SMOKE where every probe truly occupies >= 7 files."""
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark import registry
+
+    rows = (
+        registry.queries()["q9f_bloom_skipping"](spark, SF_SMOKE)
+        .collect()
+    )
+    assert len(rows) == 8
+    for r in rows:
+        assert r.false_neg == 0, r
+        assert r.files_hit >= r.files_true, r
+        assert r.rows_scanned >= r.rows_matched, r
+        assert r.files_true >= 1, r  # probe keys come from the corpus

@@ -505,3 +505,133 @@ def _kmv_rollup_body(dialect: str) -> str:
 def q9e_kmv_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _materialize_kmv_base(spark, sf_dir)
     return spark.sql(_kmv_rollup_body("spark"))
+
+
+# --------------------------------------------------------------------------
+# q9f — PER-FILE BLOOM-FILTER skipping index: the point-lookup companion
+# to q9a's min/max zone maps. Range stats prune nothing for a point
+# predicate on a column UNCORRELATED with the file layout (here
+# o_custkey under an o_orderkey-range file layout — every file's
+# custkey min/max spans the whole domain); a per-file Bloom filter is
+# exactly what Parquet bloom_filter_enabled / Delta bloomFilterIndex
+# write for that case. Files are static o_orderkey ranges (row position
+# stands in for insertion order, as in q9a); each file folds its
+# DISTINCT custkeys into an m = 64513-bit array (1025 63-bit words, the
+# q6e device: two md5 hash windows, k = 3 double-hashed probes with the
+# stride guard); 8 deterministic probe keys (bottom-8 distinct custkeys
+# by salted md5 — corpus-adaptive, no RNG) are then answered from the
+# INDEX ALONE: files_hit = files whose filter sets all 3 bits,
+# files_true = files that really contain the key, false_pos = the gap.
+# No-false-negative (files_hit >= files_true, every true file hit) is
+# structural; the output exposes rows_scanned vs rows_matched so the
+# skip value is the measured quantity, not a claim.
+#
+# Scale (100 TB): the index build is ONE partial-aggregated pass —
+# groupBy(file, word) bit_or over per-row probe bits, output 1025
+# rows/file of metadata regardless of file size; probing touches the
+# index only (probes x files x k lookups — never table data), so a
+# point lookup plans its scan set from ~8 KB/file of footer metadata
+# exactly as a parquet reader does. The probe pick is a top-k by hash
+# over distinct keys (TakeOrdered — partial-aggregable, no full sort).
+# The harness m is deliberately small enough that false positives
+# genuinely fire at test scales (fill ~10% at sf0.1 -> FP ~0.1%/file;
+# production sizes m at ~10 bits/key like parquet's ndv sizing). Every
+# bit, hit flag and count is integer arithmetic on the shared md5
+# device — hash-exact against the oracle.
+# --------------------------------------------------------------------------
+_BSK_M = 64513  # prime: double-hash probe sequence has full period
+_BSK_K = 3
+_BSK_WORD = 63  # bits per BIGINT word (63 avoids the sign bit)
+_BSK_FILES = 64
+_BSK_PROBES = 8
+
+
+def _bloom_skip_body(dialect: str) -> str:
+    from tf_datapipeline_spark.functions.texthash import sql_hash32_from_md5_at
+
+    ctype = "STRING" if dialect == "spark" else "VARCHAR"
+    h1 = sql_hash32_from_md5_at("m", 1, dialect)
+    h2 = f"(1 + (({sql_hash32_from_md5_at('m', 9, dialect)}) % {_BSK_M - 1}))"
+    if dialect == "spark":
+        def shl(b: str) -> str:
+            return f"shiftleft(CAST(1 AS BIGINT), CAST({b} AS INT))"
+    else:
+        def shl(b: str) -> str:
+            return f"(CAST(1 AS BIGINT) << CAST({b} AS INT))"
+    ks = ", ".join(f"({k})" for k in range(_BSK_K))
+    return f"""
+    WITH maxk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+    placed AS (
+      SELECT CAST(FLOOR(o_orderkey * {_BSK_FILES}.0 / (mk + 1)) AS INT)
+               AS file_id,
+             o_custkey
+      FROM orders, maxk
+    ),
+    fkeys AS (
+      SELECT DISTINCT file_id,
+             o_custkey,
+             md5('bsk-' || CAST(o_custkey AS {ctype})) AS m
+      FROM placed
+    ),
+    fhash AS (SELECT file_id, {h1} AS h1, {h2} AS h2 FROM fkeys),
+    fwords AS (
+      SELECT file_id,
+             CAST(FLOOR(((h1 + k.k * h2) % {_BSK_M}) / {_BSK_WORD}.0) AS INT)
+               AS word_idx,
+             BIT_OR({shl(f"((h1 + k.k * h2) % {_BSK_M}) % {_BSK_WORD}")})
+               AS bits
+      FROM fhash, (VALUES {ks}) AS k(k)
+      GROUP BY 1, 2
+    ),
+    frows AS (SELECT file_id, COUNT(*) AS f_rows FROM placed GROUP BY 1),
+    probes AS (
+      SELECT o_custkey AS ck
+      FROM (SELECT DISTINCT o_custkey FROM orders) d
+      ORDER BY md5('bskp-' || CAST(o_custkey AS {ctype})), o_custkey
+      LIMIT {_BSK_PROBES}
+    ),
+    ppos AS (
+      SELECT ck, ((h1 + k.k * h2) % {_BSK_M}) AS pos
+      FROM (
+        SELECT ck, {h1} AS h1, {h2} AS h2
+        FROM (SELECT ck, md5('bsk-' || CAST(ck AS {ctype})) AS m FROM probes) p
+      ) ph, (VALUES {ks}) AS k(k)
+    ),
+    checks AS (
+      SELECT p.ck, f.file_id,
+             MIN(CASE WHEN (COALESCE(w.bits, 0)
+                            & {shl(f"p.pos % {_BSK_WORD}")}) <> 0
+                      THEN 1 ELSE 0 END) AS hit
+      FROM ppos p
+      CROSS JOIN frows f
+      LEFT JOIN fwords w
+        ON w.file_id = f.file_id
+       AND w.word_idx = CAST(FLOOR(p.pos / {_BSK_WORD}.0) AS INT)
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT pr.ck, pl.file_id, COUNT(*) AS t_rows
+      FROM placed pl JOIN probes pr ON pl.o_custkey = pr.ck
+      GROUP BY 1, 2
+    )
+    SELECT c.ck AS probe_custkey,
+           CAST({_BSK_FILES} AS INT) AS n_files,
+           CAST(SUM(c.hit) AS INT) AS files_hit,
+           CAST(COUNT(t.file_id) AS INT) AS files_true,
+           CAST(SUM(c.hit) - COUNT(t.file_id) AS INT) AS false_pos,
+           CAST(SUM(CASE WHEN c.hit = 1 THEN f.f_rows ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(COALESCE(SUM(t.t_rows), 0) AS BIGINT) AS rows_matched,
+           CAST(SUM(CASE WHEN t.file_id IS NOT NULL AND c.hit = 0
+                         THEN 1 ELSE 0 END) AS INT) AS false_neg
+    FROM checks c
+    JOIN frows f ON f.file_id = c.file_id
+    LEFT JOIN truth t ON t.ck = c.ck AND t.file_id = c.file_id
+    GROUP BY c.ck
+    """
+
+
+@query("q9f_bloom_skipping", oracle=_bloom_skip_body("duckdb"))
+def q9f_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_bloom_skip_body("spark"))

@@ -1918,3 +1918,117 @@ def q8l_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_frames") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+# q8m — AUDIO SPECTROGRAM via a REAL FFT (numpy rfft inside mapInPandas):
+# the frequency-domain companion to q86/q8g's time-domain features, and
+# the one multimodal op where the Python path is genuinely the right
+# tool — no built-in expression computes a 256-point DFT, and the Arrow
+# batch shape (one rfft matrix per batch, vectorized over windows) is
+# exactly how a production feature extractor runs. The synthetic PCM is
+# an integer-QUANTIZED two-harmonic cosine (fundamental f = 3 + doc_id %
+# 13 cycles/window at amplitude 100 - 3*window_idx, second harmonic 2f
+# at amplitude 30; quantization floor(x + 0.5) — half-away, identical on
+# both engines, and enumerably NEVER within 2.4e-4 of a flip boundary,
+# pinned in tests), so the spectrum is known analytically while the FFT
+# still runs on real float math. The oracle cross-checks the FFT through
+# three integer-exact contracts — dominant_bin == f (argmax over 128
+# bins; spectral gap ~6000 vs libm ulp noise), dc_sum == SUM(v) (bin 0),
+# and energy == SUM(v^2) via PARSEVAL from the float spectrum (absolute
+# FFT error ~1e-9 << 0.5, so the round is exact) — i.e. DuckDB verifies
+# numpy's transform numerically, not a copied golden.
+#
+# Scale: one narrow doc_id scan, zero shuffle — the decode/FFT/feature
+# pass is embarrassingly parallel per Arrow batch (the mapInPandas
+# output is feature rows only, never samples), the same shape that runs
+# per-object on a 100 TB audio corpus. A real deployment swaps
+# `spectro_waveform` for soundfile/librosa decode behind the identical
+# signature (codec libs absent in this container — q86's documented
+# stand-in contract).
+# --------------------------------------------------------------------------
+_SPEC_HARM2 = 30  # second-harmonic amplitude
+
+
+def spectro_waveform(doc_id: int, window_idx: int) -> np.ndarray:
+    """STUB for audio decode (see q86): integer-quantized two-harmonic
+    cosine, one _WIN-sample window. Angles are reduced mod one period
+    BEFORE the trig call ((f*t) % _WIN) so both engines' cos sees the
+    same small argument."""
+    f = 3 + doc_id % 13
+    amp = 100 - 3 * window_idx
+    t = np.arange(_WIN, dtype=np.int64)
+    a1 = 2.0 * np.pi * ((f * t) % _WIN) / _WIN
+    a2 = 2.0 * np.pi * ((2 * f * t) % _WIN) / _WIN
+    return np.floor(amp * np.cos(a1) + 0.5) + np.floor(
+        _SPEC_HARM2 * np.cos(a2) + 0.5
+    )
+
+
+@query(
+    "q8m_audio_spectrogram",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, 4 + doc_id % 7 AS n_windows,
+                      3 + doc_id % 13 AS f FROM documents),
+    win AS (
+      SELECT doc_id, f, i.i AS window_idx, 100 - 3*i.i AS amp
+      FROM w, LATERAL (SELECT unnest(generate_series(0, w.n_windows - 1)) AS i) i
+    ),
+    s AS (
+      SELECT doc_id, f, window_idx,
+             CAST(FLOOR(amp * COS(2*PI() * ((f * t.t) % {_WIN}) / {_WIN})
+                        + 0.5) AS BIGINT)
+             + CAST(FLOOR({_SPEC_HARM2} * COS(2*PI() * ((2 * f * t.t) % {_WIN})
+                          / {_WIN}) + 0.5) AS BIGINT) AS v
+      FROM win, LATERAL (SELECT unnest(generate_series(0, {_WIN - 1})) AS t) t
+    )
+    SELECT doc_id, window_idx, {_WIN} AS n_samples,
+           CAST(MAX(f) AS INTEGER) AS dominant_bin,
+           CAST(SUM(v) AS BIGINT) AS dc_sum,
+           CAST(SUM(v * v) AS BIGINT) AS energy
+    FROM s GROUP BY doc_id, window_idx
+    """,
+)
+def q8m_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def spectro(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                for window_idx in range(4 + doc_id % 7):
+                    v = spectro_waveform(doc_id, window_idx)
+                    spec = np.fft.rfft(v)
+                    mag = np.abs(spec)
+                    dominant = int(np.argmax(mag[1:129])) + 1
+                    parseval = (
+                        mag[0] ** 2
+                        + 2.0 * float((mag[1:128] ** 2).sum())
+                        + mag[128] ** 2
+                    ) / _WIN
+                    rows.append(
+                        (
+                            doc_id,
+                            window_idx,
+                            _WIN,
+                            dominant,
+                            int(round(float(spec[0].real))),
+                            int(round(float(parseval))),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "window_idx", "n_samples",
+                    "dominant_bin", "dc_sum", "energy",
+                ],
+            )
+
+    return docs.mapInPandas(
+        spectro,
+        schema="doc_id bigint, window_idx bigint, n_samples int, "
+        "dominant_bin int, dc_sum bigint, energy bigint",
+    )

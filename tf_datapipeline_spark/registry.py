@@ -111,7 +111,12 @@ GATE_ORDER = [
     # range-join class stays value-evidenced in-gate, and q4v's
     # salt-exchange plan stays pinned in test_plans.py).
     "q4n_ohlc_bars",
-    "q4i_range_frame",
+    # Round-6 rotation (late): q4i -> q9f (per-file Bloom skipping index —
+    # the point-lookup companion to q9a's zone maps, new this round; the
+    # time-RANGE trailing-frame class stays evidenced in-gate by q21's
+    # running windows + q4y's spine windows, and q4i stays locally
+    # oracle-checked).
+    "q9f_bloom_skipping",
     "q4c_retention_cohorts",
     # structured streaming. Round-4 rotation: the append-mode production
     # twins take the complete-mode slots (same oracles, stronger
@@ -241,7 +246,12 @@ GATE_ORDER = [
     # takes q89's slot: the nearest-resize kernel is one branch of the
     # chain q82g pins, and q89 stays locally oracle-checked.
     "q82g_augment_golden",
-    "q8e_format_sniff",
+    # Round-6 rotation (late): q8e -> q8m (REAL-FFT audio spectrogram with
+    # the analytic + Parseval integer-exact oracle, new this round; the
+    # magic-byte format-dispatch class stays evidenced in-gate by q87's
+    # binaryFile scan, which decodes through the same sniffed dispatch,
+    # and q8e stays locally oracle-checked).
+    "q8m_audio_spectrogram",
     # Round-5 rotation: q8d -> q8d2. q8d's flat-block corpus is DC-only
     # (analytic oracle, but the huffman AC paths and any subsampling
     # never execute); q8d2 decodes gradient-RGB content encoded 4:2:0 at
