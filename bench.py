@@ -88,6 +88,9 @@ EXTRA = [
     "q9c_compaction_plan",
     "q9d_range_partition_plan",
     "q9e_kmv_quantile_rollup",
+    "q9f_bloom_skipping",
+    "q8m_audio_spectrogram",
+    "q5o_dsir_select",
 ]
 
 

@@ -239,6 +239,10 @@ def test_no_accidental_cross_products(spark):
         # shuffle — the previous exploded form's 12.8B-row exchange was
         # the actual 100 TB explosion this sweep exists to catch.
         "q66_embedding_near_dup",
+        # q5o: two 1-row token-total scalars (target + raw) cross-joined
+        # against the 64-row bucket spine — the same bounded-scalar shape
+        # as q55/q5j; scoring itself is a BroadcastHashJoin on bucket.
+        "q5o_dsir_select",
         # q9f: 1-row MAX(o_orderkey) scalar (file-range layout), the 3-row
         # VALUES k-index fan-out (q6e's device), and the 8-row probe-key
         # dim crossed with the 64-row file dim — every NLJ side is bounded

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tf_datapipeline_spark.catalog import load_table
+from tf_datapipeline_spark.catalog import load_table, register_views
 from tf_datapipeline_spark.functions.texthash import sql_hash32
 from tf_datapipeline_spark.registry import query
 
@@ -1591,3 +1591,93 @@ def q5n_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_pos") + 1).cast("int").alias("rnk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q5o — DSIR-style target-matched data selection (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling" — public
+# method): score every candidate document by how much its hashed-token
+# distribution looks like a TARGET domain (here lang='en' stands in for
+# the wiki+books target; the candidate pool is everything else), and
+# select the docs the target model prefers. Tokens hash into B = 64
+# buckets (the shared md5 device); the target and raw bucket
+# distributions are Laplace-smoothed per-mille-style integer shares
+# (share = (count+1)*1e6 DIV (total+B)); a doc's score is the inner
+# product of its bucket counts with (target_share - raw_share), i.e.
+# the FIRST-ORDER (linear) form of DSIR's log-likelihood-ratio around
+# t ~= r. The substitution is deliberate and documented: ln() differs
+# across libm builds (q55/q59 precedent), so the score is kept fully
+# INTEGER — exact on both engines at any parallelism — and selection
+# is the sign test score > 0 ("more target-like than raw-like"), not a
+# global top-k sort.
+#
+# Scale (100 TB): both distributions are 64-row partial-aggregated
+# summaries (broadcast, ~1 KB); scoring is one map-side broadcast join
+# over per-(doc,bucket) counts — no global sort, no driver collect,
+# nothing proportional to the corpus except the token scan. Overflow
+# regime (ANSI bigint errors, never wraps): (total_tokens+1)*1e6 must
+# stay under 2^63 -> exact through ~9e12 tokens; a 100 TB deployment
+# widens the share arithmetic to DECIMAL(38,0) behind the same
+# expressions.
+# --------------------------------------------------------------------------
+_DSIR_B = 64
+_DSIR_SCALE = 1_000_000
+
+
+def _dsir_body(dialect: str) -> str:
+    from tf_datapipeline_spark.functions.texthash import sql_hash32_dialect
+
+    h = sql_hash32_dialect("'dsir-' || tok", dialect)
+    if dialect == "spark":
+        toks = "SELECT doc_id, lang, explode(split(text, ' ')) AS tok FROM documents"
+        spine = f"SELECT explode(sequence(0, {_DSIR_B - 1})) AS bucket"
+        idiv = "DIV"
+    else:
+        toks = (
+            "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok"
+            " FROM documents"
+        )
+        spine = f"SELECT unnest(range({_DSIR_B})) AS bucket"
+        idiv = "//"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, ({h}) % {_DSIR_B} AS bucket
+      FROM ({toks}) t WHERE tok <> ''
+    ),
+    spine AS ({spine}),
+    tcnt AS (
+      SELECT bucket, COUNT(*) AS c FROM tok WHERE lang = 'en' GROUP BY 1
+    ),
+    rcnt AS (
+      SELECT bucket, COUNT(*) AS c FROM tok WHERE lang <> 'en' GROUP BY 1
+    ),
+    ttot AS (SELECT COUNT(*) AS n FROM tok WHERE lang = 'en'),
+    rtot AS (SELECT COUNT(*) AS n FROM tok WHERE lang <> 'en'),
+    dshare AS (
+      SELECT s.bucket,
+             ((COALESCE(t.c, 0) + 1) * {_DSIR_SCALE} {idiv} (tt.n + {_DSIR_B}))
+           - ((COALESCE(r.c, 0) + 1) * {_DSIR_SCALE} {idiv} (rt.n + {_DSIR_B}))
+               AS d
+      FROM spine s
+      LEFT JOIN tcnt t ON t.bucket = s.bucket
+      LEFT JOIN rcnt r ON r.bucket = s.bucket
+      CROSS JOIN ttot tt CROSS JOIN rtot rt
+    ),
+    docb AS (
+      SELECT doc_id, bucket, COUNT(*) AS c FROM tok
+      WHERE lang <> 'en' GROUP BY 1, 2
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+           CAST(SUM(d.c * s.d) AS BIGINT) AS score,
+           CAST(CASE WHEN SUM(d.c * s.d) > 0 THEN 1 ELSE 0 END AS INT)
+             AS selected
+    FROM docb d JOIN dshare s ON s.bucket = d.bucket
+    GROUP BY d.doc_id
+    """
+
+
+@query("q5o_dsir_select", oracle=_dsir_body("duckdb"))
+def q5o_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_dsir_body("spark"))

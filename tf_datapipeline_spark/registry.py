@@ -160,7 +160,12 @@ GATE_ORDER = [
     # BM25 row, which computes the same per-term document frequencies
     # plus the ranked retrieval on top; q55 stays locally oracle-checked).
     "q9c_compaction_plan",
-    "q5g_doc_chunking",
+    # Round-6 rotation (late): q5g -> q5o (DSIR-style target-matched
+    # selection — integer-exact linear importance score, new this round;
+    # the overlapping-window chunking class stays evidenced in-gate by
+    # q5d's sequence packing, the strictly subtler span arithmetic, and
+    # q5g stays locally oracle-checked).
+    "q5o_dsir_select",
     # Round-5 rotation: q5h -> q5l (CCNet-style perplexity buckets,
     # late-round-4 quality surface; winnowing's windowed-min fingerprint
     # machinery stays evidenced in-gate by q69's rolling-hash spans and
