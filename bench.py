@@ -91,6 +91,7 @@ EXTRA = [
     "q9f_bloom_skipping",
     "q8m_audio_spectrogram",
     "q5o_dsir_select",
+    "q7e_binary_hamming",
 ]
 
 

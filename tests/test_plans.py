@@ -206,6 +206,10 @@ def test_no_accidental_cross_products(spark):
         "q1x_quality_audit",  # broadcast 1-row PK-metric scalars
         "q55_tfidf",  # broadcast 1-row corpus doc count
         "q70_knn_bruteforce",  # broadcast 8-row query set, != condition
+        # q7e: the same 8-row query-code broadcast as q70, range-split
+        # condition — the binary-code brute scan IS this rung's contract
+        # (2 xor+popcount per pair; IVF cells bound it at deployment).
+        "q7e_binary_hamming",
         "qp1_feed_pipeline",  # epochs dim: 2 rows
         "q4y_gap_fill",  # spine build: 5-row type dim x 1-row minute range
         "q82g_augment_golden",  # 1-row train digest x 1-row eval digest

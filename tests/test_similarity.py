@@ -159,3 +159,61 @@ def test_image_near_dup_banding_is_exact(spark):
         for r in mm.q8i_image_near_dup(spark, SF_ORACLE).collect()
     }
     assert got == expected
+
+
+def test_binary_hamming_independent_numpy_twin(spark):
+    """q7e verified by a from-scratch numpy reimplementation (the
+    jpeg_independent.py device): pack sign bits ourselves, compute the
+    full query x corpus Hamming matrix with a different popcount
+    (np.unpackbits, not bit_count), and demand q7e's ENTIRE ranked
+    top-10 — ids, ranks and distances — matches. Then two semantic
+    checks against the exact-cosine baseline: mean recall@10-vs-top-5
+    clears a conservative floor, and the exact top-5 neighbors sit
+    STRICTLY closer in Hamming space than the corpus average (the
+    E[d] = 64*theta/pi angle-estimation property that makes sign codes
+    work at all)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_ORACLE
+
+    tbl = pq.read_table(f"{SF_ORACLE}/embeddings.parquet").to_pydict()
+    ids = np.array(tbl["vec_id"])
+    emb = np.array([list(v) for v in tbl["embedding"]], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, emb = ids[order], emb[order]
+    bits = (emb >= 0).astype(np.uint8)  # (n, 64) sign code
+
+    q_mask = ids < sim._N_QUERIES
+    c_mask = ~q_mask
+    # Hamming via XOR of bit matrices (no bit_count anywhere)
+    ham = (bits[q_mask][:, None, :] != bits[c_mask][None, :, :]).sum(axis=2)
+
+    expected = {}
+    for qi, qid in enumerate(ids[q_mask]):
+        d = ham[qi]
+        nbr = ids[c_mask]
+        order = np.lexsort((nbr, d))[: sim._BH_TOPK]
+        expected[int(qid)] = [
+            (rank + 1, int(nbr[j]), int(d[j])) for rank, j in enumerate(order)
+        ]
+
+    got = {}
+    for r in sim.q7e_binary_hamming(spark, SF_ORACLE).collect():
+        got.setdefault(r.query_id, []).append((r.rnk, r.neighbor_id, r.hamming))
+    for qid in got:
+        got[qid].sort()
+    assert got == expected
+
+    # semantic checks vs the exact float baseline
+    exact = _topk_sets(sim.q70_knn_bruteforce(spark, SF_ORACLE))
+    nbr_ids = ids[c_mask]
+    pos = {int(v): j for j, v in enumerate(nbr_ids)}
+    recalls = []
+    for qi, qid in enumerate(ids[q_mask]):
+        qid = int(qid)
+        top = {n for _, n, _ in expected[qid]}
+        recalls.append(len(exact[qid] & top) / len(exact[qid]))
+        d_exact = np.mean([ham[qi][pos[n]] for n in exact[qid]])
+        assert d_exact < ham[qi].mean(), (qid, d_exact, ham[qi].mean())
+    assert sum(recalls) / len(recalls) >= 0.15, recalls

@@ -1129,3 +1129,76 @@ def q7c_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nearest_partner",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q7e — BINARY (sign) quantization + Hamming-distance top-k: the
+# cheapest rung of the quantization ladder (below q78's int8 SQ and
+# q75's PQ). Each 64-dim float vector compresses 256x into two 32-bit
+# sign words (bit p = 1 iff x_p >= 0 — the classic binary-embedding /
+# sign-random-projection code with identity planes); query-to-corpus
+# distance is bit_count(xor) per word — pure integer ops, so unlike
+# every float-scoring ANN variant the ENTIRE search is hash-exact
+# against the oracle (no decimal device, no rows-only retreat).
+# Hamming on sign codes estimates the angle (E[d] = 64*theta/pi), so
+# ranking tracks cosine ranking; recall vs q70's exact top-k is pinned
+# in tests/test_similarity.py.
+#
+# Scale (100 TB): the code table is 8 bytes/vector (vs 256 B of
+# floats) — 10^9 vectors fit in 8 GB, a broadcast-able or
+# memory-mapped scan where the float corpus is not; encoding is one
+# partial-aggregated pass over the exploded dims; the 8-query probe is
+# a broadcast nested loop by DESIGN (q70 precedent — the brute scan IS
+# this rung's contract; IVF cells bound it at deployment) whose per
+# pair work is 2 xors + 2 popcounts instead of 64 fused
+# multiply-adds. Sign-vs-zero is an exact float comparison (no
+# arithmetic), identical on both engines.
+# --------------------------------------------------------------------------
+_BH_TOPK = 10
+
+
+def _binary_hamming_sql(dialect: str) -> str:
+    if dialect == "spark":
+        def shl(b: str) -> str:
+            return f"shiftleft(CAST(1 AS BIGINT), CAST({b} AS INT))"
+
+        def bxor(a: str, b: str) -> str:
+            return f"({a} ^ {b})"
+    else:
+        def shl(b: str) -> str:
+            return f"(CAST(1 AS BIGINT) << CAST({b} AS INT))"
+
+        def bxor(a: str, b: str) -> str:
+            return f"xor({a}, {b})"
+    return f"""
+    WITH codes AS (
+      SELECT vec_id,
+             SUM(CASE WHEN pos <= 32 AND x >= 0
+                      THEN {shl("pos - 1")} ELSE 0 END) AS w0,
+             SUM(CASE WHEN pos > 32 AND x >= 0
+                      THEN {shl("pos - 33")} ELSE 0 END) AS w1
+      FROM ({_dims_cte(dialect)}) d
+      GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count({bxor("q.w0", "c.w0")})
+                  + bit_count({bxor("q.w1", "c.w1")}) AS INT) AS hamming
+      FROM codes q JOIN codes c
+        ON q.vec_id < {_N_QUERIES} AND c.vec_id >= {_N_QUERIES}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, hamming
+    FROM ranked WHERE rnk <= {_BH_TOPK}
+    """
+
+
+@query("q7e_binary_hamming", oracle=_binary_hamming_sql("duckdb"))
+def q7e_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _materialize_dims(spark, sf_dir)
+    return spark.sql(_binary_hamming_sql("spark"))
