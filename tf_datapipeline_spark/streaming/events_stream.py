@@ -1217,11 +1217,11 @@ def q4b_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partition as it lands, so the index q73 probes never goes stale.
 # Stateless: the (<=16)-row centroid set collapses to broadcast array
 # literals (q73/q77's bounded-metadata precedent) and the per-row
-# argmin is a fold of exact-decimal distance folds — ties break to the
-# LOWEST cell via strict-< accumulation, mirroring the oracle's
-# ORDER BY d2, cell. The oracle is q74's assignment machinery (seed
-# centroids = corpus vectors at vec_id 8 + 37k, DECIMAL(38,12) distance
-# terms) restricted to the delta slice, so the whole routing path is
+# argmin sorts the per-cell distance folds — ties break to the LOWEST
+# cell, mirroring the oracle's ORDER BY d2, cell. Distances are
+# ORDER-PINNED double folds (the q66 device — migrated from
+# DECIMAL(38,12) after the round-6 sf1 sweep caught the decimal cast's
+# cross-engine mis-rounding here), so the whole routing path is
 # hash-exact despite being an ANN component.
 # --------------------------------------------------------------------------
 def _stream_ivf_oracle() -> str:
@@ -1229,25 +1229,34 @@ def _stream_ivf_oracle() -> str:
     from tf_datapipeline_spark.operators.similarity import (
         _CENTROID_STRIDE,
         _N_CELLS,
-        _dims_cte,
     )
 
     cells = ", ".join(
         f"({k}, {8 + _CENTROID_STRIDE * k})" for k in range(_N_CELLS)
     )
+    # ORDER-PINNED distance fold (the q66 migration, applied after the
+    # round-6 sf1 sweep caught the decimal device mis-rounding q7b's d2
+    # in the 12th digit on 1 of 5k rows): list_reduce over the zipped
+    # per-dim squared diffs, left to right — bit-identical to the Spark
+    # side's aggregate(zip_with(...)) double fold by construction.
+    d2 = (
+        "list_reduce("
+        "list_transform("
+        "list_transform(list_zip(v.embedding, c.cemb), "
+        "s -> CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)), "
+        "d -> d * d), "
+        "(a, b) -> a + b)"
+    )
     return f"""
-    WITH dims AS ({_dims_cte("duckdb")}),
-    cw(cell, cwvec_id) AS (VALUES {cells}),
-    cwdims AS (
-      SELECT c.cell, d.pos, d.x FROM dims d JOIN cw c ON c.cwvec_id = d.vec_id
+    WITH cw(cell, cwvec_id) AS (VALUES {cells}),
+    cwe AS (
+      SELECT c.cell, e.embedding AS cemb
+      FROM cw c JOIN embeddings e ON e.vec_id = c.cwvec_id
     ),
     dists AS (
-      SELECT v.vec_id, c.cell,
-             CAST(SUM(CAST((v.x - c.x) * (v.x - c.x) AS DECIMAL(38,12)))
-                  AS DOUBLE) AS d2
-      FROM dims v JOIN cwdims c ON c.pos = v.pos
+      SELECT v.vec_id, c.cell, {d2} AS d2
+      FROM embeddings v CROSS JOIN cwe c
       WHERE v.vec_id % {_DELTA_MOD} = 0
-      GROUP BY 1, 2
     )
     SELECT vec_id, CAST(cell AS INT) AS cell, d2 FROM (
       SELECT vec_id, cell, d2,
@@ -1262,10 +1271,8 @@ def q7b_stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tf_datapipeline_spark.catalog import load_table
     from tf_datapipeline_spark.operators.dedup import _DELTA_MOD
     from tf_datapipeline_spark.operators.similarity import (
-        _ACC,
         _CENTROID_STRIDE,
         _N_CELLS,
-        _dec,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1292,6 +1299,9 @@ def q7b_stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def d2_to(vals: list[float]):
+        # order-pinned double fold over the zipped squared diffs — the
+        # bitwise twin of the oracle's list_reduce (0.0 init is inert:
+        # every term is >= 0, and 0.0 + t == t in IEEE)
         arr = F.array(*[F.lit(v) for v in vals])
         return F.aggregate(
             F.zip_with(
@@ -1299,9 +1309,9 @@ def q7b_stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 arr,
                 lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
             ),
-            F.lit(0).cast(_ACC),
-            lambda acc, t: (acc + _dec(t)).cast(_ACC),
-        ).cast("double")
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
 
     # Each distance fold is projected to a NAMED column first; the argmin
     # then sorts an array of tiny (d2, cell) struct references — nesting
