@@ -243,6 +243,13 @@ def test_no_accidental_cross_products(spark):
         # shuffle — the previous exploded form's 12.8B-row exchange was
         # the actual 100 TB explosion this sweep exists to catch.
         "q66_embedding_near_dup",
+        # q75/q76: the order-pinned rework (round-6 sf1 migration) scores
+        # every vector against an 8-row codeword dim x 8-row sub spine —
+        # both NLJ sides are literals bounded by the query text (VALUES +
+        # sequence(0,7)), never by the corpus; the per-vector work is the
+        # fixed 64-fold, exactly as before the migration.
+        "q75_pq_encode",
+        "q76_pq_ann",
         # q5o: two 1-row token-total scalars (target + raw) cross-joined
         # against the 64-row bucket spine — the same bounded-scalar shape
         # as q55/q5j; scoring itself is a BroadcastHashJoin on bucket.
