@@ -1994,37 +1994,47 @@ def q8m_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
+    # Vectorized batch path: one rfft over a (rows, 256) matrix per Arrow
+    # batch instead of one python-loop rfft per window (sf10 measured the
+    # loop at 139s warm — the matrix form is the same transform ~10x
+    # cheaper). Bit-compatibility with spectro_waveform: the cosine
+    # tables index by j = (f*t) % 256, and costab[j] is computed with the
+    # IDENTICAL float expression (2.0*pi*j/256), so every sample — and
+    # therefore every FFT input — matches the scalar function exactly
+    # (pinned in tests/test_properties.py).
+    t = np.arange(_WIN, dtype=np.int64)
+    costab = np.cos(2.0 * np.pi * np.arange(_WIN, dtype=np.int64) / _WIN)
+
     def spectro(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                for window_idx in range(4 + doc_id % 7):
-                    v = spectro_waveform(doc_id, window_idx)
-                    spec = np.fft.rfft(v)
-                    mag = np.abs(spec)
-                    dominant = int(np.argmax(mag[1:129])) + 1
-                    parseval = (
-                        mag[0] ** 2
-                        + 2.0 * float((mag[1:128] ** 2).sum())
-                        + mag[128] ** 2
-                    ) / _WIN
-                    rows.append(
-                        (
-                            doc_id,
-                            window_idx,
-                            _WIN,
-                            dominant,
-                            int(round(float(spec[0].real))),
-                            int(round(float(parseval))),
-                        )
-                    )
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            if len(ids) == 0:
+                continue
+            nw = 4 + ids % 7
+            doc = np.repeat(ids, nw)  # one row per (doc, window)
+            widx = np.concatenate([np.arange(n) for n in nw])
+            f = (3 + doc % 13)[:, None]
+            amp = (100 - 3 * widx)[:, None].astype(np.float64)
+            v = np.floor(amp * costab[(f * t) % _WIN] + 0.5) + np.floor(
+                _SPEC_HARM2 * costab[(2 * f * t) % _WIN] + 0.5
+            )
+            spec = np.fft.rfft(v, axis=1)
+            mag = np.abs(spec)
+            dominant = np.argmax(mag[:, 1:129], axis=1) + 1
+            parseval = (
+                mag[:, 0] ** 2
+                + 2.0 * (mag[:, 1:128] ** 2).sum(axis=1)
+                + mag[:, 128] ** 2
+            ) / _WIN
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "window_idx", "n_samples",
-                    "dominant_bin", "dc_sum", "energy",
-                ],
+                {
+                    "doc_id": doc,
+                    "window_idx": widx.astype(np.int64),
+                    "n_samples": np.full(len(doc), _WIN, dtype=np.int32),
+                    "dominant_bin": dominant.astype(np.int32),
+                    "dc_sum": np.round(spec[:, 0].real).astype(np.int64),
+                    "energy": np.round(parseval).astype(np.int64),
+                }
             )
 
     return docs.mapInPandas(
