@@ -627,3 +627,25 @@ def test_dsir_selection_discriminates(spark):
     assert 0 < n_sel < len(rows), (n_sel, len(rows))
     # every candidate got a token count and an integer score
     assert all(r.n_tokens > 0 for r in rows)
+
+
+def test_q66_shuffle_arm_matches_broadcast_arm(spark, monkeypatch):
+    """q66's exact arm broadcasts the candidate-pair set, guarded by
+    _Q66_CAND_CAP (a mass-near-duplicate corpus makes |candidates| O(n²)
+    and would blow the broadcast before the quadratic contract itself
+    does). Pin BOTH arms: forcing the cap to 0 routes every corpus down
+    the shuffle-join fallback, which must emit exactly the broadcast
+    arm's rows — the guard changes the physical join strategy, never
+    the result."""
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark.operators import dedup
+
+    base = sorted(
+        map(tuple, dedup.q66_embedding_near_dup(spark, SF_SMOKE).collect())
+    )
+    assert len(base) > 0  # non-vacuous: the threshold admits pairs here
+    monkeypatch.setattr(dedup, "_Q66_CAND_CAP", 0)
+    shuffled = sorted(
+        map(tuple, dedup.q66_embedding_near_dup(spark, SF_SMOKE).collect())
+    )
+    assert shuffled == base

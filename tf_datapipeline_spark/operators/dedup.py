@@ -455,6 +455,8 @@ def _embedding_neardup_sql(dialect: str) -> str:
 _Q66_TAU = 0.4
 _Q66_MARGIN = 1e-9
 _Q66_BLOCK = 2048  # GEMM tile rows; per-task mem ~2 blocks + 32 MB tile
+_Q66_CAND_CAP = 8_000_000  # max candidate pairs broadcast (~128 MB); above
+# this the exact arm switches to shuffle joins (see the regime guard)
 
 
 @query("q66_embedding_near_dup", oracle=_embedding_neardup_sql("duckdb"))
@@ -547,6 +549,19 @@ def q66_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_ids = both.groupBy("bi", "bj").applyInPandas(
         emit_pairs, schema="vec_a long, vec_b long"
     )
+    # Broadcast-regime guard (r6 verdict nit): |candidates| is O(true
+    # near-dup pairs) — ~98k rows at sf1 on this corpus, but a
+    # pathological mass-near-duplicate corpus makes it O(n²) and would
+    # blow the driver-side broadcast long before the quadratic contract
+    # itself hurts. Materialize the id-pair set once (localCheckpoint —
+    # the GEMM prescreen must not run twice) and count it: at or below
+    # _Q66_CAND_CAP (~16 B/row -> ~128 MB worst case) the exact arm
+    # broadcasts as before; above it, the same joins run as shuffle
+    # joins — still correct, just paying two corpus shuffles instead of
+    # two broadcast probes. Arm selection is pinned in
+    # tests/test_properties.py (cap forced to 0 -> shuffle arm, same rows).
+    cand_ids = cand_ids.localCheckpoint()
+    in_broadcast_regime = cand_ids.count() <= _Q66_CAND_CAP
     # The exact arm REJOINS the corpus by id instead of carrying the
     # arrays through the nested loop: the id-only candidate set is the
     # sole BNLJ output, and because the decimal fold's inputs (ea/eb)
@@ -572,10 +587,15 @@ def q66_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     # Broadcast the margin-bounded candidate side, not the corpus: each
-    # rejoin streams the corpus once against a tiny hash table.
-    with_a = e1.join(F.broadcast(cand_ids), "vec_a")
+    # rejoin streams the corpus once against a tiny hash table. Outside
+    # the broadcast regime (guard above) the hint is dropped and the
+    # planner falls back to shuffle joins on the same keys.
+    def _cand_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if in_broadcast_regime else df
+
+    with_a = e1.join(_cand_side(cand_ids), "vec_a")
     return (
-        e2.join(F.broadcast(with_a), "vec_b")
+        e2.join(_cand_side(with_a), "vec_b")
         .withColumn("cos_sim", dot_d / (F.col("na") * F.col("nb")))
         .filter(F.col("cos_sim") >= _Q66_TAU)
         .select("vec_a", "vec_b", "cos_sim")

@@ -332,60 +332,107 @@ def q55_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # source) blocks, bounded by a LENGTH-BAND blocking key: floor(len/32).
 # Edit distance >= |len_a - len_b|, so any pair worth reporting sits in
 # the same or an adjacent band — non-adjacent pairs (distance >= 32) are
-# excluded BY DESIGN, which caps block size independent of corpus skew
-# (a hot (en, common-crawl) block no longer goes O(block^2) at 100x).
-# Realized as an equi-join on (lang, source, band): the b side probes its
-# own and both neighbor bands, so each qualifying pair matches exactly
-# once and the join stays a hash join.
+# excluded BY DESIGN. Bands alone do NOT bound pair work, though: the
+# (lang, source, band) key space saturates (~350 blocks on this corpus
+# shape at any scale), so block POPULATION grows linearly with the
+# corpus and in-block pair work quadratically — measured 412k banded
+# pairs at sf1 -> 39M at sf10 (the r6 verdict's last uncapped
+# quadratic). _Q56_BAND_CAP is the q63-style hot-block guard: each
+# block keeps only its _Q56_BAND_CAP lowest doc_ids (deterministic,
+# replayed verbatim by the oracle's ROW_NUMBER), so total pair work is
+# bounded by n_blocks * 3 * cap^2 — CONSTANT in corpus size — while the
+# scan stays one linear pass. The cap does not bind at the driver's
+# correctness/bench scales (largest block: 3 docs at sf0.01, 11 at
+# sf0.1; it first binds at sf1 where the max block is 94). Realized as
+# an equi-join on (lang, source, band): the b side probes its own and
+# both neighbor bands, so each qualifying pair matches exactly once and
+# the join stays a hash join.
 # --------------------------------------------------------------------------
+_Q56_BAND_CAP = 64
+
+
 @query(
     "q56_levenshtein_pairs",
-    oracle="""
+    oracle=f"""
+    WITH sampled AS (
+      SELECT doc_id, lang, source, text,
+             CAST(FLOOR(length(text) / 32.0) AS BIGINT) AS band
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    capped AS (
+      SELECT doc_id, lang, source, text, band FROM (
+        SELECT s.*, ROW_NUMBER() OVER (PARTITION BY lang, source, band
+                                       ORDER BY doc_id) AS rn
+        FROM sampled s
+      ) r WHERE rn <= {_Q56_BAND_CAP}
+    )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_distance,
            1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
                  / GREATEST(length(a.text), length(b.text)) AS similarity
-    FROM documents a
-    JOIN documents b
+    FROM capped a
+    JOIN capped b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-     AND abs(CAST(FLOOR(length(a.text) / 32.0) AS BIGINT)
-             - CAST(FLOOR(length(b.text) / 32.0) AS BIGINT)) <= 1
-    WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
+     AND abs(a.band - b.band) <= 1
     """,
 )
 def q56_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     band = F.floor(F.length("text") / 32)
-    a = docs.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang"),
-        F.col("source").alias("source"),
-        F.col("text").alias("text_a"),
-        band.alias("band"),
+    capped = (
+        docs.select("doc_id", "lang", "source", "text", band.alias("band"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("lang", "source", "band").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") <= _Q56_BAND_CAP)
+        .drop("rn")
     )
-    b = docs.select(
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "source",
+        F.col("text").alias("text_a"),
+        "band",
+    )
+    b = capped.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang"),
-        F.col("source").alias("source"),
+        "lang",
+        "source",
         F.col("text").alias("text_b"),
         F.explode(
-            F.array(band - 1, band, band + 1)
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
         ).alias("band"),
     )
-    lev = F.levenshtein("text_a", "text_b")
-    return (
+    # The blocked join's shuffle is tiny (capped doc rows, a few MB even
+    # at sf1), so AQE coalesces it to ~1 partition — and then the O(len^2)
+    # levenshtein over every surviving pair runs on ONE task (measured:
+    # 469s single-task at sf1). Explicitly round-robin the PAIR set
+    # before the distance compute: the explicit numPartitions is exempt
+    # from AQE coalescing, balance is perfect regardless of which blocks
+    # are hot, and the extra shuffle moves only the capped pair set
+    # (bounded by n_blocks * 3 * cap^2 rows at any corpus size).
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    pairs = (
         a.join(b, ["lang", "source", "band"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            lev.alias("edit_distance"),
-            (
-                1.0
-                - lev.cast("double")
-                / F.greatest(F.length("text_a"), F.length("text_b"))
-            ).alias("similarity"),
-        )
+        .select("doc_a", "doc_b", "text_a", "text_b")
+        .repartition(n_part)
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.levenshtein("text_a", "text_b").alias("edit_distance"),
+        F.greatest(F.length("text_a"), F.length("text_b")).alias("mx"),
+    ).select(
+        "doc_a",
+        "doc_b",
+        "edit_distance",
+        (1.0 - F.col("edit_distance").cast("double") / F.col("mx")).alias(
+            "similarity"
+        ),
     )
 
 

@@ -170,7 +170,11 @@ GATE_ORDER = [
     # late-round-4 quality surface; winnowing's windowed-min fingerprint
     # machinery stays evidenced in-gate by q69's rolling-hash spans and
     # q5h stays locally oracle-checked).
-    "q5l_perplexity_buckets",
+    # Round-7 rotation: q5l -> q5m (temperature-scaled mixture sampling —
+    # never-gated text surface; the quality-bucketing class q5l
+    # evidences stays in-gate via q5c/q5o's quality-score machinery and
+    # q5l keeps its r5+r6 green rows plus the local oracle check).
+    "q5m_temperature_mix",
     "q5k_bm25",
     "q5c_contamination",
     "q5d_sequence_packing",
@@ -187,7 +191,11 @@ GATE_ORDER = [
     # text digest. q69's rolling-hash dup-span machinery stays locally
     # oracle-checked; the substring-coverage class it evidenced is
     # adjacent to q6f's span dedup, which the driver now value-checks).
-    "q6f_chunk_dedup",
+    # Round-7 rotation: q6f -> q6d (near-dup-graph triangle count — the
+    # never-gated graph-analytics row over q63's verified edge set; q6f
+    # earned its green row in r6 and stays locally oracle-checked, and
+    # the span-dedup shuffle shape stays pinned in tests).
+    "q6d_triangle_count",
     "q63_minhash_lsh_pairs",
     # Round-5 rotation: q64 -> q6a (incremental delta-vs-corpus dedup,
     # the production crawl shape, O(delta) cost) and q65 -> q6b (the
@@ -220,7 +228,13 @@ GATE_ORDER = [
     # decimal cosine arm; q70 stays locally oracle-checked.
     "q7c_mutual_knn",
     "q79_hybrid_rrf",
-    "q74_kmeans_step",
+    # Round-7 rotation: q74 -> q7e (binary sign-quantization + Hamming
+    # top-k, the r6 addition the verdict asked to gate — integer-exact
+    # end-to-end, verified locally three ways but never driver-green;
+    # the centroid-recompute class q74 evidences stays in-gate via
+    # q79's exact-decimal cosine arm and q7c's cell machinery, and q74
+    # keeps its r4-r6 green rows plus the local oracle check).
+    "q7e_binary_hamming",
     # multimodal. Late-round-4 rotation: q81 -> q8i (pixel-exact decode
     # is already evidenced in-gate by q8b/q8d's pixel-level codec rows;
     # the banded image near-dup adds the image-dedup operator class on
@@ -256,7 +270,12 @@ GATE_ORDER = [
     # magic-byte format-dispatch class stays evidenced in-gate by q87's
     # binaryFile scan, which decodes through the same sniffed dispatch,
     # and q8e stays locally oracle-checked).
-    "q8m_audio_spectrogram",
+    # Round-7 rotation: q8m -> q8k (video scene-change detection over
+    # frame-delta energy — the never-gated video-keyframe row; q8m
+    # earned its green row in r6 and stays locally oracle-checked, and
+    # the whole-batch-numpy mapInPandas class it evidences stays
+    # in-gate via q80/q82g/q83g/q8d2).
+    "q8k_scene_change",
     # Round-5 rotation: q8d -> q8d2. q8d's flat-block corpus is DC-only
     # (analytic oracle, but the huffman AC paths and any subsampling
     # never execute); q8d2 decodes gradient-RGB content encoded 4:2:0 at
