@@ -135,8 +135,17 @@ def main() -> None:
     calibration = min(calibration_probe(spark) for _ in range(3))
 
     failures: dict[str, str] = {}
+    # startup_sec for q*_stream_* rows: micro-batch machinery time (source
+    # discovery, offset log, planning) = bounded-run wall minus the
+    # engine's own triggerExecution durations, read from the streaming
+    # module's RUN_TELEMETRY. Reported for the pass whose total was KEPT
+    # (the min), so total and split describe the same run.
+    from tf_datapipeline_spark.streaming import events_stream as _es
+
+    startups: dict[str, float] = {}
 
     def run_once(name: str) -> float | None:
+        tele_mark = len(_es.RUN_TELEMETRY)
         t0 = time.perf_counter()
         try:
             df = qs[name](spark, sf_dir)
@@ -146,7 +155,13 @@ def main() -> None:
         except Exception as exc:  # keep the bench alive past one bad query
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
             return None
-        return time.perf_counter() - t0
+        t = time.perf_counter() - t0
+        runs = _es.RUN_TELEMETRY[tele_mark:]
+        if runs and (name not in timings or t < timings[name]):
+            startups[name] = round(
+                sum(r["total_sec"] - r["exec_sec"] for r in runs), 3
+            )
+        return t
 
     # up to three passes per group, keep the min: pass 1 pays
     # JIT/partition-index warmup, later passes are the steady state an
@@ -199,6 +214,10 @@ def main() -> None:
                 # min-of-2 — state it so cross-round ratios are honest)
                 "passes": passes,
                 "extra_passes": extra_passes,
+                # per-streaming-query startup (wall - triggerExecution) for
+                # the min-kept pass: attributes streaming regressions to
+                # micro-batch startup vs execution without re-running
+                "startup_sec": startups,
                 "sf": sf_dir,
                 **({"failures": failures} if failures else {}),
             }

@@ -4,6 +4,7 @@ regression fails loudly instead of costing 100x on a real cluster."""
 
 from __future__ import annotations
 
+from pyspark.sql.functions import broadcast as F_broadcast
 from pyspark.sql.functions import col as F_col
 
 from tests.conftest import SF_SMOKE
@@ -194,84 +195,47 @@ def test_salted_join_matches_plain_join(spark):
 
 def test_no_accidental_cross_products(spark):
     """Engine-wide join audit: no query may plan a CartesianProduct, and
-    BroadcastNestedLoopJoin is allowed only where the broadcast side is a
-    deliberate tiny relation (epoch dim, scalar watermark, doc-count
-    scalar, 8-row query set). Anything else is a latent 100 TB explosion."""
-    from tf_datapipeline_spark.plans.inspect import join_strategies
+    every BroadcastNestedLoopJoin must broadcast a relation STRUCTURALLY
+    bounded by the query text — verified per-NLJ by
+    plans.inspect.unbounded_nlj_builds (literal relation, one-row scalar,
+    keyless aggregate, literal-id-filtered query set, or a join that
+    key-filters through one of those). This replaced the r2-r6 per-query
+    name allowlist after the r6 advisor pointed out a blanket exemption
+    would let a future edit plan a genuine corpus x corpus nested loop
+    silently — and the structural audit promptly caught q75/q76
+    broadcasting the (corpus x 8-sub) side while streaming the 8-row
+    codeword side (fixed with BROADCAST hints). The only remaining
+    name-level exemption is the pmod-domain idiom the parser cannot
+    prove: q68/qt2's 16-row centroid dim is a grouped aggregate whose
+    key is pmod(vec_id, 16) — bounded by the literal modulus, but the
+    grouping-key domain isn't visible in the physical plan."""
+    from tf_datapipeline_spark.plans.inspect import (
+        join_strategies,
+        unbounded_nlj_builds,
+    )
 
-    nlj_allowed = {
-        "q33_epoch_repeat",  # epochs dim: n_epochs rows
-        "q44_late_data_filter",  # broadcast 1-row watermark scalar
-        "q4m_freshness_monitor",  # broadcast 1-row high-water scalar
-        "q1x_quality_audit",  # broadcast 1-row PK-metric scalars
-        "q55_tfidf",  # broadcast 1-row corpus doc count
-        "q70_knn_bruteforce",  # broadcast 8-row query set, != condition
-        # q7e: the same 8-row query-code broadcast as q70, range-split
-        # condition — the binary-code brute scan IS this rung's contract
-        # (2 xor+popcount per pair; IVF cells bound it at deployment).
-        "q7e_binary_hamming",
-        "qp1_feed_pipeline",  # epochs dim: 2 rows
-        "q4y_gap_fill",  # spine build: 5-row type dim x 1-row minute range
-        "q82g_augment_golden",  # 1-row train digest x 1-row eval digest
-        "q5j_mixture_weights",  # broadcast 1-row total-token scalar
-        "q5k_bm25",  # broadcast 1-row (N, avgdl) + 1-row per-term df scalars
-        "q5m_temperature_mix",  # broadcast 1-row token-total + weight-total scalars
-        "q79_hybrid_rrf",  # inherits q5k's scalars + 1-row query vector
-        "q68_semantic_dedup",  # broadcast 16-row centroid dim (cell scoring)
-        "qt2_prep_semantic",  # inherits q68's 16-row centroid broadcast
-        # q6e: 3-row VALUES k-index fan-out + 1-row filter-config scalar
-        # CTEs join against the bloom-bits scalar — every NLJ side is a
-        # literal relation bounded by the query text, not the corpus.
-        "q6e_bloom_prescreen",
-        # q1i: 1-row capacity-regime guard scalar (assert_true over the
-        # distinct-key count) cross-joined against the 1-row top-k agg.
-        "q1i_heavy_hitters",
-        # q9a: the bounds/zscan/lscan/hits CTEs are 1-row per-layout
-        # aggregates (min/max/file counts) joined back as scalars; all 14
-        # NLJs carry exactly one row on the broadcast side by construction.
-        "q9a_zorder_layout",
-        # q9d: 1-row COUNT(*) scalar (adaptive sample threshold), a 15-row
-        # boundary-index fan-out over the bounded sample, and the 1-row
-        # boundary-array broadcast — every NLJ side is O(B) by
-        # construction, independent of corpus size.
-        "q9d_range_partition_plan",
-        # q66: the brute-force near-dup BASELINE — the vec_a<vec_b pair
-        # enumeration IS the contract (quadratic by design, like q70;
-        # q71/q8i are the bucketed scale paths). The round-6 packed form
-        # deliberately plans it as a nested loop with a codegen float
-        # prescreen in the condition: O(n²) condition evals but ZERO
-        # shuffle — the previous exploded form's 12.8B-row exchange was
-        # the actual 100 TB explosion this sweep exists to catch.
-        "q66_embedding_near_dup",
-        # q75/q76: the order-pinned rework (round-6 sf1 migration) scores
-        # every vector against an 8-row codeword dim x 8-row sub spine —
-        # both NLJ sides are literals bounded by the query text (VALUES +
-        # sequence(0,7)), never by the corpus; the per-vector work is the
-        # fixed 64-fold, exactly as before the migration.
-        "q75_pq_encode",
-        "q76_pq_ann",
-        # q5o: two 1-row token-total scalars (target + raw) cross-joined
-        # against the 64-row bucket spine — the same bounded-scalar shape
-        # as q55/q5j; scoring itself is a BroadcastHashJoin on bucket.
-        "q5o_dsir_select",
-        # q9f: 1-row MAX(o_orderkey) scalar (file-range layout), the 3-row
-        # VALUES k-index fan-out (q6e's device), and the 8-row probe-key
-        # dim crossed with the 64-row file dim — every NLJ side is bounded
-        # by a literal in the query text, never by the corpus.
-        "q9f_bloom_skipping",
+    pmod_domain_bounded = {
+        # 16-row centroid dim = groupBy(pmod(vec_id, 16)) aggregate: key
+        # domain is the literal modulus; every other NLJ in these plans
+        # passes the structural audit
+        "q68_semantic_dedup",
+        "qt2_prep_semantic",
     }
     # Accumulate violations across ALL queries before asserting — a single
     # failure must not shadow the rest of the sweep (round-5 lesson: an
     # in-loop assert left q7c/q9a/q9b unaudited).
-    violations: list[tuple[str, list[str]]] = []
+    violations: list[tuple[str, object]] = []
     for name, fn in sorted(registry.queries().items()):
         if "stream" in name:
             continue  # streaming results come from a memory sink scan
-        joins = join_strategies(fn(spark, SF_SMOKE))
+        df = fn(spark, SF_SMOKE)
+        joins = join_strategies(df)
         if "CartesianProduct" in joins:
             violations.append((name, joins))
-        elif "BroadcastNestedLoopJoin" in joins and name not in nlj_allowed:
-            violations.append((name, joins))
+        elif "BroadcastNestedLoopJoin" in joins and name not in pmod_domain_bounded:
+            bad = unbounded_nlj_builds(df)
+            if bad:
+                violations.append((name, bad))
     assert not violations, violations
 
 
@@ -400,3 +364,16 @@ def test_semantic_centroid_collect_is_corpus_independent():
         assert target == max(16, n // 128)  # cell growth keeps pairs linear
         assert k1 * n_fine >= target  # hierarchy covers the target count
         assert n_fine <= -(-target // k1) + 1  # no overshoot blow-up
+
+
+def test_nlj_audit_catches_corpus_broadcast(spark):
+    """Negative control for the structural NLJ audit: a deliberate
+    corpus-sized broadcast build (broadcast(documents) cross-joined
+    against documents) must be flagged — otherwise the audit above is
+    vacuously green."""
+    from tf_datapipeline_spark.catalog import load_table
+    from tf_datapipeline_spark.plans.inspect import unbounded_nlj_builds
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    bad = F_broadcast(docs).crossJoin(docs.select(F_col("doc_id").alias("d2")))
+    assert unbounded_nlj_builds(bad), "corpus broadcast not flagged"

@@ -565,9 +565,14 @@ def test_spectro_quantization_never_near_flip_boundary():
 def test_spectro_fft_contracts_hold_over_full_waveform_space():
     """The three q8m oracle contracts (dominant bin == f, dc == sum(v),
     Parseval round == integer energy) over every distinct waveform the
-    corpus can produce: (f, window_idx) in 13 x 7 — doc_id only selects
-    within this space. Also pins that the spectral gap to the runner-up
-    bin is macroscopic (no argmax tie is ever decided by float noise)."""
+    corpus can produce: (f, window_idx) in 13 x 10 — n_windows = 4 +
+    doc_id % 7 reaches 10, so window_idx reaches 9 (the r6 advisor
+    caught this sweep stopping at 7 and leaving the amp-79/76/73
+    waveforms untested; the amp stays positive through widx 9). A
+    corpus doc only realizes window_idx < its own n_windows, but the
+    waveform function is pure so the full grid is checkable. Also pins
+    that the spectral gap to the runner-up bin is macroscopic (no
+    argmax tie is ever decided by float noise)."""
     import numpy as np
 
     from tf_datapipeline_spark.operators.multimodal import (
@@ -577,7 +582,7 @@ def test_spectro_fft_contracts_hold_over_full_waveform_space():
 
     for f_idx in range(13):
         doc_id = f_idx  # f = 3 + doc_id % 13
-        for window_idx in range(7):
+        for window_idx in range(10):
             v = spectro_waveform(doc_id, window_idx)
             spec = np.fft.rfft(v)
             mag = np.abs(spec)

@@ -615,7 +615,12 @@ def _bloom_skip_body(dialect: str) -> str:
       GROUP BY 1, 2
     )
     SELECT c.ck AS probe_custkey,
-           CAST({_BSK_FILES} AS INT) AS n_files,
+           -- POPULATED file count, not the nominal {_BSK_FILES}-file
+           -- layout width: at tiny scale factors sparse orderkey ranges
+           -- leave files empty and they drop out of frows/checks, so a
+           -- hardcoded width would overstate the universe files_hit /
+           -- rows_scanned are measured against (r6 advisor)
+           CAST((SELECT COUNT(*) FROM frows) AS INT) AS n_files,
            CAST(SUM(c.hit) AS INT) AS files_hit,
            CAST(COUNT(t.file_id) AS INT) AS files_true,
            CAST(SUM(c.hit) - COUNT(t.file_id) AS INT) AS false_pos,

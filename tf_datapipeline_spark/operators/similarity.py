@@ -515,6 +515,13 @@ def _pq_dists_ctes(dialect: str) -> str:
     )
     if dialect == "spark":
         subs = "SELECT explode(sequence(0, 7)) AS sub"
+        # BROADCAST hints pin the build sides to the BOUNDED relations:
+        # without them Catalyst broadcast the (corpus x 8-sub) side of
+        # the second cross join and streamed the 8-row codeword side —
+        # harmless at test scale, a corpus-sized broadcast at 100 TB
+        # (caught replacing the r6 name-allowlist with the structural
+        # bounded-build-side audit in test_plans.py).
+        hint = "/*+ BROADCAST(s), BROADCAST(c) */ "
         fold = """
              aggregate(
                transform(transform(sequence(1, 8),
@@ -523,6 +530,7 @@ def _pq_dists_ctes(dialect: str) -> str:
                  d -> d * d),
                CAST(0 AS DOUBLE), (a, b) -> a + b)"""
     else:
+        hint = ""
         subs = "SELECT CAST(unnest(range(8)) AS INTEGER) AS sub"
         fold = """
              list_reduce(
@@ -540,7 +548,7 @@ def _pq_dists_ctes(dialect: str) -> str:
     ),
     subs AS ({subs}),
     dists AS (
-      SELECT v.vec_id, s.sub, c.code, {fold} AS d2
+      SELECT {hint}v.vec_id, s.sub, c.code, {fold} AS d2
       FROM embeddings v CROSS JOIN subs s CROSS JOIN cwe c
     )"""
 
@@ -1191,7 +1199,8 @@ def _binary_hamming_sql(dialect: str) -> str:
       GROUP BY vec_id
     ),
     scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      SELECT {"/*+ BROADCAST(q) */ " if dialect == "spark" else ""}
+             q.vec_id AS query_id, c.vec_id AS neighbor_id,
              CAST(bit_count({bxor("q.w0", "c.w0")})
                   + bit_count({bxor("q.w1", "c.w1")}) AS INT) AS hamming
       FROM codes q JOIN codes c
