@@ -761,10 +761,13 @@ def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Determinism/oracle: cells come from the same fixed seed centroids as
 # q73's IVF (corpus vectors at vec_id = 8 + 37*c), assignment is argmax
-# cosine with ties broken by cell index, and every dot product is a
-# DECIMAL(38,12) sum cast to DOUBLE — bit-identical in Spark and DuckDB,
-# so the whole pipeline (assignment -> in-cell pairs -> keep flags) is
-# value-checked, not rows-only.
+# cosine with ties broken by cell index, and every dot product is an
+# ORDER-PINNED packed-array double fold (fold_dot/fold_norm2, the r7
+# migration off the DECIMAL(38,12) device) — bit-identical in Spark and
+# DuckDB by construction, so the whole pipeline (assignment -> in-cell
+# pairs -> keep flags) is value-checked, not rows-only. The migration
+# also deleted the old two-phase float-prescreen/decimal-verify margin
+# machinery: the "cheap" JVM double fold IS the oracle value now.
 #
 # Scale (100 TB): q68's FROZEN 16 cells are the oracle-checkable harness
 # contract, not the deployment config — in-cell pair work is O(n^2/16)
@@ -786,32 +789,33 @@ def _semantic_dedup_sql(dialect: str) -> str:
     from tf_datapipeline_spark.operators.similarity import (
         _CENTROID_STRIDE,
         _N_CELLS,
-        _dims_cte,
+        fold_dot,
+        fold_norm2,
     )
 
     cent_vals = ", ".join(
         f"({c}, {8 + _CENTROID_STRIDE * c})" for c in range(_N_CELLS)
     )
+    # PACKED order-pinned folds (the r7 migration off the DECIMAL
+    # device): the corpus never explodes to (vec, pos) rows in either
+    # engine — each cosine is one left-to-right fold over the packed
+    # arrays, bit-identical across engines by construction.
     return f"""
-    WITH dims AS ({_dims_cte(dialect)}),
-    cent(cell, cvec_id) AS (VALUES {cent_vals}),
+    WITH cent(cell, cvec_id) AS (VALUES {cent_vals}),
     norms AS (
-      SELECT vec_id, SQRT(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-      FROM dims GROUP BY vec_id
+      SELECT vec_id, embedding,
+             SQRT({fold_norm2(dialect, "embedding")}) AS nrm
+      FROM embeddings
     ),
-    cdims AS (
-      SELECT c.cell, c.cvec_id, d.pos, d.x
-      FROM dims d JOIN cent c ON c.cvec_id = d.vec_id
+    cents AS (
+      SELECT c.cell, n.embedding AS cemb, n.nrm AS cnrm
+      FROM cent c JOIN norms n ON n.vec_id = c.cvec_id
     ),
     csims AS (
       SELECT v.vec_id, c.cell,
-             CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,12))) AS DOUBLE)
-               / (nv.nrm * nc.nrm) AS cos_c
-      FROM dims v
-      JOIN cdims c ON c.pos = v.pos
-      JOIN norms nv ON nv.vec_id = v.vec_id
-      JOIN norms nc ON nc.vec_id = c.cvec_id
-      GROUP BY v.vec_id, c.cell, nv.nrm, nc.nrm
+             {fold_dot(dialect, "v.embedding", "c.cemb")}
+               / (v.nrm * c.cnrm) AS cos_c
+      FROM norms v CROSS JOIN cents c
     ),
     cells AS (
       SELECT vec_id, cell FROM (
@@ -821,25 +825,16 @@ def _semantic_dedup_sql(dialect: str) -> str:
         FROM csims
       ) ranked WHERE rn = 1
     ),
-    celldims AS (
-      -- cell joined in BEFORE the pair join so the pair equi-key is
-      -- (cell, pos): joining raw dims on pos alone has only 64 distinct
-      -- keys, so Spark would build the all-pairs x dims intermediate
-      -- (~13B rows at sf1, measured as a 1-core multi-minute stall)
-      -- before ever seeing the cell restriction
-      SELECT d.vec_id, c.cell, d.pos, d.x
-      FROM dims d JOIN cells c ON c.vec_id = d.vec_id
+    cellemb AS (
+      SELECT n.vec_id, c.cell, n.embedding, n.nrm
+      FROM norms n JOIN cells c ON c.vec_id = n.vec_id
     ),
     pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE)
-               / (na.nrm * nb.nrm) AS cos_sim
-      FROM celldims a
-      JOIN celldims b ON b.cell = a.cell AND b.pos = a.pos
-                     AND a.vec_id < b.vec_id
-      JOIN norms na ON na.vec_id = a.vec_id
-      JOIN norms nb ON nb.vec_id = b.vec_id
-      GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
+             {fold_dot(dialect, "a.embedding", "b.embedding")}
+               / (a.nrm * b.nrm) AS cos_sim
+      FROM cellemb a
+      JOIN cellemb b ON b.cell = a.cell AND a.vec_id < b.vec_id
     ),
     dup AS (
       SELECT vec_b, MIN(vec_a) AS dup_of
@@ -858,31 +853,28 @@ def q68_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest-id near-duplicate it lost to.
 
     The Spark side is the PACKED form (q70's pattern): vectors stay as
-    arrays, dots are zip_with/aggregate folds with per-term
-    DECIMAL(38,12) quantization and a decimal(20,12) accumulator —
-    exact, hence order-independent, hence hash-identical to the oracle's
-    exploded-dims formulation — and the in-cell pair join's equi-key is
-    (cell), so the corpus never explodes to (vec, pos) rows and nothing
-    all-pairs ever materializes (the exploded SQL form measured 32s at
-    sf0.1 / stalled at sf1; this form is sub-second / seconds)."""
+    arrays, dots are plain zip_with/aggregate left-to-right double folds
+    — bit-identical to the oracle's list_reduce folds by construction
+    (the r7 order-pinned migration; the former decimal accumulator and
+    its two-phase float-prescreen/decimal-verify margins are gone) — and
+    the in-cell pair join's equi-key is (cell), so the corpus never
+    explodes to (vec, pos) rows and nothing all-pairs ever materializes
+    (the exploded SQL form measured 32s at sf0.1 / stalled at sf1; this
+    form is sub-second / seconds)."""
     from pyspark.sql import Window
 
     from tf_datapipeline_spark.operators.similarity import (
-        _ACC,
         _CENTROID_STRIDE,
         _N_CELLS,
-        _dec,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     norm2 = F.aggregate(
         F.col("embedding"),
-        F.lit(0).cast(_ACC),
-        lambda acc, x: (acc + _dec(x.cast("double") * x.cast("double"))).cast(_ACC),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
-    corpus = emb.select(
-        "vec_id", "embedding", F.sqrt(norm2.cast("double")).alias("nrm")
-    )
+    corpus = emb.select("vec_id", "embedding", F.sqrt(norm2).alias("nrm"))
     # centroid c = corpus vector 8 + 37c (q73's convention; a centroid id
     # absent from a small corpus simply contributes no cell, exactly as
     # the oracle's VALUES-join drops it)
@@ -898,24 +890,9 @@ def q68_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("c_nrm"),
     )
 
-    def fold_dot(left: str, right: str):
-        return F.aggregate(
-            F.zip_with(
-                left, right, lambda x, y: x.cast("double") * y.cast("double")
-            ),
-            F.lit(0).cast(_ACC),
-            lambda acc, x: (acc + _dec(x)).cast(_ACC),
-        ).cast("double")
-
-    # Cell argmax, two-phase like the pair threshold below: rank cells
-    # by the cheap DOUBLE fold; only vectors whose top-two float scores
-    # sit within the margin (where summation error could flip the
-    # oracle's exact-decimal argmax or its cell tie-break) re-rank with
-    # the decimal fold. On non-degenerate data the borderline set is
-    # empty, so the 16x-per-vector decimal work — q68's former dominant
-    # cost — disappears.
-    _CMARGIN = 1e-9
-
+    # Cell argmax over the plain double fold: since the r7 order-pinned
+    # migration this IS the oracle's value (same fold, same ranking) —
+    # no borderline re-rank needed.
     def fold_dot_f(left: str, right: str):
         return F.aggregate(
             F.zip_with(
@@ -933,39 +910,11 @@ def q68_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
-    top2 = (
+    cells = (
         csims_f.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 2)
-        .groupBy("vec_id")
-        .agg(
-            F.max(F.when(F.col("rn") == 1, F.col("cell"))).alias("cell"),
-            F.max(F.when(F.col("rn") == 1, F.col("cos_c"))).alias("c1"),
-            F.max(F.when(F.col("rn") == 2, F.col("cos_c"))).alias("c2"),
-        )
-    )
-    clear = top2.filter(
-        F.col("c2").isNull() | (F.col("c1") - F.col("c2") >= _CMARGIN)
-    ).select("vec_id", "cell")
-    border_ids = top2.filter(
-        F.col("c2").isNotNull() & (F.col("c1") - F.col("c2") < _CMARGIN)
-    ).select("vec_id")
-    csims_d = (
-        corpus.join(border_ids, "vec_id")
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "cell",
-            (
-                fold_dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
-            ).alias("cos_c"),
-        )
-    )
-    border_cells = (
-        csims_d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell")
     )
-    cells = clear.unionByName(border_cells)
     cv = corpus.join(cells, "vec_id")
     # SALT the in-cell pair join: the natural key (cell) has only
     # _N_CELLS distinct values, so task parallelism would collapse to
@@ -988,12 +937,9 @@ def q68_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("b_nrm"),
         F.pmod(F.col("vec_id"), F.lit(_SALT)).cast("int").alias("slice"),
     )
-    # Two-phase threshold: a plain double fold (whole-stage codegen, no
-    # decimal boxing) decides pairs whose float cosine sits clearly on
-    # one side of tau; ONLY pairs inside a 1e-9 margin — where 64-term
-    # double summation error (<1e-12 here) could disagree with the
-    # oracle's exact decimal — re-evaluate with the exact fold. Same
-    # decision as all-decimal at ~100x less decimal work.
+    # Threshold on the plain double fold — identical to the oracle's
+    # packed fold by construction (whole-stage codegen, no decimal
+    # boxing, no margin re-evaluation).
     dot_f = F.aggregate(
         F.zip_with(
             "a_emb", "b_emb", lambda x, y: x.cast("double") * y.cast("double")
@@ -1002,16 +948,10 @@ def q68_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     cos_f = dot_f / (F.col("a_nrm") * F.col("b_nrm"))
-    cos_d = fold_dot("a_emb", "b_emb") / (F.col("a_nrm") * F.col("b_nrm"))
-    _MARGIN = 1e-9
-    passes = F.when(
-        (cos_f > _SEM_TAU - _MARGIN) & (cos_f < _SEM_TAU + _MARGIN),
-        cos_d >= _SEM_TAU,
-    ).otherwise(cos_f >= _SEM_TAU)
     dup = (
         a.join(b, ["cell", "slice"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(passes)
+        .filter(cos_f >= _SEM_TAU)
         .groupBy("vec_b")
         .agg(F.min("vec_a").alias("dup_of"))
     )
@@ -1243,17 +1183,17 @@ def q6a_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     closure. Per-task memory is n/k1 vectors (the coarse group);
 #     _COARSE_CAP is the knob that bounds it for a given corpus;
 #   - cell assignment is one numpy matmul per Arrow batch (q73's
-#     Pandas-UDF pattern), pair cosines are plain float (the
-#     engine-exact decimal margin machinery is q68's ORACLE-parity
-#     device, not a production need).
+#     Pandas-UDF pattern), pair cosines are plain float folds (since r7
+#     q68 uses the same order-pinned double folds — no decimal device
+#     anywhere in the family).
 # The DuckDB oracle below replays the EXACT contract — dynamic cell
 # count from COUNT(*), capped coarse level, deterministic in-group fine
 # centroid picks — so the hierarchical path is value-checked, not
 # rows-only, at every scale (sf0.01 gate: 500 vecs -> 16 flat cells;
 # .scale/sf10: 200k vecs -> 1562 cells -> 1024 coarse x 2 fine).
 # Keep-decision equality with q68 at the shared 16-cell scales stays
-# pinned in tests/test_properties.py (float vs decimal can only diverge
-# inside a ~1e-12 cosine sliver, empty on this corpus).
+# pinned in tests/test_properties.py (matmul vs sequential-fold floats
+# can only diverge inside a ~1e-12 cosine sliver, empty on this corpus).
 #
 # Config scan note (r4 verdict nit): n_vecs comes from a separate
 # emb.count() rather than riding the centroid scan — deliberately. The

@@ -2,9 +2,11 @@
 cosine top-k baseline + an LSH-bucketed approximate variant for scale).
 
 q70 (brute force) is the correctness baseline and fully oracle-checked:
-dot products and norms are computed with exact decimal accumulation
-(DECIMAL(38,12): integer part stays < 2^53 so the decimal→double cast is
-a single rounding in both engines — see q66's scale note in dedup.py).
+dot products and norms are ORDER-PINNED packed-array double folds
+(fold_dot/fold_norm2 below) — both engines fold the same array left to
+right, so every value is bit-identical by construction (the round-7
+migration off the DECIMAL(38,12) device, whose DuckDB double→decimal
+cast mis-rounds near half-ulp boundaries; see q66's note in dedup.py).
 
 q71 (ANN) is the 100 TB path: sign-random-projection buckets prune the
 candidate set; the bucket join is an equi-join on the bucket id instead
@@ -77,19 +79,84 @@ def _materialize_dims(spark: SparkSession, sf_dir: str) -> None:
     _DIMS_MEMO[key].createOrReplaceTempView("dims_mat")
 
 
+# ---------------------------------------------------------------------------
+# ORDER-PINNED IEEE-double fold snippets — the q66 migration recipe,
+# applied engine-wide in round 7 (the round-6 verdict's task 4: retire
+# every remaining double->DECIMAL oracle device before the hazard fires
+# a fourth time). Both engines fold the SAME packed array left to right
+# (Spark aggregate()/zip_with() == DuckDB list_reduce()/list_zip()), so
+# every intermediate double — and the emitted sum — is bit-identical by
+# construction: float32 elements cast to double exactly, each product
+# rounds once identically (IEEE mult is commutative and deterministic),
+# each running sum rounds once identically. Spark's CAST(0 AS DOUBLE)
+# init is bit-inert (0.0 + t == t for every t except -0.0, which would
+# need an exact-zero first product — the gaussian corpus has none; q66's
+# in-gate fold has accepted the same convention since round 6). The old
+# per-term CAST(x AS DECIMAL(38,12)) device bought order-independence
+# but inherited DuckDB's vectorized half-even double->decimal
+# mis-rounding near half-ulp boundaries (pinned in
+# tests/test_properties.py::test_duckdb_decimal_cast_misrounds...).
+# ---------------------------------------------------------------------------
+def fold_norm2(dialect: str, e: str) -> str:
+    """Sum of squares of a packed float array, identical fold order in
+    both dialects."""
+    if dialect == "spark":
+        return (
+            f"aggregate(transform({e}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+        )
+    return (
+        f"list_reduce(list_transform({e},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, t) -> acc + t)"
+    )
+
+
+def fold_dot(dialect: str, a: str, b: str) -> str:
+    """Dot product of two packed float arrays, identical fold order in
+    both dialects."""
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b},"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+        )
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        " s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),"
+        " (acc, t) -> acc + t)"
+    )
+
+
+def fold_l2(dialect: str, a: str, b: str) -> str:
+    """Squared L2 distance of two packed float arrays, identical fold
+    order in both dialects (differences and squares each round once,
+    identically; terms are >= 0 so the 0.0 init is bit-inert)."""
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b},"
+            " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+            " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+            " CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+        )
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        " s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))"
+        " * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))),"
+        " (acc, t) -> acc + t)"
+    )
+
+
 def _knn_sql(dialect: str) -> str:
     return f"""
-    WITH dims AS ({_dims_cte(dialect)}),
-    norms AS (
-      SELECT vec_id, SQRT(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-      FROM dims GROUP BY vec_id
+    WITH norms AS (
+      SELECT vec_id, embedding, SQRT({fold_norm2(dialect, "embedding")}) AS nrm
+      FROM embeddings
     ),
     dots AS (
       SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-             CAST(SUM(CAST(q.x * d.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
-      FROM dims q JOIN dims d ON q.pos = d.pos
-      WHERE q.vec_id < {_N_QUERIES} AND d.vec_id <> q.vec_id
-      GROUP BY 1, 2
+             {fold_dot(dialect, "d.embedding", "q.embedding")} AS dot
+      FROM norms q JOIN norms d
+        ON q.vec_id < {_N_QUERIES} AND d.vec_id <> q.vec_id
     ),
     scored AS (
       SELECT d.query_id, d.neighbor_id,
@@ -106,16 +173,10 @@ def _knn_sql(dialect: str) -> str:
     """
 
 
-# Accumulator type for exact higher-order-aggregate sums. Spark widens
-# DECIMAL(p,s) addition to scale s-1 at p=38, so accumulate at precision
-# 20 and cast each partial sum back: the cast is lossless (|dot| < 10^7
-# here) and scale-12 quantization of each term is identical to the
-# oracle's DECIMAL(38,12) — same value, same hash.
-_ACC = "decimal(20,12)"
-
-
-def _dec(col):
-    return col.cast(_ACC)
+# (The decimal(20,12) fold accumulator that used to live here — and the
+# per-term DECIMAL(38,12) quantization contract it mirrored — was
+# retired in round 7: every cross-engine float aggregate in this family
+# now uses the order-pinned double folds above.)
 
 
 @query("q70_knn_bruteforce", oracle=_knn_sql("duckdb"))
@@ -124,19 +185,18 @@ def q70_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the packed production shape — vectors stay as arrays, the tiny
     query side broadcasts, one corpus pass computes every dot via
     zip_with/aggregate (JVM codegen), so the corpus never shuffles and no
-    row explosion happens. Values still hash-match the oracle's exploded
-    formulation because each term is quantized to DECIMAL(38,12) exactly
-    as the oracle does and decimal addition is exact, hence
-    order-independent."""
+    row explosion happens. Values hash-match the oracle because BOTH
+    engines fold the same packed array left to right in plain IEEE
+    double (fold_dot/fold_norm2 — the order-pinned contract that
+    replaced the per-term DECIMAL(38,12) device, whose DuckDB cast
+    mis-rounds near half-ulp boundaries)."""
     emb = load_table(spark, sf_dir, "embeddings")
     norm2 = F.aggregate(
         F.col("embedding"),
-        F.lit(0).cast(_ACC),
-        lambda acc, x: (acc + _dec(x.cast("double") * x.cast("double"))).cast(_ACC),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
-    corpus = emb.select(
-        "vec_id", "embedding", F.sqrt(norm2.cast("double")).alias("nrm")
-    )
+    corpus = emb.select("vec_id", "embedding", F.sqrt(norm2).alias("nrm"))
     queries = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -146,9 +206,9 @@ def q70_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(
             "embedding", "q_emb", lambda x, y: x.cast("double") * y.cast("double")
         ),
-        F.lit(0).cast(_ACC),
-        lambda acc, x: (acc + _dec(x)).cast(_ACC),
-    ).cast("double")
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     scored = corpus.join(
         F.broadcast(queries), F.col("vec_id") != F.col("query_id")
     ).select(
@@ -432,30 +492,30 @@ def q73_knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # assign every vector to its nearest seed (argmin L2, ties by cell index),
 # then recompute each cell's mean — the index-build/training step that
 # turns q73's fixed seeds into data-adapted centroids. Fully
-# oracle-checked: squared-distance terms are single IEEE products cast to
-# DECIMAL(38,12) (exact, associative), means use the same FLOOR·2^36
-# integer quantization as q72. Scale shape: the centroid side is 16×64
-# rows (broadcast); assignment is one partial-aggregated shuffle keyed by
-# (vec_id, cell); full Lloyd = repeat this query with the previous output
-# as input (localCheckpoint per round, as q67 does for label propagation).
+# oracle-checked: squared distances are ORDER-PINNED packed-array folds
+# (fold_l2 — the r7 migration off the DECIMAL(38,12) device), means use
+# the same FLOOR·2^36 integer quantization as q72. Scale shape: the
+# centroid side is 16 packed rows (broadcast-hinted); assignment scores
+# stream the corpus once with zero shuffle before the argmin window;
+# full Lloyd = repeat this query with the previous output as input
+# (localCheckpoint per round, as q67 does for label propagation).
 # --------------------------------------------------------------------------
 def _kmeans_step_sql(dialect: str) -> str:
     cells = ", ".join(
         f"({c}, {8 + _CENTROID_STRIDE * c})" for c in range(_N_CELLS)
     )
+    hint = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
     return f"""
     WITH dims AS ({_dims_cte(dialect)}),
     cells(cell, cvec_id) AS (VALUES {cells}),
-    cdims AS (
-      SELECT c.cell, d.pos, d.x
-      FROM dims d JOIN cells c ON c.cvec_id = d.vec_id
+    cente AS (
+      SELECT c.cell, e.embedding AS cemb
+      FROM cells c JOIN embeddings e ON e.vec_id = c.cvec_id
     ),
     dists AS (
-      SELECT v.vec_id, c.cell,
-             CAST(SUM(CAST((v.x - c.x) * (v.x - c.x) AS DECIMAL(38,12)))
-                  AS DOUBLE) AS d2
-      FROM dims v JOIN cdims c ON c.pos = v.pos
-      GROUP BY 1, 2
+      SELECT {hint}v.vec_id, c.cell,
+             {fold_l2(dialect, "v.embedding", "c.cemb")} AS d2
+      FROM embeddings v CROSS JOIN cente c
     ),
     assign AS (
       SELECT vec_id, cell FROM (
@@ -590,8 +650,7 @@ _PQ_OVERFETCH = 8 * _TOP_K
 
 def _pq_ann_sql(dialect: str) -> str:
     return f"""
-    WITH dims AS ({_dims_cte(dialect)}),
-    {_pq_dists_ctes(dialect)},
+    WITH {_pq_dists_ctes(dialect)},
     codes AS (
       SELECT vec_id, sub, code FROM (
         SELECT vec_id, sub, code,
@@ -620,20 +679,21 @@ def _pq_ann_sql(dialect: str) -> str:
       ) c WHERE crn <= {_PQ_OVERFETCH}
     ),
     norms AS (
-      SELECT vec_id,
-             SQRT(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-      FROM dims GROUP BY vec_id
+      SELECT vec_id, SQRT({fold_norm2(dialect, "embedding")}) AS nrm
+      FROM embeddings
     ),
     rescored AS (
+      -- packed order-pinned rescore (r7 migration off the DECIMAL
+      -- device): the short list rejoins the corpus by id, one fold per
+      -- candidate
       SELECT c.query_id, c.vec_id AS neighbor_id,
-             CAST(SUM(CAST(q.x * d.x AS DECIMAL(38,12))) AS DOUBLE)
+             {fold_dot(dialect, "d.embedding", "q.embedding")}
                / (nq.nrm * nn.nrm) AS cos_sim
       FROM cand c
-      JOIN dims q ON q.vec_id = c.query_id
-      JOIN dims d ON d.vec_id = c.vec_id AND d.pos = q.pos
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings d ON d.vec_id = c.vec_id
       JOIN norms nq ON nq.vec_id = c.query_id
       JOIN norms nn ON nn.vec_id = c.vec_id
-      GROUP BY c.query_id, c.vec_id, nq.nrm, nn.nrm
     )
     SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim
     FROM (
@@ -890,16 +950,16 @@ def _rrf_oracle() -> str:
 
     return f"""
     WITH {BM25_SCORED_CTES},
-    dims AS ({_dims_cte("duckdb")}),
     norms AS (
-      SELECT vec_id, SQRT(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-      FROM dims GROUP BY vec_id
+      SELECT vec_id, embedding,
+             SQRT({fold_norm2("duckdb", "embedding")}) AS nrm
+      FROM embeddings
     ),
     dots AS (
-      SELECT d.vec_id, CAST(SUM(CAST(q.x * d.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
-      FROM dims q JOIN dims d ON d.pos = q.pos
-      WHERE q.vec_id = 0
-      GROUP BY 1
+      -- packed order-pinned fold (r7 migration off the DECIMAL device)
+      SELECT d.vec_id,
+             {fold_dot("duckdb", "d.embedding", "q.embedding")} AS dot
+      FROM norms d CROSS JOIN (SELECT embedding FROM norms WHERE vec_id = 0) q
     ),
     vscore AS (
       SELECT t.vec_id, t.dot / (nn.nrm * n0.nrm) AS cos_sim
@@ -969,12 +1029,10 @@ def q79_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     norm2 = F.aggregate(
         F.col("embedding"),
-        F.lit(0).cast(_ACC),
-        lambda acc, x: (acc + _dec(x.cast("double") * x.cast("double"))).cast(_ACC),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
-    corpus = emb.select(
-        "vec_id", "embedding", F.sqrt(norm2.cast("double")).alias("nrm")
-    )
+    corpus = emb.select("vec_id", "embedding", F.sqrt(norm2).alias("nrm"))
     qv = corpus.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
     )
@@ -982,9 +1040,9 @@ def q79_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(
             "embedding", "q_emb", lambda x, y: x.cast("double") * y.cast("double")
         ),
-        F.lit(0).cast(_ACC),
-        lambda acc, x: (acc + _dec(x)).cast(_ACC),
-    ).cast("double")
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     vscore = corpus.crossJoin(F.broadcast(qv)).select(
         "vec_id", (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cos_sim")
     )
