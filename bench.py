@@ -92,6 +92,8 @@ EXTRA = [
     "q8m_audio_spectrogram",
     "q5o_dsir_select",
     "q7e_binary_hamming",
+    # round 7 additions: timed for evidence, out of the headline total
+    "q7f_mmr_rerank",
 ]
 
 

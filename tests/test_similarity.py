@@ -217,3 +217,37 @@ def test_binary_hamming_independent_numpy_twin(spark):
         d_exact = np.mean([ham[qi][pos[n]] for n in exact[qid]])
         assert d_exact < ham[qi].mean(), (qid, d_exact, ham[qi].mean())
     assert sum(recalls) / len(recalls) >= 0.15, recalls
+
+
+def test_mmr_diversifies_and_pins_rank1(spark):
+    """q7f's greedy must be non-vacuous at the harness scale: rank 1 is
+    the pure-relevance argmax for every query (empty selected set), and
+    for at least one query the remaining MMR order DIFFERS from the
+    pure-relevance order — i.e. the similarity penalty genuinely moved
+    a pick, so the gate row is not just re-checking q70's ranking."""
+    from pyspark.sql import functions as F
+
+    mmr = sim.q7f_mmr_rerank(spark, SF_ORACLE).collect()
+    exact = sim.q70_knn_bruteforce(spark, SF_ORACLE)
+    rel1 = {
+        r.query_id: r.neighbor_id
+        for r in exact.filter(F.col("rank") == 1).collect()
+    }
+    by_q: dict[int, list[int]] = {}
+    for r in sorted(mmr, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    assert set(by_q) == set(rel1)
+    for q, picks in by_q.items():
+        assert picks[0] == rel1[q], (q, picks[0], rel1[q])
+        assert len(picks) == len(set(picks)) == 10  # no repeats, full K
+    # diversity: the MMR trajectory deviates from pure relevance order
+    # somewhere (checked against the rel-ranked shortlist)
+    pool = spark.sql(sim._mmr_shortlist_sql("spark")).collect()
+    rel_order: dict[int, list[int]] = {}
+    for r in sorted({(p.query_id, p.va, p.rel) for p in pool},
+                    key=lambda t: (t[0], -t[2], t[1])):
+        rel_order.setdefault(r[0], []).append(r[1])
+    deviates = any(
+        by_q[q] != rel_order[q][: len(by_q[q])] for q in by_q
+    )
+    assert deviates, "MMR == pure relevance everywhere: penalty vacuous"

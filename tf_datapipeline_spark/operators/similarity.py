@@ -1279,3 +1279,173 @@ def _binary_hamming_sql(dialect: str) -> str:
 def q7e_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     _materialize_dims(spark, sf_dir)
     return spark.sql(_binary_hamming_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# q7f — MMR (Maximal Marginal Relevance) diversified re-rank: the
+# standard greedy diverse-selection step (Carbonell & Goldstein 1998)
+# used by retrieval stacks and LLM data-curation pipelines to avoid
+# returning/selecting 10 near-identical items — pick argmax of
+# lambda*rel(d) - (1-lambda)*max_{s in selected} sim(d, s), K times.
+#
+# Spark shape (100 TB): the ONLY corpus-proportional work is the q70
+# scoring pass that builds the per-query top-_MMR_POOL shortlist (one
+# scan, broadcast query side, window top-k) and the pairwise sims over
+# that shortlist — both distributed, both order-pinned folds. The
+# greedy itself is inherently sequential-in-K over a QUERY-SET-BOUNDED
+# relation (8 queries x 24 candidates x 23 sims — never
+# corpus-proportional), so it runs driver-side on the collected
+# shortlist, exactly where a production serving stack reranks its
+# shortlist. (The pure-SQL chained-CTE form works in DuckDB — the
+# oracle below runs it with MATERIALIZED accumulators — but Spark
+# inlines each acc_k CTE at every reference, tripling the plan per
+# step: 3^10 copies of the scoring pipeline, measured as a driver OOM.
+# Collecting the bounded shortlist is the engine's documented
+# bounded-metadata pattern, q6b's <=1024-row centroid precedent.)
+#
+# Determinism/oracle: rel and pairwise sims are the order-pinned
+# packed-array double folds (fold_dot/fold_norm2); the MMR score is
+# 0.7*rel - 0.3*pen in IEEE double on both sides (Python float ==
+# DuckDB DOUBLE op for op); ties break by vec_id; so the ENTIRE greedy
+# trajectory is hash-exact (emitted: query_id, rank, vec_id,
+# mmr_score).
+# --------------------------------------------------------------------------
+_MMR_POOL = 24
+_MMR_K = 10
+_MMR_LAMBDA = "CAST(0.7 AS DOUBLE)"
+_MMR_ONE_MINUS = "CAST(0.3 AS DOUBLE)"
+
+
+def _mmr_shortlist_sql(dialect: str) -> str:
+    """The distributed part, shared by both engines: per-query
+    top-_MMR_POOL shortlist (rel) and its pairwise sims."""
+    hint = "/*+ BROADCAST(q) */ " if dialect == "spark" else ""
+    return f"""
+    WITH norms AS (
+      SELECT vec_id, embedding, SQRT({fold_norm2(dialect, "embedding")}) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT {hint}q.vec_id AS query_id, d.vec_id,
+             {fold_dot(dialect, "d.embedding", "q.embedding")}
+               / (d.nrm * q.nrm) AS rel
+      FROM norms q JOIN norms d
+        ON q.vec_id < {_N_QUERIES} AND d.vec_id <> q.vec_id
+    ),
+    pool AS (
+      SELECT query_id, vec_id, rel FROM (
+        SELECT query_id, vec_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, vec_id) AS rn
+        FROM scored
+      ) pr WHERE rn <= {_MMR_POOL}
+    ),
+    pemb AS (
+      SELECT p.query_id, p.vec_id, p.rel, n.embedding, n.nrm
+      FROM pool p JOIN norms n ON n.vec_id = p.vec_id
+    )
+    SELECT a.query_id, a.vec_id AS va, a.rel, b.vec_id AS vb,
+           {fold_dot(dialect, "a.embedding", "b.embedding")}
+             / (a.nrm * b.nrm) AS sim
+    FROM pemb a JOIN pemb b ON b.query_id = a.query_id
+                           AND b.vec_id <> a.vec_id
+    """
+
+
+def _mmr_oracle() -> str:
+    steps = []
+    steps.append(f"""
+    sel1 AS (
+      SELECT query_id, vec_id,
+             {_MMR_LAMBDA} * rel - {_MMR_ONE_MINUS} * CAST(0 AS DOUBLE)
+               AS mmr_score
+      FROM (
+        SELECT query_id, vec_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, vec_id) AS rn
+        FROM pool
+      ) r1 WHERE rn = 1
+    ),
+    acc1 AS MATERIALIZED (SELECT query_id, vec_id FROM sel1)""")
+    for k in range(2, _MMR_K + 1):
+        p = k - 1
+        steps.append(f"""
+    cand{k} AS (
+      SELECT p.query_id, p.vec_id, p.rel, MAX(ps.sim) AS pen
+      FROM pool p
+      JOIN acc{p} a ON a.query_id = p.query_id
+      JOIN psim ps ON ps.query_id = p.query_id
+                  AND ps.va = p.vec_id AND ps.vb = a.vec_id
+      LEFT JOIN acc{p} ex ON ex.query_id = p.query_id
+                         AND ex.vec_id = p.vec_id
+      WHERE ex.vec_id IS NULL
+      GROUP BY p.query_id, p.vec_id, p.rel
+    ),
+    sel{k} AS (
+      SELECT query_id, vec_id, mmr_score FROM (
+        SELECT query_id, vec_id,
+               {_MMR_LAMBDA} * rel - {_MMR_ONE_MINUS} * pen AS mmr_score,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {_MMR_LAMBDA} * rel - {_MMR_ONE_MINUS} * pen DESC,
+                          vec_id) AS rn
+        FROM cand{k}
+      ) rk WHERE rn = 1
+    ),
+    acc{k} AS MATERIALIZED (SELECT query_id, vec_id FROM acc{p}
+               UNION ALL SELECT query_id, vec_id FROM sel{k})""")
+    picks = "\n      UNION ALL ".join(
+        f"SELECT query_id, {k} AS rank, vec_id, mmr_score FROM sel{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+    shortlist = _mmr_shortlist_sql("duckdb").strip()
+    assert shortlist.startswith("WITH ")
+    body = shortlist[len("WITH "):]
+    # re-wrap: the shortlist's final SELECT becomes the psim CTE
+    ctes, final_select = body.rsplit(")\n    SELECT", 1)
+    return f"""
+    WITH {ctes}),
+    psim AS MATERIALIZED (SELECT{final_select}),{",".join(steps)}
+    SELECT query_id, CAST(rank AS INT) AS rank, vec_id, mmr_score
+    FROM ({picks}) allp
+    """
+
+
+@query("q7f_mmr_rerank", oracle=_mmr_oracle())
+def q7f_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    # distributed shortlist: one corpus scan + bounded pairwise sims
+    rows = spark.sql(_mmr_shortlist_sql("spark")).collect()
+    rel: dict[tuple[int, int], float] = {}
+    sims: dict[tuple[int, int, int], float] = {}
+    for r in rows:
+        rel[(r.query_id, r.va)] = r.rel
+        sims[(r.query_id, r.va, r.vb)] = r.sim
+    out = []
+    for q in sorted({k[0] for k in rel}):
+        cands = sorted(v for (qq, v) in rel if qq == q)
+        selected: list[int] = []
+        for rank in range(1, _MMR_K + 1):
+            best = None  # (score, vec_id)
+            for v in cands:
+                if v in selected:
+                    continue
+                pen = max((sims[(q, v, s)] for s in selected), default=None)
+                score = (
+                    0.7 * rel[(q, v)] - 0.3 * 0.0
+                    if pen is None
+                    else 0.7 * rel[(q, v)] - 0.3 * pen
+                )
+                # argmax with vec_id tie-break == the oracle's
+                # ROW_NUMBER(ORDER BY score DESC, vec_id)
+                if best is None or score > best[0] or (
+                    score == best[0] and v < best[1]
+                ):
+                    best = (score, v)
+            if best is None:
+                break
+            out.append((q, rank, best[1], best[0]))
+            selected.append(best[1])
+    return spark.createDataFrame(
+        out, "query_id bigint, rank int, vec_id bigint, mmr_score double"
+    )
