@@ -94,6 +94,11 @@ EXTRA = [
     "q7e_binary_hamming",
     # round 7 additions: timed for evidence, out of the headline total
     "q7f_mmr_rerank",
+    "q7g_radius_search",
+    "q9g_deletion_vectors",
+    "q6g_pagerank",
+    "q6h_kmv_source_overlap",
+    "q5p_ngram_novelty",
 ]
 
 

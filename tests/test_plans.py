@@ -220,6 +220,12 @@ def test_no_accidental_cross_products(spark):
         # passes the structural audit
         "q68_semantic_dedup",
         "qt2_prep_semantic",
+        # source-pair enumeration: srcs a < b self-join over the DISTINCT
+        # source dimension — domain-bounded by the corpus SCHEMA (source
+        # is a feed/shard name: tens here, at most thousands anywhere),
+        # not by the row count; the sketch rows the pairs then join are
+        # capped at k per source by construction
+        "q6h_kmv_source_overlap",
     }
     # Accumulate violations across ALL queries before asserting — a single
     # failure must not shadow the rest of the sweep (round-5 lesson: an
@@ -318,6 +324,11 @@ def test_collect_sites_are_bounded_metadata_only():
         ("operators/semcells.py", "semantic_cells_df"),
         ("streaming/events_stream.py", "q7a_stream_sq_ingest"),  # 64 dim-range rows
         ("streaming/events_stream.py", "q7b_stream_ivf_assign"),  # <=16 seed rows
+        # query-set-bounded shortlist: _N_QUERIES x _MMR_POOL rel rows +
+        # _N_QUERIES x _MMR_POOL^2 pairwise sims (~4.6k rows, corpus-
+        # independent — the distributed corpus pass happens BEFORE the
+        # collect; the greedy is serving-layer work by design)
+        ("operators/similarity.py", "q7f_mmr_rerank"),
     }
     found = set()
     for py in pkg.rglob("*.py"):

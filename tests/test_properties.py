@@ -654,3 +654,147 @@ def test_q66_shuffle_arm_matches_broadcast_arm(spark, monkeypatch):
         map(tuple, dedup.q66_embedding_near_dup(spark, SF_SMOKE).collect())
     )
     assert shuffled == base
+
+
+def test_deletion_vectors_actually_mask(spark):
+    """q9g's end-to-end contract: (a) per-file accounting is consistent
+    (live + deleted == physical, totals == orders cardinality), (b) the
+    DV genuinely masks every row matched by EITHER delete predicate —
+    re-evaluating both predicates against the live-row reconstruction
+    must find nothing — and (c) deletes are non-vacuous at smoke scale
+    (both DV commits fire)."""
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark import registry
+    from tf_datapipeline_spark.catalog import load_table
+
+    rows = registry.queries()["q9g_deletion_vectors"](spark, SF_SMOKE).collect()
+    orders_n = load_table(spark, SF_SMOKE, "orders").count()
+    assert sum(r.file_rows for r in rows) == orders_n
+    assert all(r.live_rows + r.dv_count == r.file_rows for r in rows)
+    assert sum(r.dv_count for r in rows) > 0
+    # reconstruct live rows the same way the operator does and replay
+    # both DELETE predicates: a surviving match means the positional
+    # mask missed a row (the failure mode positional deletes are
+    # notorious for when file/pos assignment drifts between commits)
+    live_leaks = spark.sql(
+        f"""
+        WITH pospl AS (SELECT * FROM dv_pospl_mat),
+        dv AS (
+          SELECT DISTINCT file_id, pos FROM (
+            SELECT file_id, pos FROM pospl
+            WHERE o_orderstatus = 'F' AND o_custkey % 7 = 0
+            UNION ALL
+            SELECT file_id, pos FROM pospl WHERE o_orderkey % 13 = 3
+          ) u
+        ),
+        live AS (
+          SELECT p.* FROM pospl p
+          LEFT ANTI JOIN dv d ON d.file_id = p.file_id AND d.pos = p.pos
+        )
+        SELECT COUNT(*) AS leaks FROM live
+        WHERE (o_orderstatus = 'F' AND o_custkey % 7 = 0)
+           OR o_orderkey % 13 = 3
+        """
+    ).collect()[0].leaks
+    assert live_leaks == 0
+
+
+def test_pagerank_mass_and_floor(spark):
+    """q6g invariants on the symmetrized near-dup graph (no dangling
+    nodes): total rank mass stays ~1 through 3 damped iterations, every
+    node keeps at least the teleport floor (1-d)/n, and rank correlates
+    with the graph (some node must exceed the uniform 1/n — otherwise
+    the iteration was a no-op and the gate row checks a constant)."""
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark import registry
+
+    rows = registry.queries()["q6g_pagerank"](spark, SF_SMOKE).collect()
+    assert rows, "near-dup graph empty at smoke scale"
+    n = len(rows)
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-9, total
+    floor = 0.15 / n
+    assert all(r.pagerank >= floor - 1e-12 for r in rows)
+    assert any(abs(r.pagerank - 1.0 / n) > 1e-12 for r in rows)
+    assert all(r.degree >= 1 for r in rows)
+
+
+def test_radius_search_consistent_with_topk(spark):
+    """q7g vs q70 cross-operator consistency: any exact top-k neighbor
+    whose cosine clears the radius must appear in the radius set with
+    the SAME similarity (both compute the identical order-pinned fold),
+    and every radius hit must clear the threshold."""
+    from tf_datapipeline_spark.operators.similarity import _RADIUS_TAU
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark import registry
+
+    radius = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in registry.queries()["q7g_radius_search"](spark, SF_SMOKE).collect()
+    }
+    assert all(v >= _RADIUS_TAU for v in radius.values())
+    topk = registry.queries()["q70_knn_bruteforce"](spark, SF_SMOKE).collect()
+    for r in topk:
+        if r.cos_sim >= _RADIUS_TAU:
+            assert radius.get((r.query_id, r.neighbor_id)) == r.cos_sim, r
+
+
+def test_kmv_overlap_estimate_tracks_exact_jaccard(spark):
+    """q6h's estimate quality at smoke scale, where the exact shingle
+    Jaccard is computable: |est - exact| must sit inside a loose
+    4/sqrt(k) band (standard KMV concentration) for every source pair,
+    and k_eff == min(k, |sketch union|) structurally."""
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark import registry
+    from tf_datapipeline_spark.operators.dedup import _KMV_K
+
+    rows = registry.queries()["q6h_kmv_source_overlap"](spark, SF_SMOKE).collect()
+    assert rows
+    # exact per-source 5-char shingle sets, recomputed independently in
+    # plain python over the smoke corpus (no SQL shared with the operator)
+    from tf_datapipeline_spark.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    shingles: dict[str, set] = {}
+    for d in docs:
+        if d.text and len(d.text) >= 5:
+            s = shingles.setdefault(d.source, set())
+            for i in range(len(d.text) - 4):
+                s.add(d.text[i : i + 5])
+    band = 4.0 / (_KMV_K ** 0.5)
+    for r in rows:
+        a, b = shingles[r.source_a], shingles[r.source_b]
+        exact_j = len(a & b) / len(a | b)
+        assert abs(r.jaccard_est - exact_j) <= band, (r, exact_j)
+    # k_eff structural check: never exceeds k, equals k when the union
+    # sketch is saturated (every pair here has >> k distinct shingles)
+    assert all(r.k_eff == _KMV_K for r in rows)
+
+
+def test_ngram_novelty_bounds_and_first_doc(spark):
+    """q5p invariants: novelty in [0,1]; the earliest document with any
+    5-gram scores exactly 1.0 (everything it contains is first-seen);
+    summed n_novel equals the corpus's distinct-gram count (every gram
+    is novel exactly once — the conservation law of first-occurrence)."""
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark import registry
+
+    rows = registry.queries()["q5p_ngram_novelty"](spark, SF_SMOKE).collect()
+    assert rows
+    assert all(0.0 <= r.novelty <= 1.0 for r in rows)
+    assert all(r.n_novel <= r.n_grams for r in rows)
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.novelty == 1.0, first
+    distinct_grams = spark.sql(
+        """
+        SELECT COUNT(DISTINCT g) AS n FROM (
+          SELECT concat_ws(' ',
+                   slice(split(trim(text), '\\\\s+'), CAST(i AS INT), 5)) AS g
+          FROM (SELECT text,
+                       explode(sequence(1,
+                         greatest(size(split(trim(text), '\\\\s+')) - 4, 0))) AS i
+                FROM documents)
+        )
+        """
+    ).collect()[0].n
+    assert sum(r.n_novel for r in rows) == distinct_grams

@@ -1516,3 +1516,184 @@ def _chunk_dedup_duckdb() -> str:
 def q6f_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_chunk_dedup_spark())
+
+
+# --------------------------------------------------------------------------
+# q6g — PAGERANK over the near-dup graph (q63's verified LSH edge set,
+# symmetrized): the standard iterative power method, 3 fixed iterations
+# at damping 0.85. Graph analytics over the dedup graph is a real
+# curation signal — a doc's centrality in its near-dup neighborhood
+# picks the canonical representative better than min-id, and the same
+# join/agg loop IS the distributed-PageRank shape (Pregel/GraphX) that
+# any web-scale link analysis runs.
+#
+# Spark shape (100 TB): per iteration, ONE equi-join of the edge list
+# against the current rank vector (both partitioned by src) + ONE
+# groupBy(dst) aggregation — the canonical 2-shuffle PageRank step.
+# Edge generation is q63's capped-bucket LSH join, so per-node degree is
+# bounded by bands × (_BUCKET_CAP - 1) and the per-node collect_list
+# below is O(bounded in-degree), never O(corpus). No dangling mass: the
+# symmetrized graph gives every node out-degree >= 1.
+#
+# Cross-engine float discipline (the order-pinned fold recipe): each
+# node's incoming contributions are summed in EXPLICIT src order — Spark
+# folds array_sort(collect_list(struct(src, contrib))), DuckDB folds
+# list(contrib ORDER BY src) — so every intermediate double is
+# bit-identical by construction. Spark's extra 0.0 init is bit-inert
+# (contribs are strictly positive). contrib = r/deg, the damped update
+# 0.15/n + 0.85*fold: every division/multiply/add rounds once,
+# identically, in both engines.
+# --------------------------------------------------------------------------
+_PR_DAMP = "CAST(0.85 AS DOUBLE)"
+_PR_JUMP = "CAST(0.15 AS DOUBLE)"
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    def step(prev: str) -> str:
+        fold = (
+            f"list_reduce(list({prev}.r / CAST(d.dgc AS DOUBLE) "
+            f"ORDER BY e.s), (acc, x) -> acc + x)"
+        )
+        return f"""
+      SELECT e.t AS v,
+             {_PR_JUMP} / MIN(n.nn) + {_PR_DAMP} * {fold} AS r
+      FROM edges e
+      JOIN {prev} ON {prev}.v = e.s
+      JOIN deg d ON d.s = e.s
+      CROSS JOIN n
+      GROUP BY e.t"""
+
+    return f"""
+    WITH p AS ({_lsh_pairs_sql("duckdb")}),
+    e0 AS (SELECT doc_a AS s, doc_b AS t FROM p),
+    edges AS (SELECT s, t FROM e0 UNION ALL SELECT t AS s, s AS t FROM e0),
+    deg AS (SELECT s, COUNT(*) AS dgc FROM edges GROUP BY s),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM deg),
+    r0 AS (SELECT s AS v, CAST(1 AS DOUBLE) / n.nn AS r FROM deg, n),
+    r1 AS ({step("r0")}),
+    r2 AS ({step("r1")}),
+    r3 AS ({step("r2")})
+    SELECT d.s AS doc_id, CAST(d.dgc AS BIGINT) AS degree, r3.r AS pagerank
+    FROM r3 JOIN deg d ON d.s = r3.v
+    """
+
+
+@query("q6g_pagerank", oracle=_pagerank_oracle())
+def q6g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        q63_minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()  # edge metadata, O(near-dup pairs) — computed
+        # once, reused by all 3 iterations instead of re-running the LSH
+        # band joins per CTE reference (Spark inlines CTEs)
+    )
+    edges = pairs.selectExpr("doc_a AS s", "doc_b AS t").union(
+        pairs.selectExpr("doc_b AS s", "doc_a AS t")
+    )
+    deg = edges.groupBy("s").agg(F.count("*").alias("dgc"))
+    n_df = deg.agg(F.count("*").cast("double").alias("nn"))
+    r = deg.join(F.broadcast(n_df)).selectExpr(
+        "s AS v", "CAST(1 AS DOUBLE) / nn AS r"
+    )
+    fold = (
+        "aggregate(array_sort(collect_list(named_struct('s', s, 'c', contrib))),"
+        " CAST(0 AS DOUBLE), (acc, x) -> acc + x.c)"
+    )
+    for _ in range(_PR_ITERS):
+        r = (
+            edges.join(r, edges.s == F.col("v"))
+            .join(deg.withColumnRenamed("s", "ds"), F.col("s") == F.col("ds"))
+            .selectExpr("s", "t", "r / CAST(dgc AS DOUBLE) AS contrib")
+            .join(F.broadcast(n_df))
+            .groupBy("t")
+            .agg(
+                F.expr(f"{_PR_JUMP} / MIN(nn) + {_PR_DAMP} * {fold}").alias("r")
+            )
+            .selectExpr("t AS v", "r")
+        )
+    return r.join(deg, r.v == deg.s).selectExpr(
+        "s AS doc_id", "CAST(dgc AS BIGINT) AS degree", "r AS pagerank"
+    )
+
+
+# --------------------------------------------------------------------------
+# q6h — KMV (bottom-k) cross-source OVERLAP estimation: a k-minimum-
+# values sketch of each source's 5-char shingle set, then pairwise
+# Jaccard estimates from sketch merges. This is the corpus-cartography
+# op a curation pipeline runs BEFORE dedup: "which of my N crawl feeds /
+# dump shards overlap, and how much?" — 190 pairwise exact Jaccards over
+# raw shingle sets would be N^2 corpus scans, while the KMV estimate
+# needs ONE scan to build N k-row sketches and then works entirely on
+# k*N metadata rows (Beyer et al., "On synopses for distinct-value
+# estimation"). Same mergeable-sketch discipline as q9e: the union
+# sketch of a pair is the k smallest of the two sketches' union, and
+# Jaccard_est = |members in both| / k over that union sketch.
+#
+# Scale (100 TB): the only corpus-proportional work is the DISTINCT
+# (source, shingle-hash) aggregation (partial-agg'd map-side); the
+# bottom-k window then sorts per-source DISTINCT hashes only, and
+# everything downstream — pair enumeration, sketch merge, estimates —
+# touches k*N_sources rows (~2.5k here). Deterministic: md5-derived
+# hashes, integer ranks, one final double division that rounds once
+# identically in both engines.
+# --------------------------------------------------------------------------
+_KMV_K = 128
+
+
+def _kmv_overlap_sql(dialect: str) -> str:
+    if dialect == "spark":
+        pos = "explode(sequence(1, length(text) - 4)) AS pos"
+    else:
+        pos = "unnest(generate_series(1, length(text) - 4)) AS pos"
+    h = sql_hash32_from_md5_dialect("md5s", dialect)
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT source, {h} AS h
+      FROM (
+        SELECT source, md5(substr(text, CAST(pos AS INT), 5)) AS md5s
+        FROM (SELECT source, text, {pos}
+              FROM documents WHERE length(text) >= 5)
+      )
+    ),
+    sk AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM sh
+      ) r WHERE rk <= {_KMV_K}
+    ),
+    srcs AS (SELECT DISTINCT source FROM sk),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    uni AS (
+      SELECT sa, sb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+      FROM (
+        SELECT p.sa, p.sb, s.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk s ON s.source = p.sa
+        UNION ALL
+        SELECT p.sa, p.sb, s.h, 0 AS in_a, 1 AS in_b
+        FROM pairs p JOIN sk s ON s.source = p.sb
+      ) u GROUP BY sa, sb, h
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT uni.*,
+               ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rk
+        FROM uni
+      ) r WHERE rk <= {_KMV_K}
+    )
+    SELECT sa AS source_a, sb AS source_b,
+           CAST(MAX(rk) AS INT) AS k_eff,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS inter_cnt,
+           CAST(SUM(in_a * in_b) AS DOUBLE) / MAX(rk) AS jaccard_est
+    FROM kept GROUP BY sa, sb
+    """
+
+
+@query("q6h_kmv_source_overlap", oracle=_kmv_overlap_sql("duckdb"))
+def q6h_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_kmv_overlap_sql("spark"))

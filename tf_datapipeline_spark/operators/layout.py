@@ -640,3 +640,113 @@ def _bloom_skip_body(dialect: str) -> str:
 def q9f_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_bloom_skip_body("spark"))
+
+
+# --------------------------------------------------------------------------
+# q9g — DELETION-VECTOR merge-on-read: the Delta deletion-vectors /
+# Iceberg positional-delete protocol, the third leg of the lake-
+# maintenance tripod next to q9c's compaction and q9a/q9f's skipping.
+# A DELETE against an immutable file layout does NOT rewrite data files;
+# it appends a tiny metadata table of (file_id, row position) pairs —
+# the deletion vector — and every subsequent read reconstructs the live
+# table by masking those positions. Two successive DELETE commits are
+# modeled (a predicate delete and a key-pattern delete); their vectors
+# union (position-distinct, exactly how DV bitmaps OR together), and the
+# output is the per-file merge-on-read accounting a VACUUM/OPTIMIZE
+# planner consumes: physical rows, DV cardinality, live rows, and an
+# integer checksum over the surviving rows proving the mask hit exactly
+# the right positions.
+#
+# Scale (100 TB): positions are assigned by ROW_NUMBER within each
+# file's key order — the harness recomputes what a production reader
+# gets for free from row ordinals, costing ONE shuffle by file_id whose
+# partition count equals the file count. Each DELETE is a predicate
+# scan emitting only matched (file_id, pos) pairs — O(deleted), not
+# O(table) — and the DV table is metadata-sized (selective deletes), so
+# the merge-on-read mask is a broadcast anti-join against the base scan:
+# the data files never shuffle and never rewrite. All arithmetic is
+# integer (positions, counts, key sums), so the oracle match is exact
+# with no float device. Reference analog: none (extension family,
+# BASELINE.json).
+# --------------------------------------------------------------------------
+_DV_FILES = 64
+
+
+def _dv_pospl_cte(dialect: str) -> str:
+    """(file_id, pos, o_orderkey, o_custkey, o_orderstatus) — the base
+    layout with per-file row positions. Spark reads the session-
+    materialized view (one scan + one shuffle, reused by every CTE
+    reference — the dims_mat pattern); DuckDB keeps the inline CTE."""
+    if dialect == "spark":
+        return "SELECT file_id, pos, o_orderkey, o_custkey, o_orderstatus FROM dv_pospl_mat"
+    return f"""
+      SELECT file_id,
+             ROW_NUMBER() OVER (PARTITION BY file_id ORDER BY o_orderkey) - 1
+               AS pos,
+             o_orderkey, o_custkey, o_orderstatus
+      FROM (
+        SELECT CAST(FLOOR(o_orderkey * {_DV_FILES}.0 / (mk + 1)) AS INT)
+                 AS file_id,
+               o_orderkey, o_custkey, o_orderstatus
+        FROM orders, (SELECT MAX(o_orderkey) AS mk FROM orders) m
+      )
+    """
+
+
+_DV_MEMO: dict = {}
+
+
+def _materialize_dv_pospl(spark: SparkSession, sf_dir: str) -> None:
+    register_views(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DV_MEMO:
+        _DV_MEMO[key] = spark.sql(
+            f"""
+            SELECT CAST(FLOOR(o_orderkey * {_DV_FILES}.0 / (mk + 1)) AS INT)
+                     AS file_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY CAST(FLOOR(o_orderkey * {_DV_FILES}.0
+                                             / (mk + 1)) AS INT)
+                     ORDER BY o_orderkey) - 1 AS pos,
+                   o_orderkey, o_custkey, o_orderstatus
+            FROM orders, (SELECT MAX(o_orderkey) AS mk FROM orders) m
+            """
+        ).localCheckpoint()
+    _DV_MEMO[key].createOrReplaceTempView("dv_pospl_mat")
+
+
+def _dv_body(dialect: str) -> str:
+    return f"""
+    WITH pospl AS ({_dv_pospl_cte(dialect)}),
+    dv1 AS (
+      SELECT file_id, pos FROM pospl
+      WHERE o_orderstatus = 'F' AND o_custkey % 7 = 0
+    ),
+    dv2 AS (
+      SELECT file_id, pos FROM pospl WHERE o_orderkey % 13 = 3
+    ),
+    dv AS (
+      SELECT DISTINCT file_id, pos
+      FROM (SELECT * FROM dv1 UNION ALL SELECT * FROM dv2) u
+    ),
+    flagged AS (
+      SELECT p.file_id, p.o_orderkey,
+             CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END AS del
+      FROM pospl p
+      LEFT JOIN dv d ON d.file_id = p.file_id AND d.pos = p.pos
+    )
+    SELECT file_id,
+           CAST(COUNT(*) AS BIGINT) AS file_rows,
+           CAST(SUM(del) AS BIGINT) AS dv_count,
+           CAST(COUNT(*) - SUM(del) AS BIGINT) AS live_rows,
+           CAST(SUM(CASE WHEN del = 0 THEN o_orderkey ELSE 0 END) AS BIGINT)
+             AS live_key_sum
+    FROM flagged
+    GROUP BY file_id
+    """
+
+
+@query("q9g_deletion_vectors", oracle=_dv_body("duckdb"))
+def q9g_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _materialize_dv_pospl(spark, sf_dir)
+    return spark.sql(_dv_body("spark"))

@@ -1449,3 +1449,51 @@ def q7f_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "query_id bigint, rank int, vec_id bigint, mmr_score double"
     )
+
+
+# --------------------------------------------------------------------------
+# q7g — cosine RADIUS (range) search: every corpus vector within a fixed
+# similarity radius of each query, not a fixed top-k. This is the other
+# half of the vector-retrieval API surface (FAISS range_search, pgvector
+# `<=>` + WHERE): dedup wants "everything closer than tau", not "the 5
+# closest", and recall evaluation wants the exact radius set as ground
+# truth. Reference analog: none (extension family, BASELINE.json).
+#
+# Spark shape (100 TB): identical scan shape to q70's brute-force pass —
+# the 8-row query side broadcasts, ONE corpus scan computes every dot
+# via order-pinned packed-array folds (JVM codegen, no Python, no row
+# explosion) — but with NO top-k window at all: the radius predicate is
+# a per-row filter, so the corpus never shuffles and the plan is a
+# single whole-stage-codegen map over the scan. Output is proportional
+# to the true neighbor count (the radius dial), not corpus size.
+# Cross-engine equality is exact: both engines fold the same packed
+# array left to right (fold_dot/fold_norm2), so cos_sim is bit-identical
+# and the >= tau comparison decides identically on both sides.
+# --------------------------------------------------------------------------
+_RADIUS_TAU = 0.25  # ~2 sigma for this corpus (random gaussian: cos has
+# sd ~ 1/sqrt(64) = 0.125), so each query keeps a small true-neighbor set
+
+
+def _radius_sql(dialect: str) -> str:
+    hint = "/*+ BROADCAST(q) */ " if dialect == "spark" else ""
+    return f"""
+    WITH norms AS (
+      SELECT vec_id, embedding, SQRT({fold_norm2(dialect, "embedding")}) AS nrm
+      FROM embeddings
+    ),
+    hits AS (
+      SELECT {hint}q.vec_id AS query_id, d.vec_id AS neighbor_id,
+             {fold_dot(dialect, "d.embedding", "q.embedding")}
+               / (q.nrm * d.nrm) AS cos_sim
+      FROM (SELECT * FROM norms WHERE vec_id < {_N_QUERIES}) q
+      JOIN norms d ON d.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim
+    FROM hits WHERE cos_sim >= CAST({_RADIUS_TAU} AS DOUBLE)
+    """
+
+
+@query("q7g_radius_search", oracle=_radius_sql("duckdb"))
+def q7g_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_radius_sql("spark"))

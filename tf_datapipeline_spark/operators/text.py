@@ -1728,3 +1728,70 @@ def _dsir_body(dialect: str) -> str:
 def q5o_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_dsir_body("spark"))
+
+
+# --------------------------------------------------------------------------
+# q5p — N-GRAM NOVELTY score: for each document, the fraction of its
+# distinct 5-grams that appear for the FIRST time in the corpus at that
+# document (corpus ordered by doc_id — crawl/ingest order). This is the
+# "fresh token" curve curation pipelines use to decide when an extra
+# crawl dump stops adding information (diminishing novelty ⇒ stop
+# ingesting), and a per-doc novelty score doubles as a cheap
+# templated-boilerplate detector (novelty ~0 ⇒ the doc is stitched from
+# already-seen phrases).
+#
+# Spark shape (100 TB): one gram explode (array expression, JVM
+# codegen), one groupBy(gram) MIN(doc_id) — partial-aggregated map-side
+# so the shuffle carries one row per DISTINCT gram, not per occurrence —
+# and one join of that first-occurrence table back to the per-doc gram
+# sets on the gram hash. No windows, no collects; everything is
+# integer counts plus one final division that rounds once identically
+# in both engines.
+# --------------------------------------------------------------------------
+
+
+def _novelty_oracle() -> str:
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - {_CONTAM_N - 1}, 0))) AS i
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[i:i+{_CONTAM_N - 1}], ' ') AS g
+      FROM pos
+    ),
+    first_seen AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = c.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = c.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty
+    FROM grams c JOIN first_seen f USING (g)
+    GROUP BY c.doc_id
+    """
+
+
+@query("q5p_ngram_novelty", oracle=_novelty_oracle())
+def q5p_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", _tokens_spark().alias("_toks")).select(
+        "doc_id", F.explode(_grams_spark(F.col("_toks"))).alias("g")
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+    )
