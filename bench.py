@@ -99,6 +99,8 @@ EXTRA = [
     "q6g_pagerank",
     "q6h_kmv_source_overlap",
     "q5p_ngram_novelty",
+    "q9h_incremental_view_maintenance",
+    "q7h_filtered_knn",
 ]
 
 

@@ -798,3 +798,56 @@ def test_ngram_novelty_bounds_and_first_doc(spark):
         """
     ).collect()[0].n
     assert sum(r.n_novel for r in rows) == distinct_grams
+
+
+def test_ivm_maintenance_algebra_closes(spark):
+    """q9h's whole point: the incrementally-maintained aggregate must
+    equal the direct recompute in EVERY group (match flags all 1), and
+    the test is only meaningful if the CDC delta actually moved the
+    view (some group's maintained count/cents differ from base — the
+    snapshot mutation guarantees inserts, deletes and reprices at
+    smoke scale)."""
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark import registry
+
+    rows = registry.queries()["q9h_incremental_view_maintenance"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    assert all(r.cnt_match == 1 and r.cents_match == 1 for r in rows)
+    assert any(r.maint_cnt != r.base_cnt for r in rows)
+    assert any(r.maint_cents is not None for r in rows)
+
+
+def test_filtered_knn_respects_filter_and_exact_scores(spark):
+    """q7h invariants: every hit shares its query's label (the filter
+    is real); scores agree bit-for-bit with q70 on common (query,
+    neighbor) pairs (same order-pinned fold); and every q70 global
+    top-k neighbor that happens to share the query's label must appear
+    in the filtered top-k (the filtered set can only promote, never
+    drop, a same-label global winner)."""
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark import registry
+    from tf_datapipeline_spark.catalog import load_table
+
+    hits = registry.queries()["q7h_filtered_knn"](spark, SF_SMOKE).collect()
+    assert hits
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    for r in hits:
+        assert r.label == labels[r.query_id], r
+        assert r.label == labels[r.neighbor_id], r
+    by_pair = {(r.query_id, r.neighbor_id): r.cos_sim for r in hits}
+    filtered_ids = {
+        q: {r.neighbor_id for r in hits if r.query_id == q}
+        for q in {r.query_id for r in hits}
+    }
+    topk = registry.queries()["q70_knn_bruteforce"](spark, SF_SMOKE).collect()
+    for r in topk:
+        if labels[r.neighbor_id] == labels[r.query_id]:
+            assert r.neighbor_id in filtered_ids[r.query_id], r
+            assert by_pair[(r.query_id, r.neighbor_id)] == r.cos_sim, r

@@ -1550,6 +1550,11 @@ _PR_ITERS = 3
 
 
 def _pagerank_oracle() -> str:
+    # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference,
+    # and the iteration chain references edges/deg at every level — r3
+    # would otherwise expand to ~3^3 copies of the whole sig+LSH pair
+    # pipeline (observed: 20 GB of DuckDB spill at sf1 before this fix;
+    # the q7f MMR oracle hit the same class and set the precedent).
     def step(prev: str) -> str:
         fold = (
             f"list_reduce(list({prev}.r / CAST(d.dgc AS DOUBLE) "
@@ -1565,15 +1570,17 @@ def _pagerank_oracle() -> str:
       GROUP BY e.t"""
 
     return f"""
-    WITH p AS ({_lsh_pairs_sql("duckdb")}),
-    e0 AS (SELECT doc_a AS s, doc_b AS t FROM p),
-    edges AS (SELECT s, t FROM e0 UNION ALL SELECT t AS s, s AS t FROM e0),
-    deg AS (SELECT s, COUNT(*) AS dgc FROM edges GROUP BY s),
-    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM deg),
-    r0 AS (SELECT s AS v, CAST(1 AS DOUBLE) / n.nn AS r FROM deg, n),
-    r1 AS ({step("r0")}),
-    r2 AS ({step("r1")}),
-    r3 AS ({step("r2")})
+    WITH p AS MATERIALIZED ({_lsh_pairs_sql("duckdb")}),
+    e0 AS MATERIALIZED (SELECT doc_a AS s, doc_b AS t FROM p),
+    edges AS MATERIALIZED
+      (SELECT s, t FROM e0 UNION ALL SELECT t AS s, s AS t FROM e0),
+    deg AS MATERIALIZED (SELECT s, COUNT(*) AS dgc FROM edges GROUP BY s),
+    n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM deg),
+    r0 AS MATERIALIZED
+      (SELECT s AS v, CAST(1 AS DOUBLE) / n.nn AS r FROM deg, n),
+    r1 AS MATERIALIZED ({step("r0")}),
+    r2 AS MATERIALIZED ({step("r1")}),
+    r3 AS MATERIALIZED ({step("r2")})
     SELECT d.s AS doc_id, CAST(d.dgc AS BIGINT) AS degree, r3.r AS pagerank
     FROM r3 JOIN deg d ON d.s = r3.v
     """
@@ -1647,8 +1654,13 @@ def _kmv_overlap_sql(dialect: str) -> str:
     else:
         pos = "unnest(generate_series(1, length(text) - 4)) AS pos"
     h = sql_hash32_from_md5_dialect("md5s", dialect)
+    # sk is referenced 3x (srcs + both pair-join arms): MATERIALIZED in
+    # DuckDB so the corpus-wide shingle scan runs once, not per reference
+    # (plain CTEs inline; Spark re-derives from the same scan but AQE
+    # reuses the shuffle)
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
     return f"""
-    WITH sh AS (
+    WITH sh AS {mat}(
       SELECT DISTINCT source, {h} AS h
       FROM (
         SELECT source, md5(substr(text, CAST(pos AS INT), 5)) AS md5s
@@ -1656,7 +1668,7 @@ def _kmv_overlap_sql(dialect: str) -> str:
               FROM documents WHERE length(text) >= 5)
       )
     ),
-    sk AS (
+    sk AS {mat}(
       SELECT source, h FROM (
         SELECT source, h,
                ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk

@@ -716,8 +716,12 @@ def _materialize_dv_pospl(spark: SparkSession, sf_dir: str) -> None:
 
 
 def _dv_body(dialect: str) -> str:
+    # pospl is referenced 3x (two DELETE scans + the flagged join):
+    # MATERIALIZED in DuckDB so the window pass runs once (plain CTEs
+    # inline per reference); Spark reads the session-materialized view
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
     return f"""
-    WITH pospl AS ({_dv_pospl_cte(dialect)}),
+    WITH pospl AS {mat}({_dv_pospl_cte(dialect)}),
     dv1 AS (
       SELECT file_id, pos FROM pospl
       WHERE o_orderstatus = 'F' AND o_custkey % 7 = 0
@@ -750,3 +754,96 @@ def _dv_body(dialect: str) -> str:
 def q9g_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     _materialize_dv_pospl(spark, sf_dir)
     return spark.sql(_dv_body("spark"))
+
+
+# --------------------------------------------------------------------------
+# q9h — INCREMENTAL VIEW MAINTENANCE: keep a materialized aggregate
+# (per-priority order counts + cents totals) current by applying q1y's
+# CDC change set instead of recomputing from scratch — the batch twin
+# of q4x's streaming MERGE and the op that makes 100 TB rollups
+# affordable: the maintenance cost is O(changes), the recompute cost is
+# O(table). The same deterministic old/new snapshot derivation as q1y
+# (inserts = keys ≡ 0 mod 10, deletes = keys ≡ 1 mod 10, repriced
+# updates = keys ≡ 2 mod 7); the view is maintained as
+#   maintained = base + Σ(insert: +new) − Σ(delete: old)
+#                     + Σ(update: new − old)
+# and then VERIFIED against the direct recompute over the new snapshot
+# — both paths and their match flags are the output, so the oracle
+# value-checks the maintenance algebra itself, not just one side.
+#
+# Money is carried as integer cents via FLOOR(price*100) (the floor of
+# the same IEEE double rounds identically in both engines; a bare CAST
+# would truncate in Spark but round half-even in DuckDB — the known
+# hazard class), so every delta and every total is integer-exact.
+# Production reads `base` from the stored view; the harness recomputes
+# it from the old snapshot to stay self-contained.
+# --------------------------------------------------------------------------
+_IVM_CENTS = "CAST(FLOOR(o_totalprice * 100) AS BIGINT)"
+
+
+def _ivm_body(dialect: str = "spark") -> str:
+    # old/new snapshots are each referenced twice (base/diff, diff/direct):
+    # MATERIALIZED in DuckDB so each snapshot scan runs once
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
+    return f"""
+    WITH old AS {mat}(
+      SELECT o_orderkey, o_orderpriority, {_IVM_CENTS} AS cents
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    new AS {mat}(
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 7 = 2
+                  THEN CAST(FLOOR(o_totalprice * 1.1 * 100) AS BIGINT)
+                  ELSE {_IVM_CENTS} END AS cents
+      FROM orders WHERE o_orderkey % 10 <> 1
+    ),
+    base AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM old GROUP BY o_orderpriority
+    ),
+    diff AS (
+      SELECT COALESCE(o.o_orderpriority, n.o_orderpriority) AS prio,
+             CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END AS is_ins,
+             CASE WHEN n.o_orderkey IS NULL THEN 1 ELSE 0 END AS is_del,
+             COALESCE(o.cents, 0) AS old_cents,
+             COALESCE(n.cents, 0) AS new_cents
+      FROM old o FULL OUTER JOIN new n ON n.o_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+         OR o.cents <> n.cents
+    ),
+    delta AS (
+      SELECT prio,
+             CAST(SUM(is_ins) - SUM(is_del) AS BIGINT) AS dcnt,
+             CAST(SUM(new_cents - old_cents) AS BIGINT) AS dcents
+      FROM diff GROUP BY prio
+    ),
+    maint AS (
+      SELECT b.o_orderpriority,
+             b.cnt AS base_cnt,
+             CAST(b.cnt + COALESCE(d.dcnt, 0) AS BIGINT) AS maint_cnt,
+             CAST(b.cents + COALESCE(d.dcents, 0) AS BIGINT) AS maint_cents
+      FROM base b LEFT JOIN delta d ON d.prio = b.o_orderpriority
+    ),
+    direct AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS direct_cnt,
+             CAST(SUM(cents) AS BIGINT) AS direct_cents
+      FROM new GROUP BY o_orderpriority
+    )
+    SELECT m.o_orderpriority,
+           m.base_cnt, m.maint_cnt, d.direct_cnt,
+           m.maint_cents, d.direct_cents,
+           CAST(CASE WHEN m.maint_cnt = d.direct_cnt THEN 1 ELSE 0 END
+                AS INT) AS cnt_match,
+           CAST(CASE WHEN m.maint_cents = d.direct_cents THEN 1 ELSE 0 END
+                AS INT) AS cents_match
+    FROM maint m JOIN direct d ON d.o_orderpriority = m.o_orderpriority
+    """
+
+
+@query("q9h_incremental_view_maintenance", oracle=_ivm_body("duckdb"))
+def q9h_incremental_view_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_ivm_body())

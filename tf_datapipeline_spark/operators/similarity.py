@@ -1497,3 +1497,53 @@ def _radius_sql(dialect: str) -> str:
 def q7g_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_radius_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# q7h — FILTERED ANN (metadata-constrained top-k): each query retrieves
+# its top-k only among corpus vectors sharing its label — the
+# "filtered vector search" API every production vector store grew
+# (pgvector WHERE + ORDER BY embedding, FAISS IDSelector, Milvus/
+# Vespa filtered search), and the retrieval mode LLM pipelines use for
+# source-/language-/license-constrained example selection.
+#
+# Spark shape (100 TB): the filter turns q70's nested-loop scan into a
+# BroadcastHashJoin ON label — the predicate is the join key, so each
+# corpus row meets only the (tiny, broadcast) queries of its own label
+# partition and filtered retrieval is CHEAPER than unfiltered, exactly
+# as it should be (at scale the same key co-partitions the corpus so
+# per-label shards prune before any distance math). Scoring reuses the
+# order-pinned fold contract; ranks are per-(query, label) windows over
+# the filtered candidate set only.
+# --------------------------------------------------------------------------
+def _filtered_knn_sql(dialect: str) -> str:
+    hint = "/*+ BROADCAST(q) */ " if dialect == "spark" else ""
+    return f"""
+    WITH norms AS (
+      SELECT vec_id, label, embedding,
+             SQRT({fold_norm2(dialect, "embedding")}) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT {hint}q.vec_id AS query_id, d.vec_id AS neighbor_id,
+             d.label,
+             {fold_dot(dialect, "d.embedding", "q.embedding")}
+               / (q.nrm * d.nrm) AS cos_sim
+      FROM (SELECT * FROM norms WHERE vec_id < {_N_QUERIES}) q
+      JOIN norms d ON d.label = q.label AND d.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, label, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, label, cos_sim
+    FROM ranked WHERE rnk <= {_TOP_K}
+    """
+
+
+@query("q7h_filtered_knn", oracle=_filtered_knn_sql("duckdb"))
+def q7h_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_filtered_knn_sql("spark"))

@@ -102,7 +102,13 @@ GATE_ORDER = [
     # sample, new layout-family surface; session-window semantics stay
     # evidenced in-gate by q4q's append-mode streaming sessionization,
     # the strictly subtler twin, and q42 stays locally oracle-checked).
-    "q9d_range_partition_plan",
+    # Round-7 rotation (late): q9d -> q9g (deletion-vector merge-on-read
+    # — a NEW layout class this round: positional-delete metadata + the
+    # anti-join live-table reconstruction, per-file accounting and live
+    # checksum value-checked; the bounded-sample range-partition planner
+    # keeps its r6 green row, its plan stays pinned in test_plans, and
+    # the layout family keeps five other in-gate rows).
+    "q9g_deletion_vectors",
     "q4y_gap_fill",
     "q4g_cogroup_asof",
     "q4r_range_join",
@@ -176,7 +182,13 @@ GATE_ORDER = [
     # q5l keeps its r5+r6 green rows plus the local oracle check).
     "q5m_temperature_mix",
     "q5k_bm25",
-    "q5c_contamination",
+    # Round-7 rotation (late): q5c -> q5p (n-gram novelty — new text
+    # surface this round, same gram-explode machinery as contamination
+    # plus the corpus-wide first-seen MIN(doc_id) table; q5c keeps its
+    # r2-r6 green rows + local oracle check, and the broadcast
+    # gram-overlap class stays evidenced in-gate by qt1's composite
+    # contamination stage).
+    "q5p_ngram_novelty",
     "q5d_sequence_packing",
     # deduplication. Round-4 rotation: q61 -> q69 (exact-hash dedup is
     # already evidenced in-gate by qt1's exact-dup stage; substring-level
