@@ -17,11 +17,13 @@ def _pairs():
     return [(name, q[name], o[name]) for name in sorted(o)]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name,fn,sql", _pairs(), ids=[p[0] for p in _pairs()])
 def test_oracle_parity(spark, name, fn, sql):
     compare(fn(spark, SF_SMOKE), sql, SF_SMOKE, name=name)
 
 
+@pytest.mark.slow
 def test_every_query_runs(spark):
     """Rows-only queries (no oracle) must still execute and return a schema."""
     q = registry.queries()

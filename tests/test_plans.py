@@ -327,7 +327,10 @@ def test_collect_sites_are_bounded_metadata_only():
         # query-set-bounded shortlist: _N_QUERIES x _MMR_POOL rel rows +
         # _N_QUERIES x _MMR_POOL^2 pairwise sims (~4.6k rows, corpus-
         # independent — the distributed corpus pass happens BEFORE the
-        # collect; the greedy is serving-layer work by design)
+        # collect; the greedy is serving-layer work by design). The bound
+        # is LINEAR in query count x pool^2, so q7f enforces it at runtime
+        # against _MMR_COLLECT_CAP and fails fast past the ceiling — see
+        # test_mmr_driver_greedy_regime_guard below.
         ("operators/similarity.py", "q7f_mmr_rerank"),
     }
     found = set()
@@ -354,6 +357,31 @@ def test_collect_sites_are_bounded_metadata_only():
         f"unreviewed .collect() sites (add executor-side write or "
         f"allowlist with a bounded-rows justification): {sorted(unexpected)}"
     )
+
+
+def test_mmr_driver_greedy_regime_guard(spark):
+    """q7f's driver-side greedy is allowlisted ONLY under the documented
+    shortlist bound (r7 verdict task 5): _N_QUERIES * _MMR_POOL * (1 +
+    _MMR_POOL) rows must stay under _MMR_COLLECT_CAP, and a configuration
+    past the ceiling must fail fast with the regime message instead of
+    silently growing the collect."""
+    import pytest
+
+    from tf_datapipeline_spark.operators import similarity as sim
+
+    # current config is comfortably inside the regime
+    assert sim._mmr_collect_rows() <= sim._MMR_COLLECT_CAP
+    assert sim._mmr_collect_rows() == (
+        sim._N_QUERIES * sim._MMR_POOL * (1 + sim._MMR_POOL)
+    )
+    # past the ceiling the operator refuses to run (fail fast, no collect)
+    orig = sim._MMR_POOL
+    try:
+        sim._MMR_POOL = 4096  # 8 * 4096 * 4097 >> cap
+        with pytest.raises(ValueError, match="out of driver-greedy regime"):
+            sim.q7f_mmr_rerank(spark, SF_SMOKE)
+    finally:
+        sim._MMR_POOL = orig
 
 
 def test_semantic_centroid_collect_is_corpus_independent():

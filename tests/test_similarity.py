@@ -93,6 +93,48 @@ def test_ivfpq_recall_and_pruning(spark):
     assert sim.q77_knn_ivfpq(spark, SF_ORACLE).count() <= 8 * 5
 
 
+def test_ivfpq_overfetch_recall_curve(spark):
+    """r7 verdict task 6: the overfetch dial is IVFPQ's recall knob. With
+    exact rescore, the candidate set at a larger overfetch is a SUPERSET
+    of a smaller one's (deterministic ADC order, ties by vec_id), and any
+    exact-top-k member inside the candidate set survives the rescore —
+    so recall must be non-decreasing in the dial. Pin the curve at oracle
+    scale, and that the widest setting strictly beats the narrowest
+    (i.e. the dial actually buys recall here, mirroring the measured
+    sf10 curve in SCALING.md)."""
+    exact = _topk_sets(sim.q70_knn_bruteforce(spark, SF_ORACLE))
+    orig = sim._IVFPQ_OVERFETCH
+    curve = []
+    try:
+        for of in (2, 40, 320):
+            sim._IVFPQ_OVERFETCH = of
+            pq = _topk_sets(sim.q77_knn_ivfpq(spark, SF_ORACLE))
+            recalls = [len(exact[q] & pq[q]) / len(exact[q]) for q in exact]
+            curve.append(sum(recalls) / len(recalls))
+    finally:
+        sim._IVFPQ_OVERFETCH = orig
+    assert all(b >= a for a, b in zip(curve, curve[1:])), curve
+    assert curve[-1] > curve[0], curve
+
+
+def test_ivfpq_production_codebook_dial(spark):
+    """The 256-codeword production codebook is a dial, not a rewrite: at
+    oracle scale only ~54 seed vectors exist below the 2k-vector corpus
+    ceiling, so the codebook keeps whatever seeds exist (the documented
+    small-corpus fallback), the cell geometry stays capped at _N_CELLS,
+    and the operator still produces a well-formed top-k per query."""
+    orig = sim._IVFPQ_NCODES
+    try:
+        sim._IVFPQ_NCODES = 256
+        pq = _topk_sets(sim.q77_knn_ivfpq(spark, SF_ORACLE))
+        assert pq.keys() == _topk_sets(
+            sim.q70_knn_bruteforce(spark, SF_ORACLE)
+        ).keys()
+        assert all(len(v) <= 5 for v in pq.values())
+    finally:
+        sim._IVFPQ_NCODES = orig
+
+
 def test_sq_reconstruction_error_bound(spark):
     """q78's quantizer must be correct by construction: with 255 levels
     over [mn, mx], round-to-nearest reconstruction error is at most

@@ -73,6 +73,25 @@ def sql_hash32_from_md5_dialect(md5_expr: str, dialect: str) -> str:
     return sql_hash32_from_md5(md5_expr)
 
 
+def sql_hash60_from_md5_dialect(md5_expr: str, dialect: str) -> str:
+    """60-bit integer from the first 15 hex digits of an already-projected
+    md5 digest — the wide-keyspace variant for operators whose distinct-key
+    universe can approach 2^32 at 100 TB, where a 32-bit space saturates
+    (KMV bottom-k order statistics, corpus-wide gram join keys — r7
+    advisor). 15 hex digits keep the value < 2^60, safely inside signed
+    BIGINT arithmetic in both engines. Spark spells it conv(); DuckDB
+    keeps the shared instr digit arithmetic (pass a PROJECTED md5 column:
+    the decode references the digest 15 times)."""
+    if dialect == "spark":
+        return f"CAST(conv(substr({md5_expr}, 1, 15), 16, 10) AS BIGINT)"
+    terms = []
+    for i in range(15):
+        digit = f"substr({md5_expr}, {1 + i}, 1)"
+        val = f"CAST(instr('0123456789abcdef', {digit}) - 1 AS BIGINT)"
+        terms.append(f"{val} * {16 ** (14 - i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
 def sql_hash32_from_md5_at(md5_expr: str, start: int, dialect: str) -> str:
     """32-bit integer from an 8-hex-digit window of an md5 digest starting
     at 1-based offset `start` — lets one md5 computation yield several

@@ -35,6 +35,7 @@ from tf_datapipeline_spark.functions.texthash import (
     minhash_params,
     sql_hash32_dialect,
     sql_hash32_from_md5_dialect,
+    sql_hash60_from_md5_dialect,
     sql_minhash_perm,
 )
 from tf_datapipeline_spark.operators.semcells import (  # noqa: F401
@@ -770,19 +771,28 @@ def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # machinery: the "cheap" JVM double fold IS the oracle value now.
 #
 # Scale (100 TB): q68's FROZEN 16 cells are the oracle-checkable harness
-# contract, not the deployment config — in-cell pair work is O(n^2/16)
-# here by design. The deployment shape is q6b below: cluster count grows
-# as max(16, n/128) so cell populations (and pair cost per cell) stay
-# ~constant, assignment is one numpy matmul per Arrow batch, and the
-# driver footprint is capped at _COARSE_CAP coarse centroids with the
-# residual split executor-side (_COARSE_CAP is the one knob: it bounds
-# both the driver/broadcast bytes and the per-task coarse-group size at
-# n/k1 vectors). Keep-decision equality between the two is test-pinned
-# at the shared 16-cell scales. Reference analog: none (extension
-# family, BASELINE.json).
+# contract, not the deployment config — the deployment shape is q6b
+# below: cluster count grows as max(16, n/128) so cell populations (and
+# pair cost per cell) stay ~constant, assignment is one numpy matmul per
+# Arrow batch, and the driver footprint is capped at _COARSE_CAP coarse
+# centroids with the residual split executor-side. Keep-decision
+# equality between the two is test-pinned at the shared 16-cell scales.
+#
+# Pair-work cap (r8, the q56 treatment — retires the last weak-ledger
+# entry): with frozen cells, naive in-cell pair enumeration is
+# O(n_c^2) — quadratic in corpus size. _Q68_KEEPER_CAP bounds the
+# KEEPER side of every pair to the cap lowest vec_ids per cell, so pair
+# work is O(cap * n) — linear — while the dup side still scans every
+# vector. Semantics become "keep-first against the cap earliest
+# candidates of the cell": deterministic, replayed VERBATIM by the
+# oracle (the cap lives in the shared SQL body), and non-binding below
+# cap*16 vectors (~33k, i.e. everywhere the q6b keep-equality test
+# runs) — at sf0.01/sf0.1 the output is bit-identical to the uncapped
+# form. Reference analog: none (extension family, BASELINE.json).
 # --------------------------------------------------------------------------
 _SEM_TAU = 0.4  # same exercise threshold as q66 (corpus has no seeded
                 # embedding dups; production ~0.95)
+_Q68_KEEPER_CAP = 2048  # keeper-side candidates per cell (see header)
 
 
 def _semantic_dedup_sql(dialect: str) -> str:
@@ -829,11 +839,22 @@ def _semantic_dedup_sql(dialect: str) -> str:
       SELECT n.vec_id, c.cell, n.embedding, n.nrm
       FROM norms n JOIN cells c ON c.vec_id = n.vec_id
     ),
+    keepers AS (
+      -- keeper-side cap (linear pair work — see _Q68_KEEPER_CAP):
+      -- deterministic per-cell prefix by vec_id, identical in both
+      -- engines, non-binding below cap*16 vectors
+      SELECT vec_id, cell, embedding, nrm FROM (
+        SELECT vec_id, cell, embedding, nrm,
+               ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id)
+                 AS arn
+        FROM cellemb
+      ) r WHERE arn <= {_Q68_KEEPER_CAP}
+    ),
     pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              {fold_dot(dialect, "a.embedding", "b.embedding")}
                / (a.nrm * b.nrm) AS cos_sim
-      FROM cellemb a
+      FROM keepers a
       JOIN cellemb b ON b.cell = a.cell AND a.vec_id < b.vec_id
     ),
     dup AS (
@@ -916,6 +937,19 @@ def q68_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cell")
     )
     cv = corpus.join(cells, "vec_id")
+    # Keeper-side cap (r8, linear pair work — see _Q68_KEEPER_CAP): rank
+    # METADATA ONLY (cell, vec_id — the embeddings never shuffle for the
+    # ranking), then broadcast the <= cap*16-row id list back onto the
+    # corpus. The oracle replays the same prefix via ROW_NUMBER in the
+    # shared SQL body, so the capped semantics are value-checked.
+    wk = Window.partitionBy("cell").orderBy(F.asc("vec_id"))
+    keeper_ids = (
+        cv.select("cell", "vec_id")
+        .withColumn("arn", F.row_number().over(wk))
+        .filter(F.col("arn") <= _Q68_KEEPER_CAP)
+        .select("cell", "vec_id")
+    )
+    ka = cv.join(F.broadcast(keeper_ids), ["cell", "vec_id"])
     # SALT the in-cell pair join: the natural key (cell) has only
     # _N_CELLS distinct values, so task parallelism would collapse to
     # the cell count and each task would grind one cell's full pair set
@@ -923,7 +957,7 @@ def q68_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replicating the a-side across slices keeps every pair exactly once
     # while the key space becomes cells x S.
     _SALT = 16
-    a = cv.select(
+    a = ka.select(
         F.col("cell"),
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("a_emb"),
@@ -1643,7 +1677,11 @@ def q6g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # everything downstream — pair enumeration, sketch merge, estimates —
 # touches k*N_sources rows (~2.5k here). Deterministic: md5-derived
 # hashes, integer ranks, one final double division that rounds once
-# identically in both engines.
+# identically in both engines. The KMV ordering hash is 60-bit (r7
+# advisor: a 32-bit space saturates when the distinct-shingle count
+# approaches 2^32 — plausible at 100 TB — which biases bottom-k order
+# statistics; 15 md5 hex digits keep the estimator valid to ~2^60
+# distinct keys while staying inside signed BIGINT in both engines).
 # --------------------------------------------------------------------------
 _KMV_K = 128
 
@@ -1653,7 +1691,7 @@ def _kmv_overlap_sql(dialect: str) -> str:
         pos = "explode(sequence(1, length(text) - 4)) AS pos"
     else:
         pos = "unnest(generate_series(1, length(text) - 4)) AS pos"
-    h = sql_hash32_from_md5_dialect("md5s", dialect)
+    h = sql_hash60_from_md5_dialect("md5s", dialect)
     # sk is referenced 3x (srcs + both pair-join arms): MATERIALIZED in
     # DuckDB so the corpus-wide shingle scan runs once, not per reference
     # (plain CTEs inline; Spark re-derives from the same scan but AQE

@@ -819,25 +819,43 @@ def _ivm_body(dialect: str = "spark") -> str:
       FROM diff GROUP BY prio
     ),
     maint AS (
-      SELECT b.o_orderpriority,
-             b.cnt AS base_cnt,
-             CAST(b.cnt + COALESCE(d.dcnt, 0) AS BIGINT) AS maint_cnt,
-             CAST(b.cents + COALESCE(d.dcents, 0) AS BIGINT) AS maint_cents
-      FROM base b LEFT JOIN delta d ON d.prio = b.o_orderpriority
+      -- FULL OUTER, not base LEFT JOIN delta: a group that exists only
+      -- in the new snapshot (insert-only group, no base row) has a delta
+      -- row but no base row, and a LEFT JOIN would silently drop it from
+      -- the maintained view (r7 advisor). Not reachable with TPC-H's 5
+      -- always-present priorities, but the algebra must be complete.
+      SELECT COALESCE(b.o_orderpriority, d.prio) AS o_orderpriority,
+             CAST(COALESCE(b.cnt, 0) AS BIGINT) AS base_cnt,
+             CAST(COALESCE(b.cnt, 0) + COALESCE(d.dcnt, 0) AS BIGINT)
+               AS maint_cnt,
+             CAST(COALESCE(b.cents, 0) + COALESCE(d.dcents, 0) AS BIGINT)
+               AS maint_cents
+      FROM base b FULL OUTER JOIN delta d ON d.prio = b.o_orderpriority
     ),
     direct AS (
       SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS direct_cnt,
              CAST(SUM(cents) AS BIGINT) AS direct_cents
       FROM new GROUP BY o_orderpriority
     )
-    SELECT m.o_orderpriority,
-           m.base_cnt, m.maint_cnt, d.direct_cnt,
-           m.maint_cents, d.direct_cents,
-           CAST(CASE WHEN m.maint_cnt = d.direct_cnt THEN 1 ELSE 0 END
-                AS INT) AS cnt_match,
-           CAST(CASE WHEN m.maint_cents = d.direct_cents THEN 1 ELSE 0 END
-                AS INT) AS cents_match
-    FROM maint m JOIN direct d ON d.o_orderpriority = m.o_orderpriority
+    -- FULL OUTER on the verification join too, so a group present in
+    -- only one path surfaces as a row (and fails its match flag) instead
+    -- of vanishing from the output. A delete-emptied group (maint_cnt 0,
+    -- no direct row) correctly matches a missing direct group at 0.
+    SELECT COALESCE(m.o_orderpriority, d.o_orderpriority)
+             AS o_orderpriority,
+           CAST(COALESCE(m.base_cnt, 0) AS BIGINT) AS base_cnt,
+           CAST(COALESCE(m.maint_cnt, 0) AS BIGINT) AS maint_cnt,
+           CAST(COALESCE(d.direct_cnt, 0) AS BIGINT) AS direct_cnt,
+           CAST(COALESCE(m.maint_cents, 0) AS BIGINT) AS maint_cents,
+           CAST(COALESCE(d.direct_cents, 0) AS BIGINT) AS direct_cents,
+           CAST(CASE WHEN COALESCE(m.maint_cnt, 0)
+                          = COALESCE(d.direct_cnt, 0)
+                     THEN 1 ELSE 0 END AS INT) AS cnt_match,
+           CAST(CASE WHEN COALESCE(m.maint_cents, 0)
+                          = COALESCE(d.direct_cents, 0)
+                     THEN 1 ELSE 0 END AS INT) AS cents_match
+    FROM maint m
+    FULL OUTER JOIN direct d ON d.o_orderpriority = m.o_orderpriority
     """
 
 

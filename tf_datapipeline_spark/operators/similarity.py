@@ -17,6 +17,8 @@ driver check; tests/test_similarity.py asserts recall vs q70.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -731,16 +733,39 @@ def q76_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (ADC float ordering is engine-specific); recall vs the exact q70
 # baseline is pinned in tests/test_similarity.py, and q76 is the
 # oracle-checked ADC twin.
+#
+# TUNING DIALS (r7 verdict task 6): IVFPQ recall is bought with two
+# knobs, both first-class here instead of frozen constants —
+#   _IVFPQ_OVERFETCH: shortlist size rescored exactly. The sf10 measured
+#     curve (SCALING.md): recall 0.05 @ 40, 0.125 @ 320, 0.275 @ 2560 —
+#     the expected fixed-capacity decay; with exact rescore a larger
+#     overfetch's candidate set is a SUPERSET of a smaller one's (ADC
+#     order is deterministic, ties by vec_id), so recall is provably
+#     non-decreasing in the dial — pinned at oracle scale in
+#     tests/test_similarity.py::test_ivfpq_overfetch_recall_curve.
+#   _IVFPQ_NCODES: codewords per subspace. Default stays 4 = q75's tiny
+#     codebook geometry (keeps q76, the ADC oracle twin, exactly
+#     replayable in SQL); the production setting is 256 (FAISS IVFPQ's
+#     8-bit codes), which needs a corpus with >= 8 + 37*255 ≈ 9.5k seed
+#     vectors (sf0.1 up). Smaller corpora keep whatever seeds exist.
+# Both read an env override so a bench/recall sweep can set them without
+# code edits.
 # --------------------------------------------------------------------------
 _SUB_DIM = _DIM // _PQ_CODES  # 8 dims per PQ subspace
 _PQ_NCODES = 4  # codewords per subspace (q75's codebook geometry)
+_IVFPQ_OVERFETCH = int(
+    os.environ.get("SPARK_GRAFT_IVFPQ_OVERFETCH", str(_PQ_OVERFETCH))
+)
+_IVFPQ_NCODES = int(
+    os.environ.get("SPARK_GRAFT_IVFPQ_NCODES", str(_PQ_NCODES))
+)
 
 
 @query("q77_knn_ivfpq")
 def q77_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     seed_ids = sorted(
-        {8 + _CENTROID_STRIDE * c for c in range(max(_N_CELLS, _PQ_NCODES))}
+        {8 + _CENTROID_STRIDE * c for c in range(max(_N_CELLS, _IVFPQ_NCODES))}
     )
     seed_rows = (
         emb.filter(F.col("vec_id").isin(seed_ids))
@@ -751,14 +776,23 @@ def q77_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in seed_rows
     }
     # like q73: a small corpus may not contain every seed id — cells are
-    # whatever seeds exist, in vec_id order (cell c = c'th found seed)
-    cents = np.stack([seeds[i] for i in sorted(seeds)])
+    # whatever seeds exist, in vec_id order (cell c = c'th found seed).
+    # Cells come from the first _N_CELLS found seeds only, so the cell
+    # geometry is INDEPENDENT of the codebook dial.
+    cent_ids = sorted(seeds)[:_N_CELLS]
+    cents = np.stack([seeds[i] for i in cent_ids])
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-    # codebook[sub, code] = sub'th 8-dim slice of seed vector `code`
-    # (q75's convention)
-    book = np.stack(
-        [seeds[8 + _CENTROID_STRIDE * k] for k in range(_PQ_NCODES)]
-    ).reshape(_PQ_NCODES, _PQ_CODES, _SUB_DIM)
+    # codebook[code, sub] = sub'th 8-dim slice of seed vector `code`
+    # (q75's convention); the production 256-codeword setting simply
+    # reads more seeds (corpus permitting — see the dial comment)
+    book_ids = [
+        8 + _CENTROID_STRIDE * k
+        for k in range(_IVFPQ_NCODES)
+        if 8 + _CENTROID_STRIDE * k in seeds
+    ]
+    book = np.stack([seeds[i] for i in book_ids]).reshape(
+        len(book_ids), _PQ_CODES, _SUB_DIM
+    )
 
     @F.pandas_udf("struct<cell:int, codes:array<int>, probe:array<int>>")
     def encode_udf(emb_col: pd.Series) -> pd.DataFrame:
@@ -816,7 +850,7 @@ def q77_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = Window.partitionBy("query_id").orderBy(F.asc("ad2"), F.asc("vec_id"))
     shortlist = (
         cand.withColumn("crn", F.row_number().over(wc))
-        .filter(F.col("crn") <= _PQ_OVERFETCH)
+        .filter(F.col("crn") <= _IVFPQ_OVERFETCH)
         .select("query_id", "vec_id")
     )
     # exact rescore: only the shortlist touches full vectors
@@ -1314,6 +1348,22 @@ _MMR_POOL = 24
 _MMR_K = 10
 _MMR_LAMBDA = "CAST(0.7 AS DOUBLE)"
 _MMR_ONE_MINUS = "CAST(0.3 AS DOUBLE)"
+# Contract for the driver-side greedy (r7 verdict task 5): the collected
+# shortlist is _N_QUERIES x _MMR_POOL rel rows + _N_QUERIES x _MMR_POOL^2
+# pairwise sims — LINEAR in query count x pool^2, so a future query-set
+# or pool increase grows the driver collect silently. The cap below is
+# the production ceiling for the driver-greedy regime (~1M rows ≈ tens of
+# MB of (q,va,vb,double) tuples — trivially driver-safe); past it q7f
+# must fail fast and be reworked as an executor-side per-query greedy
+# (groupBy(query_id).applyInPandas, each group's pool^2 sims local to one
+# task) instead of growing the collect. Enforced in q7f, pinned in
+# tests/test_plans.py.
+_MMR_COLLECT_CAP = 1_000_000
+
+
+def _mmr_collect_rows() -> int:
+    """Driver-visible row bound for q7f's shortlist collect."""
+    return _N_QUERIES * _MMR_POOL + _N_QUERIES * _MMR_POOL * _MMR_POOL
 
 
 def _mmr_shortlist_sql(dialect: str) -> str:
@@ -1414,6 +1464,17 @@ def _mmr_oracle() -> str:
 @query("q7f_mmr_rerank", oracle=_mmr_oracle())
 def q7f_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
+    # Regime guard (see _MMR_COLLECT_CAP): the driver-greedy contract is
+    # only valid while the shortlist stays a bounded-metadata collect.
+    if _mmr_collect_rows() > _MMR_COLLECT_CAP:
+        raise ValueError(
+            "q7f_mmr_rerank out of driver-greedy regime: shortlist bound "
+            f"_N_QUERIES({_N_QUERIES}) * _MMR_POOL({_MMR_POOL}) * "
+            f"(1 + _MMR_POOL) = {_mmr_collect_rows()} rows exceeds "
+            f"_MMR_COLLECT_CAP={_MMR_COLLECT_CAP}; rework the greedy as an "
+            "executor-side per-query applyInPandas before raising the "
+            "query set or pool size"
+        )
     # distributed shortlist: one corpus scan + bounded pairwise sims
     rows = spark.sql(_mmr_shortlist_sql("spark")).collect()
     rel: dict[tuple[int, int], float] = {}

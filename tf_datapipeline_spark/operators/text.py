@@ -15,7 +15,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tf_datapipeline_spark.catalog import load_table, register_views
-from tf_datapipeline_spark.functions.texthash import sql_hash32
+from tf_datapipeline_spark.functions.texthash import (
+    sql_hash32,
+    sql_hash60_from_md5_dialect,
+)
 from tf_datapipeline_spark.registry import query
 
 # Whitespace-token split shared by several ops (lazy: building a Column
@@ -1741,16 +1744,22 @@ def q5o_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already-seen phrases).
 #
 # Spark shape (100 TB): one gram explode (array expression, JVM
-# codegen), one groupBy(gram) MIN(doc_id) — partial-aggregated map-side
-# so the shuffle carries one row per DISTINCT gram, not per occurrence —
-# and one join of that first-occurrence table back to the per-doc gram
-# sets on the gram hash. No windows, no collects; everything is
-# integer counts plus one final division that rounds once identically
-# in both engines.
+# codegen), then the raw gram text is immediately replaced by a 60-bit
+# md5-derived hash (r7 advisor: a raw-string shuffle key carries the
+# full gram text through both the groupBy and the join — 8-byte longs
+# instead). One groupBy(gram_hash) MIN(doc_id) — partial-aggregated
+# map-side so the shuffle carries one row per DISTINCT gram, not per
+# occurrence — and one join of that first-occurrence table back to the
+# per-doc gram sets on the hash. Both engines share the hash, so a
+# (cosmically rare at < 2^30 distinct grams) collision merges the same
+# two grams in both — the oracle match is unconditional. No windows, no
+# collects; everything is integer counts plus one final division that
+# rounds once identically in both engines.
 # --------------------------------------------------------------------------
 
 
 def _novelty_oracle() -> str:
+    gh = sql_hash60_from_md5_dialect("m", "duckdb")
     return f"""
     WITH pos AS (
       SELECT doc_id, t,
@@ -1758,12 +1767,14 @@ def _novelty_oracle() -> str:
       FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
     ),
     grams AS (
-      SELECT DISTINCT doc_id,
-             array_to_string(t[i:i+{_CONTAM_N - 1}], ' ') AS g
-      FROM pos
+      SELECT DISTINCT doc_id, {gh} AS gh
+      FROM (
+        SELECT doc_id, md5(array_to_string(t[i:i+{_CONTAM_N - 1}], ' ')) AS m
+        FROM pos
+      )
     ),
     first_seen AS (
-      SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+      SELECT gh, MIN(doc_id) AS first_doc FROM grams GROUP BY gh
     )
     SELECT c.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_grams,
@@ -1771,7 +1782,7 @@ def _novelty_oracle() -> str:
                 AS BIGINT) AS n_novel,
            CAST(SUM(CASE WHEN f.first_doc = c.doc_id THEN 1 ELSE 0 END)
                 AS DOUBLE) / COUNT(*) AS novelty
-    FROM grams c JOIN first_seen f USING (g)
+    FROM grams c JOIN first_seen f USING (gh)
     GROUP BY c.doc_id
     """
 
@@ -1779,15 +1790,22 @@ def _novelty_oracle() -> str:
 @query("q5p_ngram_novelty", oracle=_novelty_oracle())
 def q5p_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select("doc_id", _tokens_spark().alias("_toks")).select(
-        "doc_id", F.explode(_grams_spark(F.col("_toks"))).alias("g")
+    grams = (
+        docs.select("doc_id", _tokens_spark().alias("_toks"))
+        .select("doc_id", F.explode(_grams_spark(F.col("_toks"))).alias("g"))
+        .select(
+            "doc_id",
+            F.expr(
+                sql_hash60_from_md5_dialect("md5(g)", "spark")
+            ).alias("gh"),
+        )
     )
-    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    first_seen = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     )
     return (
-        grams.join(first_seen, "g")
+        grams.join(first_seen, "gh")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -165,7 +165,11 @@ GATE_ORDER = [
     # tf-idf's df/posting machinery stays evidenced in-gate by q5k's
     # BM25 row, which computes the same per-term document frequencies
     # plus the ranked retrieval on top; q55 stays locally oracle-checked).
-    "q9c_compaction_plan",
+    # Round-8 rotation: q9c -> q9h (incremental view maintenance — the
+    # round-7 O(changes) CDC-delta apply the verdict asked to gate; the
+    # planner class q9c evidences stays in-gate via q9a/q9f/q9g's layout
+    # rows, and q9c keeps its r6+r7 green rows + local oracle check).
+    "q9h_incremental_view_maintenance",
     # Round-6 rotation (late): q5g -> q5o (DSIR-style target-matched
     # selection — integer-exact linear importance score, new this round;
     # the overlapping-window chunking class stays evidenced in-gate by
@@ -207,7 +211,11 @@ GATE_ORDER = [
     # never-gated graph-analytics row over q63's verified edge set; q6f
     # earned its green row in r6 and stays locally oracle-checked, and
     # the span-dedup shuffle shape stays pinned in tests).
-    "q6d_triangle_count",
+    # Round-8 rotation: q6d -> q6g (PageRank over the same q63 edge set —
+    # the round-7 addition the verdict asked to gate; graph analytics
+    # stays covered by the strictly subtler iterative row, q6d keeps its
+    # r7 green row + local oracle check).
+    "q6g_pagerank",
     "q63_minhash_lsh_pairs",
     # Round-5 rotation: q64 -> q6a (incremental delta-vs-corpus dedup,
     # the production crawl shape, O(delta) cost) and q65 -> q6b (the
@@ -225,7 +233,11 @@ GATE_ORDER = [
     # frozen-16-cell oracle twin; q68 stays registered + locally
     # oracle-checked, and keep-decision equality with q6b at shared
     # scales stays pinned in tests/test_properties.py.
-    "q6e_bloom_prescreen",
+    # Round-8 rotation: q6e -> q6h (KMV bottom-k cross-source overlap —
+    # the round-7 addition the verdict asked to gate; the probabilistic
+    # pre-screen class q6e evidences stays in-gate via q9f's Bloom
+    # skipping row, and q6e keeps its r6+r7 green rows + local check).
+    "q6h_kmv_source_overlap",
     "q67_dedup_clusters",
     # similarity search (ANN variants q71/q73 are rows-only by design —
     # recall-tested behind the window)
@@ -238,15 +250,22 @@ GATE_ORDER = [
     # corpus-scaled semantic cells, which deserves gate evidence). The
     # brute-force-cosine class stays evidenced in-gate by q79's exact-
     # decimal cosine arm; q70 stays locally oracle-checked.
-    "q7c_mutual_knn",
-    "q79_hybrid_rrf",
-    # Round-7 rotation: q74 -> q7e (binary sign-quantization + Hamming
-    # top-k, the r6 addition the verdict asked to gate — integer-exact
-    # end-to-end, verified locally three ways but never driver-green;
-    # the centroid-recompute class q74 evidences stays in-gate via
-    # q79's exact-decimal cosine arm and q7c's cell machinery, and q74
-    # keeps its r4-r6 green rows plus the local oracle check).
-    "q7e_binary_hamming",
+    # Round-8 rotation (all three similarity slots turn over to the
+    # round-7 serving additions the verdict asked to gate; each
+    # rotated-out query earned its green row in r7 and stays locally
+    # oracle-checked):
+    #   q7c -> q7h (label-filtered ANN — the filter-IS-the-join-key
+    #     broadcast plan; the cell-blocked retrieval class stays
+    #     evidenced by q7h's blocked join + q7c's r7 green row);
+    #   q79 -> q7f (MMR diversified re-rank — distributed scoring +
+    #     bounded driver greedy; the ranked-retrieval class stays
+    #     evidenced by q5k's in-gate BM25 row + q79's r7 green row);
+    #   q7e -> q7g (cosine radius search — pure codegen filter, no
+    #     top-k window; integer-exact similarity stays evidenced via
+    #     q7e's r7 green row).
+    "q7h_filtered_knn",
+    "q7f_mmr_rerank",
+    "q7g_radius_search",
     # multimodal. Late-round-4 rotation: q81 -> q8i (pixel-exact decode
     # is already evidenced in-gate by q8b/q8d's pixel-level codec rows;
     # the banded image near-dup adds the image-dedup operator class on
