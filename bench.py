@@ -101,6 +101,10 @@ EXTRA = [
     "q5p_ngram_novelty",
     "q9h_incremental_view_maintenance",
     "q7h_filtered_knn",
+    # round 8 additions: timed for evidence, out of the headline total
+    "q9i_scd2_history",
+    "q4za_markov_transitions",
+    "q7i_recall_eval",
 ]
 
 
@@ -215,7 +219,12 @@ def main() -> None:
         return n_passes
 
     passes = run_group(HEADLINE, 110)
-    extra_passes = run_group(EXTRA, 100)
+    # EXTRA grew to 41 queries (~80s/pass quiet): the old 100s budget
+    # allowed only ONE pass, so a single host stall stuck to a query's
+    # reported time with no re-pass to shake it off (a stall charged 127s
+    # to q9a in a round-8 shakeout run whose headline was clean). 190s
+    # buys a second pass; min-of-2 keeps EXTRA timings honest.
+    extra_passes = run_group(EXTRA, 190)
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     extra_total = round(sum(timings[n] for n in EXTRA if n in timings), 3)

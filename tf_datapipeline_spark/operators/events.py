@@ -1080,3 +1080,67 @@ def q4m_freshness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_fresh"),
     )
+
+
+# --------------------------------------------------------------------------
+# q4za — MARKOV next-event TRANSITION matrix: per user, order events by
+# time and count every consecutive (prev_type -> next_type) transition,
+# then normalize each source row into transition probabilities — the
+# first-order behavioral model product analytics derives journey maps
+# and anomaly baselines from (and the sequential-pattern sibling of
+# q4f's funnel, which fixes the path; this measures ALL paths).
+#
+# Spark shape (100 TB): ONE shuffle by user_id for the lag window
+# (the stream's natural partitioning — at deployment the events table
+# is already bucketed by user, making this shuffle-free), then a
+# partial-aggregated groupBy to |types|^2 rows (25 here), and a tiny
+# window over those 25 rows for the per-source normalization. Ordering
+# is (ts, event_id) — event_id is unique, so the lag sequence (and the
+# whole output) is deterministic. The single division is one IEEE op on
+# exact integer counts, identical in both engines.
+# --------------------------------------------------------------------------
+@query(
+    "q4za_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n_trans
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n_trans,
+           CAST(n_trans AS DOUBLE)
+             / CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE)
+             AS p_trans
+    FROM trans
+    """,
+)
+def q4za_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    wsrc = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        (
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(wsrc).cast("double")
+        ).alias("p_trans"),
+    )

@@ -865,3 +865,73 @@ def q9h_incremental_view_maintenance(
 ) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_ivm_body())
+
+
+# --------------------------------------------------------------------------
+# q9i — SCD TYPE-2 dimension history (slowly-changing-dimension merge):
+# apply a CDC change set to a versioned dimension, emitting one row per
+# (key, version) with commit-stamped validity intervals — the MERGE
+# pattern every lakehouse dimension table runs (Kimball type 2; Delta/
+# Iceberg MERGE INTO ... WHEN MATCHED/NOT MATCHED). Same deterministic
+# old/new snapshot derivation as q1y/q9h (inserts = keys ≡ 0 mod 10,
+# deletes ≡ 1 mod 10, repriced updates ≡ 2 mod 7); commits are integer
+# epochs (1 = initial load, 2 = the CDC apply) so every validity bound
+# is exact. Row semantics:
+#   unchanged: one row, v1, [1, NULL), current
+#   updated:   v1 closed at 2 (old cents), v2 open at 2 (new cents)
+#   deleted:   v1 closed at 2, no current row
+#   inserted:  v1 open at 2, current
+#
+# Scale (100 TB): the harness derives both snapshots from one `orders`
+# scan; production applies a CDC DELTA (O(changes)) against the stored
+# current-version slice — the expensive piece is the single FULL OUTER
+# hash join on the key, which co-partitions with the dimension's
+# natural bucketing, and the emit is a union of two projections of that
+# join (no second shuffle: both branches carry the join's partitioning).
+# All arithmetic integer (cents via the shared FLOOR device), so the
+# oracle match is exact. Reference analog: none (extension family,
+# BASELINE.json).
+# --------------------------------------------------------------------------
+
+
+def _scd2_body(dialect: str = "spark") -> str:
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
+    return f"""
+    WITH old AS {mat}(
+      SELECT o_orderkey, {_IVM_CENTS} AS cents
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    new AS {mat}(
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 2
+                  THEN CAST(FLOOR(o_totalprice * 1.1 * 100) AS BIGINT)
+                  ELSE {_IVM_CENTS} END AS cents
+      FROM orders WHERE o_orderkey % 10 <> 1
+    ),
+    d AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             o.cents AS oc, n.cents AS nc,
+             CAST(o.o_orderkey IS NOT NULL AS INT) AS has_o,
+             CAST(n.o_orderkey IS NOT NULL AS INT) AS has_n
+      FROM old o FULL OUTER JOIN new n ON n.o_orderkey = o.o_orderkey
+    )
+    SELECT o_orderkey, CAST(1 AS INT) AS version, oc AS cents,
+           CAST(1 AS INT) AS valid_from,
+           CAST(CASE WHEN has_n = 0 OR oc <> nc THEN 2 ELSE NULL END
+                AS INT) AS valid_to,
+           CAST(CASE WHEN has_n = 1 AND oc = nc THEN 1 ELSE 0 END
+                AS INT) AS is_current
+    FROM d WHERE has_o = 1
+    UNION ALL
+    SELECT o_orderkey, CAST(2 AS INT) AS version, nc AS cents,
+           CAST(2 AS INT) AS valid_from,
+           CAST(NULL AS INT) AS valid_to,
+           CAST(1 AS INT) AS is_current
+    FROM d WHERE has_n = 1 AND (has_o = 0 OR oc <> nc)
+    """
+
+
+@query("q9i_scd2_history", oracle=_scd2_body("duckdb"))
+def q9i_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_scd2_body())

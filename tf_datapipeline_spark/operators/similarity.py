@@ -1608,3 +1608,96 @@ def _filtered_knn_sql(dialect: str) -> str:
 def q7h_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_filtered_knn_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# q7i — index-quality RECALL EVALUATION: recall@k of the binary-Hamming
+# rung (q7e's sign codes) against the exact cosine baseline (q70's
+# brute-force ranking), per query plus the hit count — the monitoring
+# query every production ANN deployment runs continuously ("is the
+# compressed index still finding what exact search finds?"). Both arms
+# are fully deterministic — the Hamming arm is pure integer ops and the
+# exact arm is the order-pinned packed-array fold — so unlike the
+# float-ordered ANN rungs (q71/q73/q77, rows-only by necessity) this
+# evaluation is itself ORACLE-CHECKED end to end: the whole
+# eval-harness arithmetic is value-verified, and the recall floors the
+# rows-only rungs are tested against locally are exactly this shape.
+#
+# Scale (100 TB): the exact arm is one brute scan (the ground-truth
+# cost any recall eval pays — at deployment it runs on a SAMPLED query
+# set, which is what _N_QUERIES models); the Hamming arm scans 8-byte
+# codes; both end in per-query top-k windows over broadcast-joined
+# scans, and the final recall join touches k rows per query.
+# --------------------------------------------------------------------------
+_REC_K = 10  # recall@10 over q7e's Hamming codes (same k as _BH_TOPK)
+
+
+def _recall_eval_sql(dialect: str) -> str:
+    hint = "/*+ BROADCAST(q) */ " if dialect == "spark" else ""
+    if dialect == "spark":
+        def shl(b: str) -> str:
+            return f"shiftleft(CAST(1 AS BIGINT), CAST({b} AS INT))"
+
+        def bxor(a: str, b: str) -> str:
+            return f"({a} ^ {b})"
+    else:
+        def shl(b: str) -> str:
+            return f"(CAST(1 AS BIGINT) << CAST({b} AS INT))"
+
+        def bxor(a: str, b: str) -> str:
+            return f"xor({a}, {b})"
+    return f"""
+    WITH codes AS (
+      SELECT vec_id,
+             SUM(CASE WHEN pos <= 32 AND x >= 0
+                      THEN {shl("pos - 1")} ELSE 0 END) AS w0,
+             SUM(CASE WHEN pos > 32 AND x >= 0
+                      THEN {shl("pos - 33")} ELSE 0 END) AS w1
+      FROM ({_dims_cte(dialect)}) d
+      GROUP BY vec_id
+    ),
+    ham AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, neighbor_id) AS rnk
+        FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 CAST(bit_count({bxor("q.w0", "c.w0")})
+                      + bit_count({bxor("q.w1", "c.w1")}) AS INT) AS hamming
+          FROM codes q JOIN codes c
+            ON q.vec_id < {_N_QUERIES} AND c.vec_id >= {_N_QUERIES}
+        ) s
+      ) r WHERE rnk <= {_REC_K}
+    ),
+    norms AS (
+      SELECT vec_id, embedding, SQRT({fold_norm2(dialect, "embedding")}) AS nrm
+      FROM embeddings
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT {hint}q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {fold_dot(dialect, "d.embedding", "q.embedding")}
+                            / (q.nrm * d.nrm) DESC, d.vec_id) AS rnk
+        FROM (SELECT * FROM norms WHERE vec_id < {_N_QUERIES}) q
+        JOIN norms d ON d.vec_id >= {_N_QUERIES}
+      ) r WHERE rnk <= {_REC_K}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(h.neighbor_id) AS INT) AS n_hit,
+           CAST({_REC_K} AS INT) AS k,
+           CAST(COUNT(h.neighbor_id) AS DOUBLE)
+             / CAST({_REC_K} AS DOUBLE) AS recall_at_k
+    FROM exact e
+    LEFT JOIN ham h ON h.query_id = e.query_id
+                   AND h.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@query("q7i_recall_eval", oracle=_recall_eval_sql("duckdb"))
+def q7i_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _materialize_dims(spark, sf_dir)
+    return spark.sql(_recall_eval_sql("spark"))
