@@ -1097,6 +1097,17 @@ def q5g_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash32 (functions/texthash.py), all codegen scalar work. Shuffle
 # shape: positions explode map-side; one shuffle on doc_id for the
 # window + the distinct/rollup — no cross-doc comparison anywhere.
+#
+# r8 restructure (found by the sf10 sweep, the q56 class of finding):
+# the original shape computed n_pos with a MAX(i) window and hashed
+# k-grams in the SAME select, so BOTH engines' window operators
+# materialized the exploded rows WITH the full text column attached —
+# at sf10 (500k docs, ~200M positions x ~400 B of text each) DuckDB's
+# window buffered ~80 GB and thrashed; Spark shuffled text bytes
+# through two windows. n_pos is just length(text) - (k-1) — a scalar
+# of the BASE row, computed before the explode — and projecting the
+# hash FIRST drops text before the one remaining window, whose input
+# is (doc_id, i, n_pos, h) at ~28 B/row. Same output bit-for-bit.
 # --------------------------------------------------------------------------
 _WIN_K = 8  # k-gram chars
 _WIN_W = 4  # winnow window positions
@@ -1106,15 +1117,18 @@ _WIN_W = 4  # winnow window positions
     "q5h_winnow_fingerprint",
     oracle=f"""
     WITH pos AS (
-      SELECT doc_id,
-             unnest(generate_series(1, length(text) - {_WIN_K - 1})) AS i,
+      SELECT doc_id, n_pos,
+             unnest(generate_series(1, n_pos)) AS i,
              text
-      FROM documents WHERE length(text) >= {_WIN_K}
+      FROM (
+        SELECT doc_id, text,
+               length(text) - {_WIN_K - 1} AS n_pos
+        FROM documents WHERE length(text) >= {_WIN_K}
+      )
     ),
     hashed AS (
-      SELECT doc_id, i,
-             {sql_hash32(f"substr(text, CAST(i AS INT), {_WIN_K})")} AS h,
-             MAX(i) OVER (PARTITION BY doc_id) AS n_pos
+      SELECT doc_id, i, n_pos,
+             {sql_hash32(f"substr(text, CAST(i AS INT), {_WIN_K})")} AS h
       FROM pos
     ),
     winnowed AS (
@@ -1140,15 +1154,20 @@ def q5h_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = docs.select(
         "doc_id",
         "text",
-        F.explode(
-            F.sequence(F.lit(1), F.length("text") - (_WIN_K - 1))
-        ).alias("i"),
+        (F.length("text") - (_WIN_K - 1)).alias("n_pos"),
+    ).select(
+        "doc_id",
+        "text",
+        "n_pos",
+        F.explode(F.sequence(F.lit(1), F.col("n_pos"))).alias("i"),
     )
+    # project the hash BEFORE the window so text never enters (let alone
+    # shuffles through) the window operator — see the header
     hashed = pos.select(
         "doc_id",
         "i",
+        "n_pos",
         F.expr(sql_hash32(f"substr(text, CAST(i AS INT), {_WIN_K})")).alias("h"),
-        F.max("i").over(Window.partitionBy("doc_id")).alias("n_pos"),
     )
     w = (
         Window.partitionBy("doc_id")
