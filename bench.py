@@ -105,6 +105,14 @@ EXTRA = [
     "q9i_scd2_history",
     "q4za_markov_transitions",
     "q7i_recall_eval",
+    # round 8 late-session additions (monitoring/curation layer)
+    "q6i_canonical_pick",
+    "q5r_vocab_drift",
+    "q4zb_seasonal_baseline",
+    "q7j_centroid_drift",
+    "q7k_cell_balance",
+    "q9j_clustering_depth",
+    "q4zc_stream_anomaly_alerts",
 ]
 
 
@@ -223,8 +231,9 @@ def main() -> None:
     # allowed only ONE pass, so a single host stall stuck to a query's
     # reported time with no re-pass to shake it off (a stall charged 127s
     # to q9a in a round-8 shakeout run whose headline was clean). 190s
-    # buys a second pass; min-of-2 keeps EXTRA timings honest.
-    extra_passes = run_group(EXTRA, 190)
+    # bought a second pass at 41 queries; the late-round-8 additions
+    # take EXTRA to 51 (~95s/pass quiet), so 230s keeps min-of-2 honest.
+    extra_passes = run_group(EXTRA, 230)
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     extra_total = round(sum(timings[n] for n in EXTRA if n in timings), 3)

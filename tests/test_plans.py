@@ -226,6 +226,11 @@ def test_no_accidental_cross_products(spark):
         # not by the row count; the sketch rows the pairs then join are
         # capped at k per source by construction
         "q6h_kmv_source_overlap",
+        # file-manifest self-join: both sides are the 64-row grouped
+        # aggregate keyed on (rn-1) div ceil(total/_CLUSTER_FILES) — the
+        # key domain is bounded by the literal _CLUSTER_FILES, but (like
+        # q68's pmod) that arithmetic bound isn't visible in the plan
+        "q9j_clustering_depth",
     }
     # Accumulate violations across ALL queries before asserting — a single
     # failure must not shadow the rest of the sweep (round-5 lesson: an
@@ -317,6 +322,7 @@ def test_collect_sites_are_bounded_metadata_only():
         ("operators/pipeline.py", "offset_row_number"),  # n_buckets agg rows
         ("operators/similarity.py", "q73_knn_ann_ivf"),  # k=16 centroid rows
         ("operators/similarity.py", "q77_knn_ivfpq"),  # k=16 seed-centroid rows
+        ("operators/similarity.py", "q7k_cell_balance"),  # <=16 seed rows
         # <= _COARSE_CAP coarse seed rows — the filter itself caps the row
         # count at a corpus-INDEPENDENT constant (r5 fix; the fine split
         # happens executor-side). Pinned corpus-independent below. Moved

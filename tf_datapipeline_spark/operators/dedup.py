@@ -1751,3 +1751,68 @@ def _kmv_overlap_sql(dialect: str) -> str:
 def q6h_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_kmv_overlap_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# q6i — CANONICAL-representative selection per duplicate group: after a
+# fingerprint pass clusters near-identical docs, a curation pipeline must
+# decide WHICH copy survives — the "keep best, not first" policy (longest
+# text wins, doc_id breaks ties) rather than q60/q67's keep-lowest-id.
+# Groups here are exact q64 SimHash collisions (16-bit fingerprint; the
+# conservative cluster key — hamming-adjacent merging is q67's job), and
+# the output is the per-source curation ledger: docs seen, canonicals
+# kept, dups dropped, surviving chars, and how many kept docs actually
+# won a multi-doc group (vs singletons that survive trivially).
+#
+# Scale (100 TB): one token-explode scan into the partial-aggregated
+# per-doc SimHash groupBy (the q64 shape), then ONE shuffle by simhash
+# for the pick window and ONE partial-agg'd groupBy source for the
+# ledger. The window partitions by fingerprint value — 2^16 keys here to
+# stay oracle-identical with q64; a deployment widens _SIMHASH_BITS so
+# group cardinality, not key width, bounds the window buffer (the pick
+# needs only the per-group max, so a deployment can also swap
+# ROW_NUMBER for one max_by pass). Everything is integer-exact.
+# --------------------------------------------------------------------------
+def _canonical_pick_sql(dialect: str) -> str:
+    if dialect == "spark":
+        tok = "explode(split(trim(text), '\\\\s+')) AS term"
+        bit = "shiftright(h, {b}) & 1"
+    else:
+        tok = "unnest(regexp_split_to_array(trim(text), '\\s+')) AS term"
+        bit = "(h >> {b}) & 1"
+    bit_terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN {bit.format(b=b)} = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {2 ** b} ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {tok} FROM documents
+    ), th AS (
+      SELECT doc_id, {sql_hash32_dialect("term", dialect)} AS h FROM toks
+    ), sh AS (
+      SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+      FROM th GROUP BY doc_id
+    ), grp AS (
+      SELECT d.source, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY s.simhash
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY s.simhash) AS grp_sz
+      FROM documents d JOIN sh s ON s.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN rk = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars,
+           CAST(SUM(CASE WHEN rk = 1 AND grp_sz > 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dup_group_winners
+    FROM grp GROUP BY source
+    """
+
+
+@query("q6i_canonical_pick", oracle=_canonical_pick_sql("duckdb"))
+def q6i_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_canonical_pick_sql("spark"))

@@ -1144,3 +1144,164 @@ def q4za_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_trans").over(wsrc).cast("double")
         ).alias("p_trans"),
     )
+
+
+def _seasonal_keyed(ev: DataFrame, *extra_cols: str) -> DataFrame:
+    """(event_type, value, dow, hr, is_base) + extra_cols — the shared
+    hour-of-week keying for q4zb (batch) and q4zc (streaming twin)."""
+    es = _epoch_s("ts")
+    return ev.select(
+        *extra_cols,
+        "event_type",
+        "value",
+        (((es / 86400).cast("bigint") + 4) % 7).cast("int").alias("dow"),
+        ((es % 86400) / 3600).cast("int").alias("hr"),
+        (((es / 86400).cast("bigint") / 7).cast("bigint") % 2 == 0).alias(
+            "is_base"
+        ),
+    )
+
+
+def _seasonal_stats(keyed: DataFrame) -> DataFrame:
+    """Per-(event_type, dow, hr) baseline-week mean/σ (exact-decimal
+    sums; σ via correctly-rounded IEEE sqrt on exact inputs)."""
+    base = (
+        keyed.filter("is_base")
+        .groupBy("event_type", "dow", "hr")
+        .agg(
+            F.count("value").alias("n_base"),
+            dsum("value", 6).alias("s1"),
+            dsum(F.col("value") * F.col("value"), 6).alias("s2"),
+        )
+    )
+    return base.select(
+        "event_type",
+        "dow",
+        "hr",
+        "n_base",
+        (F.col("s1") / F.col("n_base")).alias("base_avg"),
+        F.sqrt(
+            F.greatest(
+                F.col("s2") - F.col("s1") * (F.col("s1") / F.col("n_base")),
+                F.lit(0.0),
+            )
+            / F.col("n_base")
+        ).alias("base_std"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q4zb — SEASONAL-BASELINE anomaly detection: build an hour-of-week
+# traffic profile (mean + stddev of `value` per event_type × day-of-week
+# × hour) from alternating "baseline" weeks, then score the remaining
+# weeks against it and count the >2σ deviations — the metric-monitoring
+# shape behind every data-quality alert ("is this crawl feed behaving
+# like it usually does at 3am on a Tuesday?"). Week parity stands in for
+# the deployment's trailing-window/holdout split; both engines derive it
+# from the same epoch arithmetic (dow = (epoch_day+4) % 7 — 1970-01-01
+# was a Thursday — so neither engine's locale-dependent dayofweek() is
+# in play).
+#
+# Determinism: the per-slot sums are exact decimal folds (dsum — the
+# q40 device), avg is one IEEE division, std is sqrt((s2-s*s/n)/n) on
+# exact inputs — sqrt IS correctly rounded under IEEE-754, so every
+# derived double is bit-identical in both engines; the 2σ comparison is
+# then exact. Slots absent from one side survive the FULL OUTER ledger
+# join (the q9h advisor precedent: insert-only groups must surface).
+#
+# Scale (100 TB): two partial-aggregated passes over the event scan
+# (baseline slots, then eval counts) shuffling |types|·168 rows each;
+# the per-row scoring join broadcasts the ~840-row profile — nothing
+# but the scan is corpus-proportional, and no window buffers rows.
+# --------------------------------------------------------------------------
+@query(
+    "q4zb_seasonal_baseline",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_type, value,
+             CAST(((CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) + 4) % 7
+                  AS INT) AS dow,
+             CAST((CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400) // 3600
+                  AS INT) AS hr,
+             ((CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) // 7) % 2 = 0
+                  AS is_base
+      FROM events
+    ),
+    base AS (
+      SELECT event_type, dow, hr,
+             CAST(COUNT(value) AS BIGINT) AS n_base,
+             TRY_CAST(CONCAT(SUM(CAST(value AS DECIMAL(28,6))), '')
+                      AS DOUBLE) AS s1,
+             TRY_CAST(CONCAT(SUM(CAST(value * value AS DECIMAL(28,6))), '')
+                      AS DOUBLE) AS s2
+      FROM keyed WHERE is_base GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT event_type, dow, hr, n_base,
+             s1 / n_base AS base_avg,
+             SQRT(GREATEST(s2 - s1 * (s1 / n_base), 0.0) / n_base) AS base_std
+      FROM base
+    ),
+    scored AS (
+      SELECT k.event_type, k.dow, k.hr,
+             CAST(COUNT(k.value) AS BIGINT) AS n_eval,
+             CAST(SUM(CASE WHEN ABS(k.value - st.base_avg)
+                                > 2.0 * st.base_std
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+      FROM keyed k
+      LEFT JOIN stats st
+        ON st.event_type = k.event_type AND st.dow = k.dow AND st.hr = k.hr
+      WHERE NOT k.is_base
+      GROUP BY 1, 2, 3
+    )
+    SELECT COALESCE(st.event_type, sc.event_type) AS event_type,
+           COALESCE(st.dow, sc.dow) AS dow,
+           COALESCE(st.hr, sc.hr) AS hr,
+           COALESCE(st.n_base, 0) AS n_base,
+           st.base_avg, st.base_std,
+           COALESCE(sc.n_eval, 0) AS n_eval,
+           COALESCE(sc.n_anom, 0) AS n_anom
+    FROM stats st
+    FULL OUTER JOIN scored sc
+      ON st.event_type = sc.event_type AND st.dow = sc.dow AND st.hr = sc.hr
+    """,
+)
+def q4zb_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keyed = _seasonal_keyed(ev)
+    stats = _seasonal_stats(keyed)
+    scored = (
+        keyed.filter(~F.col("is_base"))
+        .join(
+            F.broadcast(stats.select("event_type", "dow", "hr", "base_avg", "base_std")),
+            ["event_type", "dow", "hr"],
+            "left",
+        )
+        .groupBy("event_type", "dow", "hr")
+        .agg(
+            F.count("value").alias("n_eval"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("base_avg"))
+                    > 2.0 * F.col("base_std"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_anom"),
+        )
+    )
+    st, sc = stats.alias("st"), scored.alias("sc")
+    cond = (
+        (F.col("st.event_type") == F.col("sc.event_type"))
+        & (F.col("st.dow") == F.col("sc.dow"))
+        & (F.col("st.hr") == F.col("sc.hr"))
+    )
+    return st.join(sc, cond, "full_outer").select(
+        F.coalesce("st.event_type", "sc.event_type").alias("event_type"),
+        F.coalesce("st.dow", "sc.dow").alias("dow"),
+        F.coalesce("st.hr", "sc.hr").alias("hr"),
+        F.coalesce("st.n_base", F.lit(0)).alias("n_base"),
+        F.col("st.base_avg").alias("base_avg"),
+        F.col("st.base_std").alias("base_std"),
+        F.coalesce("sc.n_eval", F.lit(0)).alias("n_eval"),
+        F.coalesce("sc.n_anom", F.lit(0)).alias("n_anom"),
+    )

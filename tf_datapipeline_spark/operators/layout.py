@@ -935,3 +935,106 @@ def _scd2_body(dialect: str = "spark") -> str:
 def q9i_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_scd2_body())
+
+
+# --------------------------------------------------------------------------
+# q9j — CLUSTERING-DEPTH audit: how well is the table physically
+# clustered on a column? Model the written layout as 64 equal row-range
+# files in (l_orderkey, l_linenumber) write order — the realistic
+# "appended roughly by ingest key" layout — take each file's min/max
+# l_shipdate (exactly what parquet footers / Delta file stats expose),
+# and count, per file, how many OTHER files' date ranges overlap it.
+# Overlap depth is THE re-clustering signal (Delta/Iceberg OPTIMIZE
+# metrics): depth ~ 0 means a date-range query prunes to ~1 file, depth
+# ~ n_files means min/max stats prune nothing and a Z-ORDER/sort
+# rewrite (q9a's machinery) pays for itself. The audit closes the
+# layout-family loop: q9a measures a layout's skip rate, q9c plans
+# compaction, q9d plans partitioning — q9j tells you WHEN to invoke
+# them.
+#
+# Scale (100 TB): file stats are ONE partial-aggregated pass shuffling
+# n_files metadata rows (a real deployment reads them from the
+# transaction log — zero scan); the overlap join is n_files² on that
+# metadata (64² here; bounded by manifest size, never rows). The
+# write-order numbering uses the two-pass partition-offset shape
+# (q32/q5d's offset_row_number — every window partitioned by a
+# monotone orderkey bucket, NO Exchange SinglePartition); the oracle
+# replays it as a plain global ROW_NUMBER, which is the same function
+# on a single-node engine.
+# --------------------------------------------------------------------------
+_CLUSTER_FILES = 64
+
+
+def _clustering_depth_oracle() -> str:
+    return f"""
+    WITH numbered AS (
+      SELECT l_shipdate,
+             ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER () AS n_total
+      FROM lineitem
+    ),
+    files AS (
+      SELECT CAST((rn - 1) // (((n_total - 1) // {_CLUSTER_FILES}) + 1)
+                  AS INT) AS file_id,
+             MIN(l_shipdate) AS d_min,
+             MAX(l_shipdate) AS d_max,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM numbered
+      GROUP BY 1
+    )
+    SELECT a.file_id, a.d_min, a.d_max, a.n_rows,
+           CAST(SUM(CASE WHEN b.file_id <> a.file_id
+                          AND b.d_min <= a.d_max AND a.d_min <= b.d_max
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps
+    FROM files a JOIN files b ON 1 = 1
+    GROUP BY a.file_id, a.d_min, a.d_max, a.n_rows
+    """
+
+
+@query("q9j_clustering_depth", oracle=_clustering_depth_oracle())
+def q9j_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tf_datapipeline_spark.catalog import load_table
+    from tf_datapipeline_spark.operators.pipeline import offset_row_number
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    numbered, total = offset_row_number(
+        li,
+        (F.col("l_orderkey") / 4096).cast("bigint"),
+        [F.asc("l_orderkey"), F.asc("l_linenumber")],
+    )
+    width = ((total - 1) // _CLUSTER_FILES) + 1
+    files = (
+        numbered.select(
+            ((F.col("rn") - 1) / width).cast("int").alias("file_id"),
+            "l_shipdate",
+        )
+        .groupBy("file_id")
+        .agg(
+            F.min("l_shipdate").alias("d_min"),
+            F.max("l_shipdate").alias("d_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    a, b = files.alias("a"), files.alias("b")
+    overlap = F.when(
+        (F.col("b.file_id") != F.col("a.file_id"))
+        & (F.col("b.d_min") <= F.col("a.d_max"))
+        & (F.col("a.d_min") <= F.col("b.d_max")),
+        1,
+    ).otherwise(0)
+    return (
+        a.join(F.broadcast(b), F.lit(True))
+        .groupBy("a.file_id", "a.d_min", "a.d_max", "a.n_rows")
+        .agg(F.sum(overlap).alias("n_overlaps"))
+        .select(
+            F.col("a.file_id").alias("file_id"),
+            F.col("a.d_min").alias("d_min"),
+            F.col("a.d_max").alias("d_max"),
+            F.col("a.n_rows").alias("n_rows"),
+            "n_overlaps",
+        )
+    )

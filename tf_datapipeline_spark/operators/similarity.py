@@ -1714,3 +1714,197 @@ def _recall_eval_sql(dialect: str) -> str:
 def q7i_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     _materialize_dims(spark, sf_dir)
     return spark.sql(_recall_eval_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# q7j — EMBEDDING CENTROID DRIFT between two corpus snapshots: split the
+# corpus by vec_id parity (standing in for consecutive ingest snapshots,
+# the q5r device applied to vectors), compute each label's per-snapshot
+# centroid, and report the cosine similarity between the two centroids —
+# the embedding-space distribution-shift monitor a pipeline runs before
+# trusting an ANN index or a classifier trained on last month's crawl
+# ("did this label's region of embedding space move?"). drift_cos ~ 1
+# means the label is stable; the n_a/n_b counts expose volume shift.
+#
+# Determinism: per-dimension centroid sums accumulate FLOOR(x * 2^36)
+# exact integers (the q72 quantization — raw float->decimal casts can
+# land on rounding-mode ties across engines, FLOOR of an exact double
+# product cannot); the centroid division is one IEEE op; the 64-term
+# dot/norm folds run in EXPLICIT dim order on both engines (Spark
+# aggregate(array_sort(collect_list(...))), DuckDB list(... ORDER BY) —
+# the q6g recipe), and sqrt is correctly rounded under IEEE-754, so
+# drift_cos is bit-identical. Spark's 0.0 fold init is bit-inert for
+# the nonzero first term (the accepted q66 convention). A label absent
+# from either half has no centroid to compare and is deliberately
+# absent from the output (not silently zeroed).
+#
+# Scale (100 TB): ONE explode scan (shared via dims_mat) into a
+# partial-aggregated (label, dim, half) sum — the shuffle carries
+# labels x 64 x 2 metadata rows, not vectors; everything downstream is
+# per-label arithmetic on ~128-element lists. No windows, no collects.
+# --------------------------------------------------------------------------
+def _centroid_drift_sql(dialect: str) -> str:
+    if dialect == "spark":
+        def fold(expr: str) -> str:
+            return (
+                "aggregate(transform(array_sort(collect_list("
+                f"named_struct('p', pos, 'v', {expr}))), x -> x.v), "
+                "CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+            )
+    else:
+        def fold(expr: str) -> str:
+            return f"list_reduce(list({expr} ORDER BY pos), (acc, t) -> acc + t)"
+
+    return f"""
+    WITH dims AS ({_dims_cte(dialect)}),
+    halves AS (
+      SELECT e.label, d.pos, CAST(d.vec_id % 2 AS INT) AS half,
+             CAST(FLOOR(d.x * 68719476736.0) AS BIGINT) AS q
+      FROM dims d JOIN embeddings e ON e.vec_id = d.vec_id
+    ),
+    cents AS (
+      SELECT label, pos, half,
+             (CAST(SUM(q) AS DOUBLE) / 68719476736.0) / COUNT(*) AS c,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM halves GROUP BY label, pos, half
+    ),
+    paired AS (
+      SELECT a.label, a.pos, a.c AS ca, b.c AS cb, a.n AS na, b.n AS nb
+      FROM (SELECT * FROM cents WHERE half = 0) a
+      JOIN (SELECT * FROM cents WHERE half = 1) b
+        ON a.label = b.label AND a.pos = b.pos
+    )
+    SELECT label,
+           CAST(MIN(na) AS BIGINT) AS n_a,
+           CAST(MIN(nb) AS BIGINT) AS n_b,
+           {fold("ca * cb")}
+             / (SQRT({fold("ca * ca")}) * SQRT({fold("cb * cb")}))
+             AS drift_cos
+    FROM paired GROUP BY label
+    """
+
+
+@query("q7j_centroid_drift", oracle=_centroid_drift_sql("duckdb"))
+def q7j_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _materialize_dims(spark, sf_dir)
+    return spark.sql(_centroid_drift_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# q7k — IVF CELL-BALANCE AUDIT: assign the FULL corpus to its nearest
+# q73/q7b seed centroid and report the per-cell population histogram
+# with share and balance factor (1.0 = perfectly even) — the
+# index-health check that decides whether an IVF layout is servable:
+# probe latency is proportional to the LARGEST cell a query touches,
+# and a skewed assignment (balance >> 1 anywhere) means re-seeding or
+# splitting before the index ships. The audit is the measurement twin
+# of q9d's range-partition balance check, applied to vector cells.
+#
+# Spark shape (100 TB): one corpus scan computing 16 named distance
+# folds per row + an array_sort argmin — NO per-vector shuffle (the
+# q7b recipe: nesting folds in a when-chain would copy each 64-term
+# tree per level) — then ONE partial-aggregated groupBy(cell) to 16
+# rows; the window stats run on those 16 rows only. Deterministic:
+# order-pinned zip_with/list_zip folds (bit-identical to the oracle's
+# list_reduce by construction), argmin ties break by cell index, and
+# share/balance are single IEEE divisions over exact integers. A cell
+# with zero members has no row by construction (COUNT over groups) —
+# n_cells in the balance factor counts POPULATED cells, so the audit
+# reads identically in both engines either way.
+# --------------------------------------------------------------------------
+def _cell_balance_oracle() -> str:
+    cells = ", ".join(
+        f"({k}, {8 + _CENTROID_STRIDE * k})" for k in range(_N_CELLS)
+    )
+    d2 = (
+        "list_reduce("
+        "list_transform("
+        "list_transform(list_zip(v.embedding, c.cemb), "
+        "s -> CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)), "
+        "d -> d * d), "
+        "(a, b) -> a + b)"
+    )
+    return f"""
+    WITH cw(cell, cwvec_id) AS (VALUES {cells}),
+    cwe AS (
+      SELECT c.cell, e.embedding AS cemb
+      FROM cw c JOIN embeddings e ON e.vec_id = c.cwvec_id
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d2}, c.cell) AS rn
+        FROM embeddings v CROSS JOIN cwe c
+      ) r WHERE rn = 1
+    ),
+    percell AS (
+      SELECT CAST(cell AS INT) AS cell,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM assigned GROUP BY cell
+    )
+    SELECT cell, n_vecs,
+           CAST(n_vecs AS DOUBLE) / SUM(n_vecs) OVER () AS share,
+           CAST(n_vecs * COUNT(*) OVER () AS DOUBLE)
+             / SUM(n_vecs) OVER () AS balance
+    FROM percell
+    """
+
+
+@query("q7k_cell_balance", oracle=_cell_balance_oracle())
+def q7k_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_ids = [8 + _CENTROID_STRIDE * k for k in range(_N_CELLS)]
+    seed_rows = (
+        emb.filter(F.col("vec_id").isin(seed_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = {
+        seed_ids.index(r.vec_id): [float(x) for x in r.embedding]
+        for r in seed_rows
+    }
+
+    def d2_to(vals: list[float]):
+        arr = F.array(*[F.lit(v) for v in vals])
+        return F.aggregate(
+            F.zip_with(
+                "embedding",
+                arr,
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    ks = sorted(cents)
+    df = emb
+    for k in ks:
+        df = df.withColumn(f"_d2_{k}", d2_to(cents[k]))
+    best = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.col(f"_d2_{k}").alias("d2"), F.lit(k).alias("cell"))
+                for k in ks
+            ]
+        )
+    ).getItem(0)
+    percell = (
+        df.select(best.getField("cell").cast("int").alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    return percell.select(
+        "cell",
+        "n_vecs",
+        (F.col("n_vecs").cast("double") / F.sum("n_vecs").over(w)).alias(
+            "share"
+        ),
+        (
+            (F.col("n_vecs") * F.count(F.lit(1)).over(w)).cast("double")
+            / F.sum("n_vecs").over(w)
+        ).alias("balance"),
+    )

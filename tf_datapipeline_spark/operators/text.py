@@ -1832,3 +1832,61 @@ def q5p_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q5r — VOCABULARY DRIFT between two corpus snapshots: split the corpus
+# into halves A/B by doc_id parity (standing in for consecutive crawl
+# snapshots) and surface the tokens whose relative frequency shifted
+# most — the tokenizer-health / distribution-shift monitor a training
+# pipeline runs before mixing a new crawl into an old recipe. The drift
+# score is the cross-multiplied count difference
+# |n_a * N_B - n_b * N_A| — an exact BIGINT (no division, no logs: ln()
+# differs across libm builds, the q55/q59/q5o precedent), equal to
+# N_A*N_B*|rate_a - rate_b| so its ranking IS the rate-shift ranking.
+# The per-side rates in the output are single IEEE divisions.
+#
+# Scale (100 TB): one token-explode scan into a partial-aggregated
+# (token, parity) count — the shuffle carries vocabulary rows, not
+# tokens; the two corpus totals reduce to ONE broadcast row; top-50 is
+# a TakeOrdered (per-partition heap + driver merge of 50-row heads —
+# no global sort materialization). Ordering is total (score DESC, token
+# ASC — token is the group key, so unique). Overflow: n*N products stay
+# under 2^63 through ~3e9 tokens/side; a 100 TB run widens the score to
+# DECIMAL(38,0) behind the same expression.
+# --------------------------------------------------------------------------
+_VOCAB_DRIFT_TOP = 50
+
+
+def _vocab_drift_sql(dialect: str) -> str:
+    if dialect == "spark":
+        tok = "explode(split(trim(text), '\\\\s+')) AS token"
+    else:
+        tok = "unnest(regexp_split_to_array(trim(text), '\\s+')) AS token"
+    return f"""
+    WITH toks AS (
+      SELECT CAST(doc_id % 2 AS INT) AS half, {tok} FROM documents
+    ), counts AS (
+      SELECT token,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM toks GROUP BY token
+    ), totals AS (
+      SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+             CAST(SUM(n_b) AS BIGINT) AS tot_b
+      FROM counts
+    )
+    SELECT token, n_a, n_b,
+           ABS(n_a * tot_b - n_b * tot_a) AS drift_score,
+           CAST(n_a AS DOUBLE) / tot_a AS rate_a,
+           CAST(n_b AS DOUBLE) / tot_b AS rate_b
+    FROM counts, totals
+    ORDER BY drift_score DESC, token
+    LIMIT {_VOCAB_DRIFT_TOP}
+    """
+
+
+@query("q5r_vocab_drift", oracle=_vocab_drift_sql("duckdb"))
+def q5r_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_vocab_drift_sql("spark"))

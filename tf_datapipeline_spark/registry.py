@@ -66,7 +66,12 @@ GATE_ORDER = [
     # exact discrete-quantile arm, plus the exact-mergeability
     # fingerprint contract that contrasts with q9b's HLL envelope; q1w
     # stays locally oracle-checked).
-    "q9e_kmv_quantile_rollup",
+    # Round-8 rotation (late): q9e -> q9i (SCD Type-2 dimension history —
+    # the commit-stamped validity-interval build added this round, never
+    # gated; the sketch/quantile class q9e evidences stays in-gate via
+    # q9b's mergeable-HLL row, and q9e keeps its r7+r8 green rows plus
+    # the local oracle check).
+    "q9i_scd2_history",
     # Round-6 rotation: q1i -> q9b (both sketch-class — approx_top_k's
     # error-bound oracle stays evidenced in-gate by the q9e/q9b sketch
     # rows, and q1i keeps its local oracle check plus the new runtime
@@ -84,7 +89,12 @@ GATE_ORDER = [
     # q9a's z-order file-skipping arithmetic was a round-5 addition with
     # no driver row; q22 stays locally oracle-checked).
     "q21_window_running",
-    "q9a_zorder_layout",
+    # Round-8 rotation (late): q9a -> q9j (clustering-depth audit — the
+    # file-overlap re-clustering signal that decides WHEN to invoke
+    # q9a's z-order rewrite; the zone-map skip arithmetic q9a evidences
+    # stays in-gate via q9f/q9g's file-stats rows, and q9a keeps its
+    # r5-r8 green rows, its plan pin, and the local oracle check).
+    "q9j_clustering_depth",
     # reference pipeline surface (composites + exact-numbering ops)
     # (q36 shard math is subsumed by q84's sharded-write row)
     "qp1_feed_pipeline",
@@ -116,14 +126,24 @@ GATE_ORDER = [
     # surface; the salted range join shares q4r's oracle so the
     # range-join class stays value-evidenced in-gate, and q4v's
     # salt-exchange plan stays pinned in test_plans.py).
-    "q4n_ohlc_bars",
+    # Round-8 rotation (late): q4n -> q4za (Markov next-event transition
+    # matrix — the sequential-pattern row added this round, never gated;
+    # the bar-aggregation class q4n evidences stays in-gate via q4d's
+    # multigrain rollup + q4y's spine windows, and q4n keeps its r5-r8
+    # green rows plus the local oracle check).
+    "q4za_markov_transitions",
     # Round-6 rotation (late): q4i -> q9f (per-file Bloom skipping index —
     # the point-lookup companion to q9a's zone maps, new this round; the
     # time-RANGE trailing-frame class stays evidenced in-gate by q21's
     # running windows + q4y's spine windows, and q4i stays locally
     # oracle-checked).
     "q9f_bloom_skipping",
-    "q4c_retention_cohorts",
+    # Round-8 rotation (late): q4c -> q4zb (seasonal hour-of-week
+    # baseline + 2σ anomaly counts with the FULL OUTER slot ledger — the
+    # metric-monitoring class, new this session; q4c's cohort window
+    # machinery stays evidenced by q21's running windows + q4za's lag
+    # windows, and q4c keeps its r3-r8 green rows plus the local check).
+    "q4zb_seasonal_baseline",
     # structured streaming. Round-4 rotation: the append-mode production
     # twins take the complete-mode slots (same oracles, stronger
     # semantics — watermark flush + state eviction): q47 -> q4p,
@@ -184,7 +204,11 @@ GATE_ORDER = [
     # never-gated text surface; the quality-bucketing class q5l
     # evidences stays in-gate via q5c/q5o's quality-score machinery and
     # q5l keeps its r5+r6 green rows plus the local oracle check).
-    "q5m_temperature_mix",
+    # Round-8 rotation (late): q5m -> q5r (vocabulary drift between
+    # snapshot halves — new monitoring class this session; the mixture-
+    # share class q5m evidences stays covered by q5j's local oracle and
+    # q5m keeps its r7+r8 green rows plus the local check).
+    "q5r_vocab_drift",
     "q5k_bm25",
     # Round-7 rotation (late): q5c -> q5p (n-gram novelty — new text
     # surface this round, same gram-explode machinery as contamination
@@ -224,7 +248,12 @@ GATE_ORDER = [
     # two asks in one row). SimHash stays locally oracle-checked; the
     # banded-candidate exact-Jaccard verify class stays evidenced by
     # q63+q6a's band machinery and q65 stays locally checked.
-    "q6a_incremental_dedup",
+    # Round-8 rotation (late): q6a -> q6i (canonical-representative
+    # selection per duplicate group — the keep-best-by-quality curation
+    # policy, new this session; the incremental delta-vs-corpus class
+    # q6a evidences stays in-gate via q6c's streaming incremental dedup,
+    # and q6a keeps its r5-r8 green rows plus the local oracle check).
+    "q6i_canonical_pick",
     "q6b_semantic_dedup_scaled",
     # Round-6 rotation: q68 -> q6e (the Bloom-filter frontier pre-screen,
     # a round-5 addition with no driver row — and the round-6 stride-
@@ -270,8 +299,14 @@ GATE_ORDER = [
     # is already evidenced in-gate by q8b/q8d's pixel-level codec rows;
     # the banded image near-dup adds the image-dedup operator class on
     # top of q8f's in-gate hash; q81 stays locally checked).
+    # Round-8 rotation (late): q8i -> q7i (recall@k index-quality
+    # evaluation — the serving-eval harness added this round, never
+    # gated, whose fixed NLJ build sides deserve a driver row; the
+    # banded image-dedup class q8i evidences shares q63's in-gate band
+    # machinery, and q8i keeps its r4-r8 green rows plus the local
+    # oracle check).
     "q80_image_metadata",
-    "q8i_image_near_dup",
+    "q7i_recall_eval",
     "q8b_png_decode",
     # Round-5 rotation: q8c -> q83g (per-doc literal-VALUES oracle for
     # the eval chain M9 + fractional-scale bilinear, with spatial probe

@@ -1367,3 +1367,87 @@ def q7b_stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.getField("d2").alias("d2"),
     )
     return run_bounded(out, "append")
+
+
+# --------------------------------------------------------------------------
+# q4zc — STREAMING seasonal-anomaly ALERTS (q4zb's streaming twin; the
+# real-time half of the metric monitor): the hour-of-week mean/σ profile
+# is computed batch-side over the baseline weeks (an ~840-row static
+# index, the q7a/q6c stream-static pattern), and the live stream scores
+# every non-baseline event against its slot IN-FLIGHT, emitting only
+# the >2σ deviations — the alert feed an on-call pipeline actually
+# consumes. Stateless end to end (per-row keying + broadcast join +
+# filter), so state is O(1) for an unbounded stream and no watermark is
+# needed; a slot with no baseline profile cannot alert and is dropped
+# by the inner join (deliberate — the batch ledger q4zb is where
+# eval-only slots surface).
+#
+# Determinism: identical epoch keying, exact-decimal profile sums, and
+# single-IEEE-op scoring as q4zb — the oracle replays the whole flow
+# on the batch table and must match the streamed alerts byte for byte.
+# --------------------------------------------------------------------------
+def _stream_anomaly_oracle() -> str:
+    return """
+    WITH keyed AS (
+      SELECT event_id, event_type, value,
+             CAST(((CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) + 4) % 7
+                  AS INT) AS dow,
+             CAST((CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400) // 3600
+                  AS INT) AS hr,
+             ((CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) // 7) % 2 = 0
+                  AS is_base
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type, dow, hr,
+             TRY_CAST(CONCAT(SUM(CAST(value AS DECIMAL(28,6))), '')
+                      AS DOUBLE) / COUNT(value) AS base_avg,
+             SQRT(GREATEST(
+               TRY_CAST(CONCAT(SUM(CAST(value * value AS DECIMAL(28,6))), '')
+                        AS DOUBLE)
+               - TRY_CAST(CONCAT(SUM(CAST(value AS DECIMAL(28,6))), '')
+                          AS DOUBLE)
+                 * (TRY_CAST(CONCAT(SUM(CAST(value AS DECIMAL(28,6))), '')
+                             AS DOUBLE) / COUNT(value)),
+               0.0) / COUNT(value)) AS base_std
+      FROM keyed WHERE is_base GROUP BY 1, 2, 3
+    )
+    SELECT k.event_id, k.event_type, k.dow, k.hr, k.value,
+           st.base_avg, st.base_std
+    FROM keyed k
+    JOIN stats st
+      ON st.event_type = k.event_type AND st.dow = k.dow AND st.hr = k.hr
+    WHERE NOT k.is_base
+      AND ABS(k.value - st.base_avg) > 2.0 * st.base_std
+    """
+
+
+@query("q4zc_stream_anomaly_alerts", oracle=_stream_anomaly_oracle())
+def q4zc_stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.catalog import load_table
+    from tf_datapipeline_spark.operators.events import (
+        _seasonal_keyed,
+        _seasonal_stats,
+    )
+
+    # static profile index over the existing corpus's baseline weeks
+    ev = load_table(spark, sf_dir, "events")
+    stats = _seasonal_stats(_seasonal_keyed(ev)).select(
+        "event_type", "dow", "hr", "base_avg", "base_std"
+    )
+
+    sdf = read_events_stream(spark, sf_dir)
+    keyed = _seasonal_keyed(sdf, "event_id")
+    alerts = (
+        keyed.filter(~F.col("is_base"))
+        .join(F.broadcast(stats), ["event_type", "dow", "hr"])
+        .filter(
+            F.abs(F.col("value") - F.col("base_avg"))
+            > 2.0 * F.col("base_std")
+        )
+        .select(
+            "event_id", "event_type", "dow", "hr", "value",
+            "base_avg", "base_std",
+        )
+    )
+    return run_bounded(alerts, "append")
