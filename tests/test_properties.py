@@ -1155,3 +1155,43 @@ def test_stream_anomaly_alerts_equal_batch_counts(spark):
             assert streamed.get(key, 0) == b.n_anom, (key, b.n_anom)
         else:
             assert key not in streamed, key
+
+
+def test_vacuum_plan_agrees_with_dv_accounting(spark):
+    """q9k invariants: the vacuum ledger's per-file physical/dead/live
+    rows must equal q9g's deletion-vector accounting file for file (same
+    layout, same two DELETE commits), the rewrite/eligibility flags must
+    follow their integer definitions, and the reclaimable total must be
+    the sum of eligible files' rows."""
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark import registry
+    from tf_datapipeline_spark.operators.layout import (
+        _VACUUM_RETENTION_COMMIT,
+    )
+
+    vac = {r.file_id: r for r in registry.queries()["q9k_vacuum_plan"](
+        spark, SF_SMOKE
+    ).collect()}
+    dv = {r.file_id: r for r in registry.queries()["q9g_deletion_vectors"](
+        spark, SF_SMOKE
+    ).collect()}
+    assert set(vac) == set(dv)
+    expected_reclaim = 0
+    for fid, r in vac.items():
+        g = dv[fid]
+        assert (r.n_rows, r.dv_count, r.live_rows) == (
+            g.file_rows,
+            g.dv_count,
+            g.live_rows,
+        ), fid
+        assert r.rewritten == (1 if 10 * r.dv_count > 3 * r.n_rows else 0)
+        want_elig = (
+            1
+            if r.rewritten == 1 and fid % 8 < _VACUUM_RETENTION_COMMIT
+            else 0
+        )
+        assert r.vacuum_eligible == want_elig, fid
+        if want_elig:
+            expected_reclaim += r.n_rows
+    totals = {r.reclaimable_rows_total for r in vac.values()}
+    assert totals == {expected_reclaim}

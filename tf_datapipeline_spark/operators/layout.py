@@ -1038,3 +1038,80 @@ def q9j_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_overlaps",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q9k — VACUUM / retention planner: the fourth leg of the lake-
+# maintenance tripod-turned-quad (q9c plans compaction, q9a/q9f plan
+# skipping, q9g accounts merge-on-read deletes — q9k decides which
+# PHYSICAL files can finally be removed). Model: the q9g layout's two
+# DELETE commits leave every file with a dead fraction; files past the
+# rewrite threshold (dead rows > 30%, the Delta/Iceberg OPTIMIZE
+# heuristic, compared as the exact integer cross-product
+# 10*dv_count > 3*rows so no float literal crosses engines) are
+# rewritten by a compaction commit and become TOMBSTONED — still on
+# disk for time travel, reclaimable only once their last-required
+# snapshot ages out (modeled by the file's write commit, file_id % 8,
+# falling behind the retention horizon at commit 5). The output is the
+# per-file vacuum ledger: physical/dead/live rows, dead fraction,
+# rewritten and eligible flags, and the reclaimable-row total a VACUUM
+# dry-run prints.
+#
+# Scale (100 TB): everything after the q9g DV accounting (O(deleted)
+# predicate scans + one file-count shuffle on the memoized position
+# table) is arithmetic on the 64-row file manifest — the decision
+# layer costs metadata, exactly like a real transaction-log VACUUM
+# plan. Integer-exact end to end; the one double (dead_frac) is a
+# single IEEE division for the human-readable ledger.
+# --------------------------------------------------------------------------
+_VACUUM_RETENTION_COMMIT = 5
+
+
+def _vacuum_body(dialect: str) -> str:
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
+    return f"""
+    WITH pospl AS {mat}({_dv_pospl_cte(dialect)}),
+    dv1 AS (
+      SELECT file_id, pos FROM pospl
+      WHERE o_orderstatus = 'F' AND o_custkey % 7 = 0
+    ),
+    dv2 AS (
+      SELECT file_id, pos FROM pospl WHERE o_orderkey % 13 = 3
+    ),
+    dv AS (
+      SELECT DISTINCT file_id, pos
+      FROM (SELECT * FROM dv1 UNION ALL SELECT * FROM dv2) u
+    ),
+    manifest AS (
+      SELECT p.file_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(d.pos) AS BIGINT) AS dv_count
+      FROM pospl p
+      LEFT JOIN dv d ON d.file_id = p.file_id AND d.pos = p.pos
+      GROUP BY p.file_id
+    ),
+    ledger AS (
+      SELECT file_id, n_rows, dv_count,
+             n_rows - dv_count AS live_rows,
+             CAST(dv_count AS DOUBLE) / n_rows AS dead_frac,
+             CASE WHEN 10 * dv_count > 3 * n_rows THEN 1 ELSE 0 END
+               AS rewritten
+      FROM manifest
+    )
+    SELECT file_id, n_rows, dv_count, live_rows, dead_frac,
+           CAST(rewritten AS INT) AS rewritten,
+           CAST(CASE WHEN rewritten = 1
+                      AND file_id % 8 < {_VACUUM_RETENTION_COMMIT}
+                     THEN 1 ELSE 0 END AS INT) AS vacuum_eligible,
+           CAST(SUM(CASE WHEN rewritten = 1
+                          AND file_id % 8 < {_VACUUM_RETENTION_COMMIT}
+                         THEN n_rows ELSE 0 END) OVER ()
+                AS BIGINT) AS reclaimable_rows_total
+    FROM ledger
+    """
+
+
+@query("q9k_vacuum_plan", oracle=_vacuum_body("duckdb"))
+def q9k_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _materialize_dv_pospl(spark, sf_dir)
+    return spark.sql(_vacuum_body("spark"))
