@@ -1195,3 +1195,56 @@ def test_vacuum_plan_agrees_with_dv_accounting(spark):
             expected_reclaim += r.n_rows
     totals = {r.reclaimable_rows_total for r in vac.values()}
     assert totals == {expected_reclaim}
+
+
+def test_cumulative_share_closes_to_totals(spark):
+    """q29 invariants: per-region running cents are monotone and close
+    to the region total, the global frame closes to the global total,
+    shares stay in (0, 1], and an independent recompute of the running
+    sums from the emitted monthly cents agrees exactly."""
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark import registry
+
+    rows = registry.queries()["q29_cumulative_share"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    rows.sort(key=lambda r: (r.month, r.region))
+    run_global, run_region = 0, {}
+    for r in rows:
+        run_global += r.cents
+        run_region[r.region] = run_region.get(r.region, 0) + r.cents
+        assert r.cum_global_cents == run_global, r
+        assert r.cum_cents == run_region[r.region], r
+        assert 0.0 < r.cum_share <= 1.0, r
+        assert r.cum_share == r.cum_cents / r.cum_global_cents, r
+    totals_by_region: dict = {}
+    for r in rows:
+        totals_by_region[r.region] = max(
+            totals_by_region.get(r.region, 0), r.cum_cents
+        )
+    assert sum(totals_by_region.values()) == run_global
+
+
+def test_user_growth_curve_closes(spark):
+    """q4zd invariants: new-user counts partition the user set (sum ==
+    distinct users == final cumulative), actives never exceed the
+    cumulative registered count on any day, and the curve recomputes
+    exactly from the raw events."""
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark.catalog import load_table
+    from tf_datapipeline_spark import registry
+
+    rows = registry.queries()["q4zd_user_growth"](spark, SF_SMOKE).collect()
+    assert rows
+    rows.sort(key=lambda r: r.day)
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.new_users for r in rows) == n_users
+    assert rows[-1].cum_users == n_users
+    run = 0
+    for r in rows:
+        run += r.new_users
+        assert r.cum_users == run, r
+        assert 1 <= r.active_users <= r.cum_users, r
+        assert r.active_share == r.active_users / r.cum_users, r

@@ -1305,3 +1305,85 @@ def q4zb_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("sc.n_eval", F.lit(0)).alias("n_eval"),
         F.coalesce("sc.n_anom", F.lit(0)).alias("n_anom"),
     )
+
+
+# --------------------------------------------------------------------------
+# q4zd — USER-GROWTH curve: daily new users (first-seen day), cumulative
+# registered users, daily active users, and the active share — the DAU /
+# cumulative-acquisition report every product pipeline derives from its
+# event stream, and the one analytic class the events family lacked
+# (global FIRST-OCCURRENCE + running total over the day spine).
+#
+# Spark shape (100 TB): first-seen is ONE partial-aggregated
+# groupBy(user_id).min(day) — the shuffle carries users, not events;
+# daily actives are one distinct-agg by (day, user) partial-reduced the
+# same way; both collapse to ≤|days| metadata rows, and the cumulative
+# window runs over THAT spine (the q4za/q29 convention: a deliberate
+# metadata-sized single-partition window ordered by day, never a
+# data-sized one). Day = epoch_day (locale-free integer division, the
+# q4zb device) rendered as DATE; counts are exact integers; the share
+# is one IEEE division.
+# --------------------------------------------------------------------------
+@query(
+    "q4zd_user_growth",
+    oracle="""
+    WITH ed AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS eday
+      FROM events
+    ),
+    firstseen AS (
+      SELECT user_id, MIN(eday) AS first_day FROM ed GROUP BY user_id
+    ),
+    newby AS (
+      SELECT first_day AS eday, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM firstseen GROUP BY first_day
+    ),
+    activeby AS (
+      SELECT eday, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+      FROM ed GROUP BY eday
+    )
+    SELECT CAST(DATE '1970-01-01' + CAST(a.eday AS INT) AS DATE) AS day,
+           COALESCE(n.new_users, 0) AS new_users,
+           CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY a.eday
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+           a.active_users,
+           CAST(a.active_users AS DOUBLE)
+             / SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY a.eday
+                   ROWS UNBOUNDED PRECEDING) AS active_share
+    FROM activeby a LEFT JOIN newby n ON n.eday = a.eday
+    """,
+)
+def q4zd_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ed = ev.select(
+        "user_id", (_epoch_s("ts") / 86400).cast("bigint").alias("eday")
+    )
+    newby = (
+        ed.groupBy("user_id")
+        .agg(F.min("eday").alias("first_day"))
+        .groupBy(F.col("first_day").alias("eday"))
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    activeby = ed.groupBy("eday").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+    joined = activeby.join(newby, "eday", "left").select(
+        "eday",
+        F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        "active_users",
+    )
+    wg = Window.partitionBy().orderBy("eday").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("eday").cast("int"))
+        .alias("day"),
+        "new_users",
+        F.sum("new_users").over(wg).cast("bigint").alias("cum_users"),
+        "active_users",
+        (
+            F.col("active_users").cast("double")
+            / F.sum("new_users").over(wg)
+        ).alias("active_share"),
+    )

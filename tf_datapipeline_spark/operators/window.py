@@ -314,3 +314,99 @@ def q28_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cum_dist"),
     )
+
+
+# --------------------------------------------------------------------------
+# q29 — CUMULATIVE market share: per (region, order month), running
+# revenue and running share of the global running total — the classic
+# cumulative-analytic report (growth curves, share-shift over time)
+# and the window-family op that composes dimension joins with running
+# frames. Revenue is integer cents via FLOOR(o_totalprice*100) (the
+# q9h device: FLOOR of the same IEEE double rounds identically in both
+# engines, a bare decimal cast would not), so both running sums are
+# exact BIGINTs and the share is one IEEE division per row.
+#
+# Scale (100 TB): customer->nation->region are broadcast dim joins
+# (region is 5 rows); ONE partial-aggregated groupBy reduces the order
+# scan to |regions| x |months| (~420) metadata rows, and BOTH running
+# windows operate on that metadata — the per-region frame partitions
+# by region, and the global frame partitions by a constant over ~420
+# rows (the q4za 25-row convention: a deliberate metadata-sized
+# single-partition window, not a data-sized one).
+# --------------------------------------------------------------------------
+@query(
+    "q29_cumulative_share",
+    oracle="""
+    WITH monthly AS (
+      SELECT r.r_name AS region,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, month, cents,
+           CAST(SUM(cents) OVER (PARTITION BY region ORDER BY month
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_cents,
+           CAST(SUM(cents) OVER (ORDER BY month, region
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_global_cents,
+           CAST(SUM(cents) OVER (PARTITION BY region ORDER BY month
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / SUM(cents) OVER (ORDER BY month, region
+                                ROWS UNBOUNDED PRECEDING)
+             AS cum_share
+    FROM monthly
+    """,
+)
+def q29_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    monthly = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wr = (
+        Window.partitionBy("region")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy().orderBy("month", "region").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return monthly.select(
+        "region",
+        "month",
+        "cents",
+        F.sum("cents").over(wr).cast("bigint").alias("cum_cents"),
+        F.sum("cents").over(wg).cast("bigint").alias("cum_global_cents"),
+        (
+            F.sum("cents").over(wr).cast("double")
+            / F.sum("cents").over(wg)
+        ).alias("cum_share"),
+    )
