@@ -1248,3 +1248,65 @@ def test_user_growth_curve_closes(spark):
         assert r.cum_users == run, r
         assert 1 <= r.active_users <= r.cum_users, r
         assert r.active_share == r.active_users / r.cum_users, r
+
+
+def test_corpus_health_agrees_with_component_queries(spark):
+    """qt5 invariants: the scorecard must agree with the component
+    queries it composes — quality pass counts with q51's per-doc gate,
+    exact-dup accounting with q60's distinct-text groups — and every
+    rate must be its count ratio exactly."""
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark.catalog import load_table
+    from tf_datapipeline_spark import registry
+
+    rows = {r.source: r for r in registry.queries()["qt5_corpus_health"](
+        spark, SF_SMOKE
+    ).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    q51 = {r.doc_id: r.is_quality for r in registry.queries()[
+        "q51_quality_score"
+    ](spark, SF_SMOKE).collect()}
+    by_src: dict = {}
+    for d in docs:
+        by_src.setdefault(d.source, []).append(d)
+    assert set(rows) == set(by_src)
+    for src, ds in by_src.items():
+        r = rows[src]
+        assert r.n_docs == len(ds)
+        assert r.total_chars == sum(d.n_chars for d in ds)
+        assert r.n_distinct_texts == len({d.text for d in ds})
+        assert r.n_quality == sum(q51[d.doc_id] for d in ds), src
+        assert r.quality_rate == r.n_quality / r.n_docs
+        assert r.exact_dup_rate == (r.n_docs - r.n_distinct_texts) / r.n_docs
+        assert r.mean_chars == r.total_chars / r.n_docs
+
+
+def test_native_stat_kernels_match_moment_formulas(spark):
+    """q1j computes stddev/var/corr/covar from exact decimal moments (the
+    sf10 sweep caught native-kernel merge-order noise straddling the old
+    6dp rounding device). Spark's NATIVE kernels must agree with those
+    moment formulas to float tolerance — this keeps the built-in
+    aggregate surface evidenced while the oracle row stays bit-exact."""
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark.catalog import load_table
+    from tf_datapipeline_spark import registry
+
+    moment = {r.c_mktsegment: r for r in registry.queries()[
+        "q1j_stats_kernel"
+    ](spark, SF_SMOKE).collect()}
+    c = load_table(spark, SF_SMOKE, "customer")
+    key_d = F.col("c_custkey").cast("double")
+    native = {r.c_mktsegment: r for r in c.groupBy("c_mktsegment").agg(
+        F.stddev_samp("c_acctbal").alias("sd"),
+        F.var_samp("c_acctbal").alias("var"),
+        F.corr(F.col("c_acctbal"), key_d).alias("corr"),
+        F.covar_samp(F.col("c_acctbal"), key_d).alias("covar"),
+    ).collect()}
+    assert set(moment) == set(native)
+    for seg, m in moment.items():
+        nv = native[seg]
+        assert abs(m.sd_bal - nv.sd) <= 1e-9 * abs(nv.sd), seg
+        assert abs(m.var_bal - nv.var) <= 1e-9 * abs(nv.var), seg
+        assert abs(m.corr_bal_key - nv.corr) <= 1e-6 + 1e-6 * abs(nv.corr), seg
+        assert abs(m.covar_bal_key - nv.covar) <= 1e-9 * abs(nv.covar), seg

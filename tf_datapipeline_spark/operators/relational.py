@@ -928,34 +928,58 @@ def q1i_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q1j — statistical aggregate kernel: sample stddev/variance, Pearson
-# correlation, sample covariance per segment. Distributed float
-# accumulation differs from single-node by final ulps, so results are
-# rounded to 6dp on both sides (the documented tolerance for
-# order-dependent float reductions; exact-decimal sums cover the
-# order-independent ones).
+# correlation, sample covariance per segment, derived from EXACT decimal
+# moments (Σx, Σy, Σx², Σy², Σxy — each input has a fixed decimal width,
+# so every addend casts exactly) with the same IEEE formulas on both
+# engines. The original formulation used each engine's NATIVE kernels
+# (stddev_samp/corr/covar_samp) rounded to 6dp as the cross-engine
+# tolerance; the round-8 sf10 relational sweep caught that device
+# failing at scale — at 1.5M rows/group the engines' merge-order
+# difference reaches ~6e-11 relative on the cancellation-heavy covar,
+# which straddles the 6dp rounding boundary (…669 vs …671). Exact
+# moments are order-independent, map-side combinable, deterministic at
+# ANY parallelism — and the derived statistics are then bit-identical
+# with no rounding device at all. The native Spark kernels stay
+# evidenced by a tolerance test against these moment formulas
+# (test_properties.test_native_stat_kernels_match_moment_formulas).
+# Overflow regime (ANSI errors, never wraps): Σ(key²) at DECIMAL(28,4)
+# holds to ~1e24 — beyond sf100's ~3e24 the key moments widen to
+# DECIMAL(38,4) behind the same expressions.
 # --------------------------------------------------------------------------
-@query(
-    "q1j_stats_kernel",
-    oracle="""
-    SELECT c_mktsegment,
-           ROUND(stddev_samp(c_acctbal), 6) AS sd_bal,
-           ROUND(var_samp(c_acctbal), 6) AS var_bal,
-           ROUND(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS corr_bal_key,
-           ROUND(covar_samp(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS covar_bal_key,
-           COUNT(*) AS n
-    FROM customer GROUP BY c_mktsegment
-    """,
-)
-def q1j_stats_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    key_d = F.col("c_custkey").cast("double")
-    return c.groupBy("c_mktsegment").agg(
-        F.round(F.stddev_samp("c_acctbal"), 6).alias("sd_bal"),
-        F.round(F.var_samp("c_acctbal"), 6).alias("var_bal"),
-        F.round(F.corr(F.col("c_acctbal"), key_d), 6).alias("corr_bal_key"),
-        F.round(F.covar_samp(F.col("c_acctbal"), key_d), 6).alias("covar_bal_key"),
-        F.count(F.lit(1)).alias("n"),
+def _q1j_sql(dialect: str) -> str:
+    x, y = "c_acctbal", "CAST(c_custkey AS DOUBLE)"
+    sx = sql_dsum(x, 2)
+    sxx = sql_dsum(f"{x} * {x}", 4)
+    sy = sql_dsum(y, 2)
+    syy = sql_dsum(f"{y} * {y}", 4)
+    sxy = sql_dsum(f"{x} * {y}", 2)
+    return f"""
+    WITH m AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {sx} AS sx, {sxx} AS sxx,
+             {sy} AS sy, {syy} AS syy,
+             {sxy} AS sxy
+      FROM customer GROUP BY c_mktsegment
     )
+    SELECT c_mktsegment,
+           SQRT((sxx - sx * (sx / n)) / (n - 1)) AS sd_bal,
+           (sxx - sx * (sx / n)) / (n - 1) AS var_bal,
+           (sxy - sx * (sy / n))
+             / SQRT((sxx - sx * (sx / n)) * (syy - sy * (sy / n)))
+             AS corr_bal_key,
+           (sxy - sx * (sy / n)) / (n - 1) AS covar_bal_key,
+           CAST(n AS BIGINT) AS n
+    FROM m
+    """
+
+
+@query("q1j_stats_kernel", oracle=_q1j_sql("duckdb"))
+def q1j_stats_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_q1j_sql("spark"))
 
 
 # --------------------------------------------------------------------------

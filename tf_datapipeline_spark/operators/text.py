@@ -1890,3 +1890,59 @@ def _vocab_drift_sql(dialect: str) -> str:
 def q5r_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_vocab_drift_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# qt5 — CORPUS-HEALTH report: the per-source scorecard a data-curation
+# team reads before every training run, composing the engine's
+# monitoring signals in ONE scan — volume (docs/chars/tokens), exact
+# duplication rate (distinct md5 over docs), the q51 quality-gate pass
+# rate (same n_chars>=100 AND stopwords>0 gate, replayed verbatim), and
+# the stopword share (corpus-register proxy). The composite closes the
+# qt-series: qt1 preps, qt2 goes multimodal, qt4 ingests in-flight,
+# qt5 reports.
+#
+# Scale (100 TB): one token-count projection per doc (codegen scalar
+# work — the token ARRAY is sized, never exploded), then ONE
+# partial-aggregated groupBy(source) with a distinct-hash sub-agg
+# (shuffle carries (source, md5) pairs, 16+32 B/row); output is
+# |sources| rows. All counts exact integers; the four rates are single
+# IEEE divisions.
+# --------------------------------------------------------------------------
+def _corpus_health_sql(dialect: str) -> str:
+    if dialect == "spark":
+        toks = "split(trim(text), '\\\\s+')"
+        nstop = f"size(filter({toks}, t -> t IN ({_SW_LIST})))"
+        ntok = f"size({toks})"
+    else:
+        toks = "regexp_split_to_array(trim(text), '\\s+')"
+        nstop = f"length(list_filter({toks}, t -> t IN ({_SW_LIST})))"
+        ntok = f"length({toks})"
+    return f"""
+    WITH perdoc AS (
+      SELECT source, n_chars, md5(text) AS th,
+             CAST({ntok} AS BIGINT) AS n_tokens,
+             CAST({nstop} AS BIGINT) AS n_stop,
+             CASE WHEN n_chars >= 100 AND {nstop} > 0
+                  THEN 1 ELSE 0 END AS is_q
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT th) AS BIGINT) AS n_distinct_texts,
+           CAST(COUNT(*) - COUNT(DISTINCT th) AS DOUBLE) / COUNT(*)
+             AS exact_dup_rate,
+           CAST(SUM(is_q) AS BIGINT) AS n_quality,
+           CAST(SUM(is_q) AS DOUBLE) / COUNT(*) AS quality_rate,
+           CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tokens) AS stopword_share,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+    FROM perdoc GROUP BY source
+    """
+
+
+@query("qt5_corpus_health", oracle=_corpus_health_sql("duckdb"))
+def qt5_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_corpus_health_sql("spark"))
