@@ -88,7 +88,13 @@ GATE_ORDER = [
     # windows and the per-vector rank windows inside q7c/q70-class rows;
     # q9a's z-order file-skipping arithmetic was a round-5 addition with
     # no driver row; q22 stays locally oracle-checked).
-    "q21_window_running",
+    # Round-8 rotation (late): q21 -> q29 (cumulative market share —
+    # the dim-join + metadata-spine running-frame analytic, new this
+    # session; q21's per-row running-window class stays evidenced
+    # in-gate by q4y's spine windows and q4za's lag windows, and q21
+    # keeps its r1-r8 green rows, its bench HEADLINE slot, and the
+    # local oracle check).
+    "q29_cumulative_share",
     # Round-8 rotation (late): q9a -> q9j (clustering-depth audit — the
     # file-overlap re-clustering signal that decides WHEN to invoke
     # q9a's z-order rewrite; the zone-map skip arithmetic q9a evidences
@@ -137,7 +143,12 @@ GATE_ORDER = [
     # time-RANGE trailing-frame class stays evidenced in-gate by q21's
     # running windows + q4y's spine windows, and q4i stays locally
     # oracle-checked).
-    "q9f_bloom_skipping",
+    # Round-8 rotation (late): q9f -> q9k (VACUUM/retention planner —
+    # the decision layer over q9g's in-gate deletion vectors, new this
+    # session; the Bloom-skipping class q9f evidences keeps its r6-r8
+    # green rows + plan pins, and file-stats pruning stays evidenced
+    # in-gate via q9g/q9j's manifest rows).
+    "q9k_vacuum_plan",
     # Round-8 rotation (late): q4c -> q4zb (seasonal hour-of-week
     # baseline + 2σ anomaly counts with the FULL OUTER slot ledger — the
     # metric-monitoring class, new this session; q4c's cohort window
@@ -209,7 +220,12 @@ GATE_ORDER = [
     # share class q5m evidences stays covered by q5j's local oracle and
     # q5m keeps its r7+r8 green rows plus the local check).
     "q5r_vocab_drift",
-    "q5k_bm25",
+    # Round-8 rotation (late): q5k -> qt5 (corpus-health report — the
+    # qt-series capstone composite, new this session; BM25's ranked-
+    # retrieval class stays evidenced in-gate by q7f's MMR scoring arm
+    # + q79's r7 green row, and q5k keeps its r4-r8 green rows plus
+    # the local oracle check).
+    "qt5_corpus_health",
     # Round-7 rotation (late): q5c -> q5p (n-gram novelty — new text
     # surface this round, same gram-explode machinery as contamination
     # plus the corpus-wide first-seen MIN(doc_id) table; q5c keeps its
