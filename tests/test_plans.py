@@ -138,6 +138,10 @@ def test_exact_numbering_has_no_single_partition_exchange(spark):
         "q35_batch_ragged_tail",
         "q36_shard_assignment",
         "q5d_sequence_packing",
+        # r8: the clustering-depth audit numbers 60M rows through the
+        # same two-pass offset machinery — the window must stay
+        # partitioned by the orderkey bucket
+        "q9j_clustering_depth",
     ):
         plan = formatted_plan(_q(name, spark))
         assert "SinglePartition" not in plan, (name, plan)
