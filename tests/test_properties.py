@@ -1310,3 +1310,42 @@ def test_native_stat_kernels_match_moment_formulas(spark):
         assert abs(m.var_bal - nv.var) <= 1e-9 * abs(nv.var), seg
         assert abs(m.corr_bal_key - nv.corr) <= 1e-6 + 1e-6 * abs(nv.corr), seg
         assert abs(m.covar_bal_key - nv.covar) <= 1e-9 * abs(nv.covar), seg
+
+
+def test_media_audit_agrees_with_sniff_and_probe(spark):
+    """q8n invariants: the audit's per-format doc and sniff counts must
+    equal q8e's over the same mixed corpus, every payload must decode
+    (n_decode_ok == n_docs — a codec or plumbing break shows here), and
+    pixel volume must match the generative dims rules."""
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark import registry
+    from tf_datapipeline_spark.sources.images import synthetic_jpeg_dims
+
+    audit = {r.image_format: r for r in registry.queries()[
+        "q8n_media_audit"
+    ](spark, SF_SMOKE).collect()}
+    sniff = {r.image_format: r for r in registry.queries()[
+        "q8e_format_sniff"
+    ](spark, SF_SMOKE).collect()}
+    assert set(audit) == set(sniff) == {"ppm", "png", "jpeg"}
+    from tf_datapipeline_spark.catalog import load_table
+
+    doc_ids = [
+        r.doc_id
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    want_pix = {"ppm": 0, "png": 0, "jpeg": 0}
+    for d in doc_ids:
+        fmt = ("ppm", "png", "jpeg")[d % 3]
+        if fmt == "jpeg":
+            h, w = synthetic_jpeg_dims(d)
+        else:
+            h, w = 8 + (d * 7919) % 25, 8 + (d * 104729) % 25
+        want_pix[fmt] += 3 * h * w
+    for fmt, r in audit.items():
+        s = sniff[fmt]
+        assert r.n_docs == s.n_docs and r.n_sniff_match == s.n_sniff_match
+        assert r.n_decode_ok == r.n_docs, fmt
+        assert r.total_pixels == want_pix[fmt], fmt

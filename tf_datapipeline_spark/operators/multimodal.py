@@ -2042,3 +2042,107 @@ def q8m_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, window_idx bigint, n_samples int, "
         "dominant_bin int, dc_sum bigint, energy bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# q8n — MEDIA-LAKE validation AUDIT: the quarantine pass a 100 TB binary
+# ingest runs before handing payloads to training — over the MIXED
+# 3-format corpus (q8e's construction), REALLY decode every payload
+# through the dispatched codec (PPM raster / PNG inflate+unfilter /
+# JPEG huffman+DCT) and report, per format: docs seen, magic-byte sniff
+# agreement, decode-probe successes (decoded height/width/channels must
+# equal the corpus's generative rule), and the decoded pixel volume.
+# The oracle derives every figure from the construction rule alone, so
+# a corrupt encoder, a codec regression, or broken Arrow plumbing
+# mismatches the count columns instantly (the q8e/q80 device, composed
+# over all three codecs in one pass).
+#
+# Scale (100 TB): one mapInPandas pass over the payload column — the
+# decode never leaves the executor, nothing but the 3-row audit
+# shuffles, and per-task memory is one Arrow batch of payloads. A real
+# deployment points the same probe at its object-store manifest and
+# quarantines rows where ok=0 (here the oracle asserts there are none).
+# --------------------------------------------------------------------------
+@query(
+    "q8n_media_audit",
+    # the JPEG third uses the flat-block corpus's 8-multiple dims rule
+    # (sources/images.py synthetic_jpeg_dims); PPM/PNG use the gradient
+    # corpus rule — the oracle replays both generative formulas
+    oracle="""
+    SELECT image_format,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_sniff_match,
+           CAST(COUNT(*) AS BIGINT) AS n_decode_ok,
+           CAST(SUM(3 * h * w) AS BIGINT) AS total_pixels
+    FROM (
+      SELECT CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+             ELSE 'jpeg' END AS image_format,
+             CASE WHEN doc_id % 3 = 2 THEN 8 * (1 + (doc_id * 7919) % 4)
+                  ELSE 8 + (doc_id * 7919) % 25 END AS h,
+             CASE WHEN doc_id % 3 = 2 THEN 8 * (1 + (doc_id * 104729) % 4)
+                  ELSE 8 + (doc_id * 104729) % 25 END AS w
+      FROM documents
+    )
+    GROUP BY 1
+    """,
+)
+def q8n_media_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        synthetic_corpus(
+            spark, sf_dir, fmt, docs_filter=F.col("doc_id") % 3 == k
+        )
+        for k, fmt in enumerate(_SNIFF_FMTS)
+    ]
+    mixed = parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, fmt, content in zip(
+                pdf["path"], pdf["image_format"], pdf["content"]
+            ):
+                doc_id = _doc_id_of(path)
+                payload = bytes(content)
+                magic = payload[:3]
+                sniffed = (
+                    "ppm"
+                    if magic[:2] == b"P6"
+                    else "png"
+                    if magic == b"\x89PN"
+                    else "jpeg"
+                    if magic == b"\xff\xd8\xff"
+                    else "unknown"
+                )
+                if fmt == "jpeg":
+                    want_h = 8 * (1 + (doc_id * 7919) % 4)
+                    want_w = 8 * (1 + (doc_id * 104729) % 4)
+                else:
+                    want_h = 8 + (doc_id * 7919) % 25
+                    want_w = 8 + (doc_id * 104729) % 25
+                try:
+                    arr = decode_image(payload, fmt)
+                    ok = int(
+                        arr.shape[0] == want_h
+                        and arr.shape[1] == want_w
+                        and arr.shape[2] == 3
+                    )
+                    pix = int(arr.shape[0] * arr.shape[1] * arr.shape[2])
+                except Exception:
+                    ok, pix = 0, 0
+                rows.append((fmt, int(sniffed == fmt), ok, pix))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_format", "sniff_match", "decode_ok", "pix"],
+            )
+
+    probed = mixed.mapInPandas(
+        audit,
+        schema="image_format string, sniff_match bigint, decode_ok bigint, "
+        "pix bigint",
+    )
+    return probed.groupBy("image_format").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("sniff_match").alias("n_sniff_match"),
+        F.sum("decode_ok").alias("n_decode_ok"),
+        F.sum("pix").alias("total_pixels"),
+    )
