@@ -1150,15 +1150,19 @@ def _seasonal_keyed(ev: DataFrame, *extra_cols: str) -> DataFrame:
     """(event_type, value, dow, hr, is_base) + extra_cols — the shared
     hour-of-week keying for q4zb (batch) and q4zc (streaming twin)."""
     es = _epoch_s("ts")
+    # Floor division (F.floor, not .cast truncation) so the keying matches
+    # the oracle's `//` semantics for ALL timestamps — trunc-toward-zero
+    # and floor diverge on negative epoch seconds (pre-1970 data), where
+    # dow/hr/is_base would otherwise disagree across engines. `%` is
+    # trunc-remainder in BOTH engines, so it needs no device.
+    eday = F.floor(es / F.lit(86400.0))
     return ev.select(
         *extra_cols,
         "event_type",
         "value",
-        (((es / 86400).cast("bigint") + 4) % 7).cast("int").alias("dow"),
-        ((es % 86400) / 3600).cast("int").alias("hr"),
-        (((es / 86400).cast("bigint") / 7).cast("bigint") % 2 == 0).alias(
-            "is_base"
-        ),
+        ((eday + 4) % 7).cast("int").alias("dow"),
+        F.floor((es % 86400) / F.lit(3600.0)).cast("int").alias("hr"),
+        (F.floor(eday / F.lit(7.0)) % 2 == 0).alias("is_base"),
     )
 
 
@@ -1357,7 +1361,10 @@ def q4zb_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q4zd_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ed = ev.select(
-        "user_id", (_epoch_s("ts") / 86400).cast("bigint").alias("eday")
+        "user_id",
+        # F.floor (not cast truncation) — matches the oracle's `//` floor
+        # semantics for negative epoch seconds too (the q4zb device).
+        F.floor(_epoch_s("ts") / F.lit(86400.0)).cast("bigint").alias("eday"),
     )
     newby = (
         ed.groupBy("user_id")

@@ -1009,7 +1009,11 @@ def q9j_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = ((total - 1) // _CLUSTER_FILES) + 1
     files = (
         numbered.select(
-            ((F.col("rn") - 1) / width).cast("int").alias("file_id"),
+            # Integer DIV, not double-divide-then-truncate: exact by
+            # construction at any row count (rn>=1, width>=1, so trunc
+            # == floor), with no dependence on double ulp near bucket
+            # boundaries.
+            F.expr(f"CAST((rn - 1) DIV {width} AS INT)").alias("file_id"),
             "l_shipdate",
         )
         .groupBy("file_id")

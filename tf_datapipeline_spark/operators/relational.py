@@ -963,10 +963,17 @@ def _q1j_sql(dialect: str) -> str:
       FROM customer GROUP BY c_mktsegment
     )
     SELECT c_mktsegment,
-           SQRT((sxx - sx * (sx / n)) / (n - 1)) AS sd_bal,
+           -- GREATEST(residual, 0.0) before every SQRT (the q4zb device):
+           -- on degenerate near-constant groups IEEE cancellation can
+           -- leave the residual slightly negative, and sqrt(negative) is
+           -- NaN in Spark but an ERROR in DuckDB — a behavioral, not
+           -- value, divergence. The clamp is identical double arithmetic
+           -- in both engines, so non-degenerate results stay bit-exact.
+           SQRT(GREATEST((sxx - sx * (sx / n)), 0.0) / (n - 1)) AS sd_bal,
            (sxx - sx * (sx / n)) / (n - 1) AS var_bal,
            (sxy - sx * (sy / n))
-             / SQRT((sxx - sx * (sx / n)) * (syy - sy * (sy / n)))
+             / SQRT(GREATEST((sxx - sx * (sx / n))
+                             * (syy - sy * (sy / n)), 0.0))
              AS corr_bal_key,
            (sxy - sx * (sy / n)) / (n - 1) AS covar_bal_key,
            CAST(n AS BIGINT) AS n

@@ -251,34 +251,64 @@ def q26_ntile_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q27 — grouped quantiles: exact interpolated percentiles per segment
-# (Spark `percentile` == DuckDB `quantile_cont`, both linear
-# interpolation; rounded to 6dp because the interpolation formula may
-# differ in final ulps between engines). The approximate path for 100 TB
-# is `approx_percentile` (t-digest-style sketch, mergeable map-side) —
-# same call shape, demonstrated in tests.
+# q27 — grouped quantiles: exact interpolated percentiles per segment.
+# Round 9 retires the last ROUND(6) tolerance device (the q1j pattern —
+# its instance of this device class DID diverge at 1.5M rows/group before
+# the r8 fix): instead of comparing two engines' native interpolation
+# kernels at 6dp, BOTH engines compute the identical exact quantity.
+# A linearly-interpolated quantile at q = k/20 over n order statistics is
+#     pos = (n-1)·k/20,  lo = ⌊pos⌋,  rem = ((n-1)·k) mod 20,
+#     Q   = (x[lo]·(20-rem) + x[lo+1]·rem) / 20
+# and c_acctbal is a 2-decimal value stored as double, so x in integer
+# CENTS (ROUND(bal·100) — the double sits within ~1e-9 of the true
+# integer, so both engines recover the same exact cents) makes the
+# numerator exact BIGINT arithmetic; the single final division by 2000.0
+# of an integer ≤ 2^53 is correctly rounded, hence bit-identical in both
+# engines. lo itself is derived division-free as ((n-1)·k - rem)/20 — an
+# exact multiple of 20, so the double quotient is the exact integer
+# (holds to n ≈ 2.5e14 rows/group; past that, widen to DECIMAL — the
+# q1j overflow-regime convention). No ROUND anywhere in the output.
+# The approximate path for 100 TB is `approx_percentile` (t-digest-style
+# sketch, mergeable map-side) — same call shape, demonstrated in tests.
 # --------------------------------------------------------------------------
-@query(
-    "q27_group_quantiles",
-    oracle="""
-    SELECT c_mktsegment,
-           ROUND(quantile_cont(c_acctbal, 0.25), 6) AS p25,
-           ROUND(quantile_cont(c_acctbal, 0.50), 6) AS p50,
-           ROUND(quantile_cont(c_acctbal, 0.75), 6) AS p75,
-           ROUND(quantile_cont(c_acctbal, 0.90), 6) AS p90,
-           COUNT(*) AS n
-    FROM customer GROUP BY c_mktsegment
-    """,
-)
-def q27_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    return cust.groupBy("c_mktsegment").agg(
-        F.round(F.expr("percentile(c_acctbal, 0.25)"), 6).alias("p25"),
-        F.round(F.expr("percentile(c_acctbal, 0.50)"), 6).alias("p50"),
-        F.round(F.expr("percentile(c_acctbal, 0.75)"), 6).alias("p75"),
-        F.round(F.expr("percentile(c_acctbal, 0.90)"), 6).alias("p90"),
-        F.count(F.lit(1)).alias("n"),
+def _q27_sql() -> str:
+    def quant(k: int, alias: str) -> str:
+        rem = f"(((n - 1) * {k}) % 20)"
+        lo = f"CAST((((n - 1) * {k}) - {rem}) / 20 AS BIGINT)"
+        lo_c = f"MAX(CASE WHEN rn = {lo} + 1 THEN cents END)"
+        hi_c = f"MAX(CASE WHEN rn = {lo} + 2 THEN cents END)"
+        return (
+            f"CAST(({lo_c} * (20 - {rem})"
+            f" + COALESCE({hi_c}, {lo_c}) * {rem}) AS DOUBLE) / 2000.0"
+            f" AS {alias}"
+        )
+
+    return f"""
+    WITH ranked AS (
+      SELECT c_mktsegment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer
     )
+    SELECT c_mktsegment,
+           {quant(5, "p25")},
+           {quant(10, "p50")},
+           {quant(15, "p75")},
+           {quant(18, "p90")},
+           MAX(n) AS n
+    FROM ranked
+    GROUP BY c_mktsegment, n
+    """
+
+
+@query("q27_group_quantiles", oracle=_q27_sql())
+def q27_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_q27_sql())
 
 
 # --------------------------------------------------------------------------

@@ -45,14 +45,91 @@ _loaded = False
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The round driver checks the FIRST 50 queries in
-# `queries()` iteration order, so plain registration order (module by
-# module) would spend the whole window on one or two families. This list
-# pins the window to a cross-section of EVERY operator family — the
-# composite queries (qp1/qp2/qt0) fold the single-purpose checks they
-# subsume into one slot each; everything not listed stays registered (and
-# locally oracle-checked) after the window.
+# `queries()` iteration order. Rounds 1-8 rotated this window a few slots
+# at a time (the per-slot rotation rationale lives in git history of this
+# file); that left 63 oracle-checked queries with sf0.01+sf1 local
+# evidence but NO driver row ever. Round 9 switches to a ROUND-ROBIN
+# refresh schedule, enforced by tools/gate_rotation.py: each round the
+# window turns over (near-)completely to the stalest oracle-checked
+# queries — never-gated first, then oldest last-green round — so every
+# one of the ~215 oracle-checked queries earns a driver row within a
+# 5-round cycle (215 / 50 ≈ 4.3). Rotated-out queries keep their green
+# history AND their local oracle check (the slow pytest tier replays
+# every registered oracle each round — that is the compensating control
+# between driver rows).
+#
+# Round-9 window: the four r8-verdict debt ops (q7j, q7k, q4zc, q4zd)
+# plus 46 more never-gated queries, family-spread. Deferred to r10 (the
+# remaining never-gated 13, each with an in-gate class sibling this
+# round): q1o, q1p, q3c, q53, q5f, q5i, q44, q4k, q4e, q76, q8f, q48,
+# q8g — then the r1-era stale queries, oldest first.
 # ---------------------------------------------------------------------------
-GATE_ORDER = [
+GATE_ORDER_R9 = [
+    # relational kernels + format/layout surface (never gated r4-r7 era)
+    "q1n_colocated_join",
+    "q1s_mode_kernel",
+    "q1u_correlated_subquery",
+    "q1v_exists_subquery",
+    "q1x_quality_audit",
+    "q1z_table_stats",
+    "q1q_partitioned_week",
+    "q1r_schema_evolution",
+    "q1t_orc_roundtrip",
+    # window family
+    "q28_distribution_ranks",
+    # sampling / mixture pipeline
+    "q3a_stratified_sample",
+    "q3b_weighted_mix",
+    "q3d_reservoir_sample",
+    "q3e_kfold_assignment",
+    # events (batch) — incl. debt op q4zd
+    "q41_sliding_window",
+    "q43_event_dedup_first",
+    "q45_json_extract",
+    "q46_session_stats",
+    "q4z_zscore_outliers",
+    "q4h_value_histogram",
+    "q4l_mad_outliers",
+    "q4m_freshness_monitor",
+    "q4zd_user_growth",
+    # text analysis + the qt2 composite
+    "q50_token_stats",
+    "q51_quality_score",
+    "q52_lang_id",
+    "q54_fingerprint",
+    "q59_gopher_filter",
+    "q5a_repetition_profile",
+    "q5b_pii_scrub",
+    "q5e_bigram_lm",
+    "q5j_mixture_weights",
+    "q5n_bpe_pairs",
+    "qt2_prep_semantic",
+    # dedup
+    "q60_dedup_exact",
+    "q62_minhash_signature",
+    # similarity — incl. debt ops q7j, q7k
+    "q75_pq_encode",
+    "q78_sq_encode",
+    "q7j_centroid_drift",
+    "q7k_cell_balance",
+    # multimodal
+    "q8a_channel_stats",
+    "q8l_keyframe_dedup",
+    "q8n_media_audit",
+    # structured streaming — incl. debt op q4zc
+    "q4w_stream_dedup_watermark",
+    "q4j_stream_sliding_window",
+    "q4o_stream_ohlc",
+    "q7a_stream_sq_ingest",
+    "q8j_stream_image_ingest",
+    "q7b_stream_ivf_assign",
+    "q4zc_stream_anomaly_alerts",
+]
+
+# Rounds 1-8 window, kept for the rotation tool's history and so the
+# r10 proposal can see what r9 displaced (every name below already has
+# ≥1 driver-green row; see git history for the per-slot rationale).
+GATE_ORDER_R8 = [
     # relational core (incl. the two sketch ops with error-bound oracles;
     # top-k is covered by q22, the date/pivot scalar kernels stay
     # registered + locally oracle-checked behind the window). Round 4
@@ -367,6 +444,8 @@ GATE_ORDER = [
     # (tests/jpeg_independent.py). q8d stays locally oracle-checked.
     "q8d2_jpeg420_golden",
 ]
+
+GATE_ORDER = GATE_ORDER_R9
 
 
 def _gate_sorted(d: dict) -> dict:
