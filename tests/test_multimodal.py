@@ -147,6 +147,37 @@ def test_jpeg_engine_matches_independent_decoder():
     ).max() <= 1
 
 
+def test_jpeg_restart_markers_roundtrip_and_match_independent():
+    """DRI/RSTn path (exercised by the r9 fast entropy decoder's
+    unstuffing + MCU-count restart arithmetic): a stream encoded with
+    restart markers must decode to EXACTLY the pixels of the same image
+    encoded without them (identical quantized coefficients — only the
+    entropy framing differs), and must agree with the independently
+    derived reference decoder, for gray, 4:4:4 and 4:2:0, at interval 1
+    (every MCU restarts, all 8 RSTn values cycle) and 3 (partial-byte
+    alignment padding before most markers)."""
+    from tests.jpeg_independent import decode_jpeg_reference
+    from tf_datapipeline_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(29)
+    gray = rng.integers(0, 256, (35, 41), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (26, 50, 3), dtype=np.uint8)
+    cases = [
+        (gray, {"quality": 80}),
+        (rgb, {"quality": 75, "subsampling": "444"}),
+        (rgb, {"quality": 75, "subsampling": "420"}),
+    ]
+    for img, kw in cases:
+        plain = decode_jpeg(encode_jpeg(img, **kw))
+        for ri in (1, 3):
+            data = encode_jpeg(img, restart_interval=ri, **kw)
+            assert b"\xff\xdd" in data  # DRI segment present
+            got = decode_jpeg(data)
+            assert np.array_equal(got, plain), (kw, ri)
+            ref = decode_jpeg_reference(data)
+            assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1, (kw, ri)
+
+
 def test_jpeg_420_chroma_constant_roundtrip_is_exact():
     """r=g=b content has constant chroma planes (Cb=Cr=128), so the 2x2
     box subsample and replication upsample are both lossless and the

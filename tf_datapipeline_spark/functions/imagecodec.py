@@ -181,37 +181,63 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"PNG scanline payload {len(raw)} != {h * (1 + stride)}")
     img = np.zeros((h, stride), dtype=np.int32)
     prev = np.zeros(stride, dtype=np.int32)
+    prev_l: list[int] = [0] * stride  # python-int mirror for the scan rows
     for r in range(h):
         f = raw[r * (1 + stride)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=r * (1 + stride) + 1
-        ).astype(np.int32)
+        off = r * (1 + stride) + 1
         if f == 0:
-            cur = line
+            cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off).astype(
+                np.int32
+            )
         elif f == 1:
             # per-byte-lane cumulative sum reconstructs the left chain
-            cur = line.copy()
+            cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off).astype(
+                np.int32
+            )
             for lane in range(_BPP):
                 cur[lane::_BPP] = np.cumsum(cur[lane::_BPP]) & 0xFF
         elif f == 2:
-            cur = (line + prev) & 0xFF
+            cur = (
+                np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off).astype(
+                    np.int32
+                )
+                + prev
+            ) & 0xFF
         elif f in (3, 4):
-            # left-and-up dependent: sequential per byte (rows are short;
-            # a cluster codec would hand this to a native library)
-            cur = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                left = cur[x - _BPP] if x >= _BPP else 0
-                up = int(prev[x])
-                ul = int(prev[x - _BPP]) if x >= _BPP else 0
-                if f == 3:
-                    pred = (left + up) >> 1
-                else:
-                    pred = int(_paeth(np.int32(left), np.int32(up), np.int32(ul)))
-                cur[x] = (line[x] + pred) & 0xFF
+            # left-and-up dependent: sequential per byte. Pure small-int
+            # Python (the r8 profile showed per-byte numpy-scalar _paeth
+            # calls dominating the media path); the Paeth distances reduce
+            # algebraically to |b-c|, |a-c|, |a+b-2c|. A cluster codec
+            # would hand this to a native library — this loop is the
+            # documented pluggable-codec seam's verification reference.
+            lb = raw[off : off + stride]
+            row: list[int] = [0] * stride
+            if f == 3:
+                for x in range(stride):
+                    a = row[x - _BPP] if x >= _BPP else 0
+                    row[x] = (lb[x] + ((a + prev_l[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    a = row[x - _BPP] if x >= _BPP else 0
+                    b = prev_l[x]
+                    c = prev_l[x - _BPP] if x >= _BPP else 0
+                    pa = b - c
+                    if pa < 0:
+                        pa = -pa
+                    pb = a - c
+                    if pb < 0:
+                        pb = -pb
+                    pc = a + b - 2 * c
+                    if pc < 0:
+                        pc = -pc
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    row[x] = (lb[x] + pred) & 0xFF
+            cur = np.asarray(row, dtype=np.int32)
         else:
             raise ValueError(f"unknown PNG filter type {f}")
         img[r] = cur
         prev = cur
+        prev_l = cur.tolist()
     return img.astype(np.uint8).reshape(h, w, _BPP)
 
 

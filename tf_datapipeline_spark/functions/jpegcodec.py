@@ -156,20 +156,6 @@ def _build_huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[in
     return codes
 
 
-def _build_huffman_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol lookup for the decoder."""
-    table: dict[tuple[int, int], int] = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
-
-
 _ENC_DC = (_build_huffman_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
            _build_huffman_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
 _ENC_AC = (_build_huffman_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
@@ -204,53 +190,6 @@ class _BitWriter:
         if self._nbits:
             pad = 8 - self._nbits
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
-
-
-class _BitReader:
-    """MSB-first bit reader over entropy-coded data with byte unstuffing;
-    stops at any non-stuffing marker."""
-
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self._acc = 0
-        self._nbits = 0
-
-    def read_bit(self) -> int:
-        if self._nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG entropy stream truncated")
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                if self.pos >= len(self.data):
-                    raise ValueError("JPEG entropy stream truncated at 0xFF")
-                nxt = self.data[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed byte
-                else:
-                    raise ValueError(
-                        f"unexpected marker 0xFF{nxt:02X} inside entropy data"
-                    )
-            self._acc = byte
-            self._nbits = 8
-        self._nbits -= 1
-        return (self._acc >> self._nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid huffman code in JPEG stream")
 
 
 def quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
@@ -314,13 +253,19 @@ def _box_downsample2(plane: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 100, subsampling: str = "444"
+    img: np.ndarray,
+    quality: int = 100,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode (H, W) or (H, W, 1) grayscale, or (H, W, 3) RGB, as baseline
     JFIF. Grayscale streams carry 1 component (no color transform); RGB is
     YCbCr at 4:4:4 (1x1 sampling) or 4:2:0 (Y 2x2, chroma 1x1 with 2x2
     box-averaged planes and 16x16 MCUs per T.81 A.2.3). quality=100 ->
-    unit quant tables."""
+    unit quant tables. restart_interval > 0 emits a DRI segment and
+    byte-aligned RSTn markers every that many MCUs (T.81 B.2.4.4/E.1.4),
+    resetting the DC predictors — the parallel-decode seam real encoders
+    use, and the test vector for the decoder's restart path."""
     if img.dtype != np.uint8:
         raise ValueError(f"expected uint8, got {img.dtype}")
     if subsampling not in ("444", "420"):
@@ -363,6 +308,8 @@ def encode_jpeg(
     )):
         payload = _dht_payload(tc, th, bits, vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     sos = bytes([ncomp])
     for ci in range(ncomp):
@@ -436,8 +383,15 @@ def encode_jpeg(
     y_hi, y_vi = sampling[0]
     mcuy = planes[0].shape[0] // (8 * y_vi)
     mcux = planes[0].shape[1] // (8 * y_hi)
+    mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.flush()  # byte-align (pads with 1-bits per spec)
+                writer.out += bytes(
+                    [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]
+                )
+                preds[:] = [0] * ncomp  # in place — emit closes over it
             for ci in range(ncomp):
                 hi, vi = sampling[ci]
                 for v in range(vi):
@@ -445,6 +399,7 @@ def encode_jpeg(
                         by = (my * vi + v) * 8
                         bx = (mx * hi + u) * 8
                         emit(planes[ci][by : by + 8, bx : bx + 8] - 128.0, ci)
+            mcu += 1
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
@@ -454,6 +409,74 @@ def encode_jpeg(
 def _extend(v: int, size: int) -> int:
     """EXTEND (T.81 F.2.2.1): map size-bit magnitude to signed value."""
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+# --------------------------------------------------------------------------
+# Fast-path decode machinery (round 9). The r8 profile showed per-byte
+# huffman decode dominating the media path (q8n: 6.1s sf0.1 / 66.6s sf1),
+# with the old _BitReader paying a Python call + dict probe PER BIT. The
+# decoder below keeps the identical integer coefficient semantics (same
+# EXTEND, same DC prediction, same dequant ints — outputs are verified
+# bit-identical against both the old path's goldens and the independent
+# Annex-A.3.3 decoder in tests/jpeg_independent.py) but decodes a symbol
+# with ONE list index: a canonical-code peek-LUT maps every 16-bit
+# lookahead window to (code length << 8 | symbol), the standard F.2.2.3
+# "decode via 16-bit table" trick. Magnitude bits are sliced from a
+# precomputed per-byte 32-bit window array in one shift+mask. Entropy
+# bytes are unstuffed with numpy in one vectorized pass, and the IDCT
+# runs ONCE per component as a batched (n,8,8) matrix product (the q8m
+# batch-matrix precedent) instead of two 8x8 matmuls per block.
+# --------------------------------------------------------------------------
+
+_LUT_CACHE: dict[bytes, list[int]] = {}
+
+
+def _huffman_peek_lut(bits: list[int], vals: list[int]) -> list[int]:
+    """65536-entry lookup: 16-bit MSB-first peek -> (length << 8) | symbol
+    (0 = no code with this prefix). Cached by table content — real corpora
+    reuse the Annex-K tables, so each builds once per process."""
+    key = bytes(bits) + bytes(vals)
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        arr = np.zeros(65536, dtype=np.uint32)
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                lo = code << (16 - length)
+                arr[lo : lo + (1 << (16 - length))] = (length << 8) | vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        lut = arr.tolist()  # list indexing beats numpy scalar access in loops
+        _LUT_CACHE[key] = lut
+    return lut
+
+
+def _unstuff_entropy(data: bytes, pos: int) -> bytes:
+    """Entropy-coded bytes from `pos` to the first real marker, with
+    0xFF00 stuffing and RSTn marker pairs removed — one numpy pass.
+    Restart boundaries need no byte positions: the MCU-count arithmetic
+    (restart_interval) drives the byte-align + predictor reset, exactly
+    as the per-bit reader did, and the markers themselves are gone."""
+    sub = np.frombuffer(data, dtype=np.uint8)[pos:]
+    ff = np.flatnonzero(sub[:-1] == 0xFF)
+    if ff.size:
+        nxt = sub[ff + 1]
+        stuffed = nxt == 0x00
+        rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+        hard = ff[~(stuffed | rst)]
+        end = int(hard[0]) if hard.size else len(sub)
+        drop = np.zeros(end, dtype=bool)
+        sp = ff[stuffed]
+        sp = sp[sp + 1 < end]
+        drop[sp + 1] = True
+        rp = ff[rst]
+        rp = rp[rp + 1 < end]
+        drop[rp] = True
+        drop[rp + 1] = True
+        return sub[:end][~drop].tobytes()
+    return sub.tobytes()
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -527,8 +550,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(payload[p + 1 : p + 17])
                 nvals = sum(bits)
                 vals = list(payload[p + 17 : p + 17 + nvals])
-                table = _build_huffman_decoder(bits, vals)
-                (huff_dc if tc == 0 else huff_ac)[th] = table
+                (huff_dc if tc == 0 else huff_ac)[th] = _huffman_peek_lut(
+                    bits, vals
+                )
                 p += 17 + nvals
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload)
@@ -555,63 +579,112 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
     mcuy, mcux = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+    nmcu = mcuy * mcux
     planes = [
         np.zeros((mcuy * 8 * c[3], mcux * 8 * c[2]), dtype=np.float64)
         for c in comps
     ]
-    reader = _BitReader(data, pos)
+
+    # ---- entropy decode (the hot path — see the fast-path note above).
+    # One numpy unstuffing pass, then a pure-smallint Python loop: per
+    # symbol one 16-bit peek + one list index; per magnitude one
+    # shift+mask from a precomputed 32-bit per-byte window array. The
+    # coefficients land in flat (pos, val) lists and are scattered into
+    # (nblocks, 64) zigzag arrays afterwards; dequant + IDCT then run
+    # batched per component.
+    buf = _unstuff_entropy(data, pos)
+    nbits_avail = 8 * len(buf)
+    bb = np.frombuffer(buf, dtype=np.uint8).astype(np.uint32)
+    bb = np.concatenate([bb, np.zeros(68, dtype=np.uint32)])
+    words = ((bb[:-3] << 24) | (bb[1:-2] << 16) | (bb[2:-1] << 8) | bb[3:]).tolist()
+
+    mask = [(1 << s) - 1 for s in range(17)]
+    half = [0] + [1 << (s - 1) for s in range(1, 17)]
+    ext1 = [0] + [(1 << s) - 1 for s in range(1, 17)]
+    # (comp idx, dc lut, ac lut, sub-blocks per MCU, pos list, val list)
+    plan = [
+        (idx, huff_dc[td], huff_ac[ta], comps[idx][2] * comps[idx][3], [], [])
+        for idx, td, ta in scan
+    ]
     preds = [0] * ncomp
+    blkctr = [0] * ncomp
+    bitoff = 0
+    for mcu in range(nmcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            # restart boundary: byte-align and reset DC predictors (the
+            # RSTn marker bytes were removed during unstuffing)
+            bitoff = (bitoff + 7) & ~7
+            preds = [0] * ncomp
+        for idx, lutdc, lutac, nsub, poss, valss in plan:
+            for _ in range(nsub):
+                e = lutdc[(words[bitoff >> 3] >> (16 - (bitoff & 7))) & 0xFFFF]
+                if e == 0:
+                    raise ValueError("invalid huffman code in JPEG stream")
+                bitoff += e >> 8
+                size = e & 0xFF
+                if size:
+                    v = (
+                        words[bitoff >> 3] >> (32 - size - (bitoff & 7))
+                    ) & mask[size]
+                    bitoff += size
+                    diff = v if v >= half[size] else v - ext1[size]
+                else:
+                    diff = 0
+                pred = preds[idx] + diff
+                preds[idx] = pred
+                base = blkctr[idx] << 6
+                blkctr[idx] += 1
+                poss.append(base)
+                valss.append(pred)
+                k = 1
+                while k < 64:
+                    e = lutac[
+                        (words[bitoff >> 3] >> (16 - (bitoff & 7))) & 0xFFFF
+                    ]
+                    if e == 0:
+                        raise ValueError("invalid huffman code in JPEG stream")
+                    bitoff += e >> 8
+                    rs = e & 0xFF
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    size = rs & 0x0F
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("AC coefficient index out of range")
+                    v = (
+                        words[bitoff >> 3] >> (32 - size - (bitoff & 7))
+                    ) & mask[size]
+                    bitoff += size
+                    poss.append(base + k)
+                    valss.append(v if v >= half[size] else v - ext1[size])
+                    k += 1
+                if bitoff > nbits_avail:
+                    raise ValueError("JPEG entropy stream truncated")
 
-    def read_block(idx: int, td: int, ta: int) -> np.ndarray:
-        zz = np.zeros(64, dtype=np.int64)
-        sym = reader.read_symbol(huff_dc[td])
-        if sym:
-            diff = _extend(reader.read_bits(sym), sym)
-        else:
-            diff = 0
-        preds[idx] += diff
-        zz[0] = preds[idx]
-        k = 1
-        while k < 64:
-            rs = reader.read_symbol(huff_ac[ta])
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            run, size = rs >> 4, rs & 0x0F
-            k += run
-            if k > 63:
-                raise ValueError("AC coefficient index out of range")
-            zz[k] = _extend(reader.read_bits(size), size)
-            k += 1
+    # ---- dequantize + batched IDCT + scatter, once per scan component
+    for idx, _lutdc, _lutac, nsub, poss, valss in plan:
+        nblk = blkctr[idx]
+        czz = np.zeros(nblk * 64, dtype=np.int64)
+        if poss:
+            czz[np.asarray(poss, dtype=np.int64)] = np.asarray(
+                valss, dtype=np.int64
+            )
+        czz = czz.reshape(nblk, 64)
         quant = qtables[comps[idx][1]]
-        coeffs = (zz[_UNZIGZAG] * quant).reshape(8, 8).astype(np.float64)
-        return _D.T @ coeffs @ _D + 128.0
-
-    mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                # RSTn marker: byte-align and consume the marker
-                reader._nbits = 0
-                if (
-                    reader.pos + 2 <= len(reader.data)
-                    and reader.data[reader.pos] == 0xFF
-                    and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7
-                ):
-                    reader.pos += 2
-                preds = [0] * ncomp
-            for idx, td, ta in scan:
-                _, _, hi, vi = comps[idx]
-                for v in range(vi):
-                    for u in range(hi):
-                        by = (my * vi + v) * 8
-                        bx = (mx * hi + u) * 8
-                        planes[idx][by : by + 8, bx : bx + 8] = read_block(
-                            idx, td, ta
-                        )
-            mcu += 1
+        cnat = (czz[:, _UNZIGZAG] * quant).reshape(nblk, 8, 8).astype(np.float64)
+        blocks = _D.T @ cnat @ _D + 128.0
+        hi, vi = comps[idx][2], comps[idx][3]
+        bidx = np.arange(nblk)
+        m, s = bidx // nsub, bidx % nsub
+        by = (m // mcux) * vi + s // hi
+        bx = (m % mcux) * hi + s % hi
+        p = planes[idx]
+        p.reshape(p.shape[0] // 8, 8, p.shape[1] // 8, 8).transpose(0, 2, 1, 3)[
+            by, bx
+        ] = blocks
 
     # Subsampled components upsample by sample replication (T.81 leaves
     # the reconstruction filter to the decoder; replication keeps
