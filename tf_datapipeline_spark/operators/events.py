@@ -1394,3 +1394,183 @@ def q4zd_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("new_users").over(wg)
         ).alias("active_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# q4ze — RETENTION TRIANGLE (round 9): the classic cohort matrix — users
+# grouped by first-seen week, each cohort tracked across week offsets
+# (how many of week-W's new users were active W+k?). The one
+# product-analytics table q4zd's growth curve doesn't subsume: it needs
+# the per-user (cohort, offset) cross, not just daily actives.
+#
+# Spark shape (100 TB): distinct (user, week) and first-seen-week are
+# both ONE partial-aggregated user-keyed shuffle (the q4zd convention —
+# the shuffle carries users, not events); the cohort join co-partitions
+# on user_id; cohort sizes are a metadata-sized broadcast. Every figure
+# is an exact integer; retention is one IEEE division of exact integers.
+# Week keying floor-divides epoch days (the q4zb floor device, matching
+# the oracle's // for pre-1970 data too).
+# --------------------------------------------------------------------------
+@query(
+    "q4ze_retention_triangle",
+    oracle="""
+    WITH ed AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS eday
+      FROM events
+    ),
+    uw AS (SELECT DISTINCT user_id, eday // 7 AS eweek FROM ed),
+    fw AS (SELECT user_id, MIN(eweek) AS cohort_week FROM uw GROUP BY user_id),
+    act AS (
+      SELECT f.cohort_week, u.eweek - f.cohort_week AS week_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM uw u JOIN fw f ON f.user_id = u.user_id
+      GROUP BY 1, 2
+    ),
+    cs AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM fw GROUP BY 1
+    )
+    SELECT a.cohort_week, a.week_offset, a.n_active, c.cohort_size,
+           CAST(a.n_active AS DOUBLE) / c.cohort_size AS retention
+    FROM act a JOIN cs c ON c.cohort_week = a.cohort_week
+    """,
+)
+def q4ze_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    eday = F.floor(_epoch_s("ts") / F.lit(86400.0))
+    uw = ev.select(
+        "user_id", F.floor(eday / F.lit(7.0)).cast("bigint").alias("eweek")
+    ).distinct()
+    fw = uw.groupBy("user_id").agg(F.min("eweek").alias("cohort_week"))
+    act = (
+        uw.join(fw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("eweek") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    cs = fw.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return act.join(F.broadcast(cs), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+            "retention"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q4zf — RFM SEGMENTATION (round 9): per-user recency / frequency /
+# monetary quintiles, reported as the ≤125-cell segment grid with exact
+# totals — the curation-policy analog for user data (which cohorts to
+# keep, downsample, or refresh) and the one events analytic that needs
+# GLOBAL rank arithmetic over a user-sized table.
+#
+# Exactness: monetary is exact integer cents (the FLOOR device), recency
+# exact epoch-day arithmetic, and the quintile of rank rn over n rows is
+# ((rn-1)*5) DIV n + 1 computed division-free ((x - x%n)/n is an exact
+# multiple, so the double quotient is the exact integer — the q27
+# device). Ranks order by (metric, user_id), so both engines number
+# identically.
+#
+# Spark shape (100 TB): the global ROW_NUMBER the oracle declares would
+# be an Exchange SinglePartition; the engine instead ranks each metric
+# with the two-pass offset numbering (pipeline.offset_row_number —
+# per-bucket counts to the driver, broadcast prefix offsets, windows
+# partitioned BY BUCKET), three user-keyed joins reassemble the triple.
+# Everything after the per-user aggregate is user-cardinality, not
+# event-cardinality.
+# --------------------------------------------------------------------------
+def _q4zf_oracle() -> str:
+    def quint(rank_expr: str) -> str:
+        x = f"(({rank_expr} - 1) * 5)"
+        return f"CAST(({x} - {x} % n) / n AS BIGINT) + 1"
+
+    return f"""
+    WITH pu AS (
+      SELECT user_id,
+             MAX(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT MAX(last_day) AS corpus_day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pu
+    ),
+    m AS (
+      SELECT user_id, corpus_day - last_day AS rec, freq, cents, n
+      FROM pu, g
+    ),
+    r AS (
+      SELECT user_id, rec, freq, cents, n,
+             ROW_NUMBER() OVER (ORDER BY rec, user_id) AS rn_r,
+             ROW_NUMBER() OVER (ORDER BY freq, user_id) AS rn_f,
+             ROW_NUMBER() OVER (ORDER BY cents, user_id) AS rn_m
+      FROM m
+    )
+    SELECT {quint("rn_r")} AS r_q, {quint("rn_f")} AS f_q,
+           {quint("rn_m")} AS m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(rec) AS BIGINT) AS total_rec_days
+    FROM r GROUP BY 1, 2, 3
+    """
+
+
+@query("q4zf_rfm_segments", oracle=_q4zf_oracle())
+def q4zf_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.operators.pipeline import offset_row_number
+
+    ev = load_table(spark, sf_dir, "events")
+    eday = F.floor(_epoch_s("ts") / F.lit(86400.0)).cast("bigint")
+    pu = ev.groupBy("user_id").agg(
+        F.max(eday).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    g = pu.agg(
+        F.max("last_day").alias("corpus_day"), F.count(F.lit(1)).alias("n")
+    )
+    m = pu.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        (F.col("corpus_day") - F.col("last_day")).alias("rec"),
+        "freq",
+        "cents",
+    )
+    ranked = {}
+    total = None
+    for metric, rn_name in (("rec", "rn_r"), ("freq", "rn_f"), ("cents", "rn_m")):
+        num, tot = offset_row_number(
+            m.select("user_id", metric),
+            F.col(metric),
+            [F.asc(metric), F.asc("user_id")],
+            rn_name,
+        )
+        ranked[metric] = num
+        total = tot
+
+    def quint(rn: F.Column) -> F.Column:
+        x = (rn - 1) * 5
+        return ((x - x % total) / total).cast("bigint") + 1
+
+    joined = (
+        m.join(ranked["rec"].select("user_id", "rn_r"), "user_id")
+        .join(ranked["freq"].select("user_id", "rn_f"), "user_id")
+        .join(ranked["cents"].select("user_id", "rn_m"), "user_id")
+    )
+    return joined.groupBy(
+        quint(F.col("rn_r")).alias("r_q"),
+        quint(F.col("rn_f")).alias("f_q"),
+        quint(F.col("rn_m")).alias("m_q"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum("rec").cast("bigint").alias("total_rec_days"),
+    )

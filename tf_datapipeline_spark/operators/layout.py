@@ -1119,3 +1119,44 @@ def _vacuum_body(dialect: str) -> str:
 def q9k_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     _materialize_dv_pospl(spark, sf_dir)
     return spark.sql(_vacuum_body("spark"))
+
+
+# --------------------------------------------------------------------------
+# q9l — PARTITION-EVOLUTION PLANNER (round 9): the table migrates from
+# its current physical layout (4096-row orderkey files, the shared
+# device) to a new partition spec (order month). For each current file,
+# count how many target partitions its rows straddle: 1 → the file can
+# MOVE under the new spec as-is (metadata-only, Iceberg-style partition
+# evolution), >1 → it must be REWRITTEN (split). The decision table a
+# lakehouse computes before ALTER TABLE ... PARTITIONED BY.
+#
+# All integer/count arithmetic (file ids via the exact %-then-divide
+# device, month via EXTRACT — identical in both engines); shared SQL
+# runs verbatim on both. Scale (100 TB): one scan, partial-aggregated
+# groupBy(file_id) with an exact COUNT(DISTINCT) per group — output is
+# manifest-sized (one row per file), never data-sized.
+# --------------------------------------------------------------------------
+_Q9L_SQL = """
+    WITH placed AS (
+      SELECT CAST((o_orderkey - (o_orderkey % 4096)) / 4096 AS BIGINT)
+               AS file_id,
+             EXTRACT(YEAR FROM o_orderdate) * 100
+               + EXTRACT(MONTH FROM o_orderdate) AS target_part
+      FROM orders
+    )
+    SELECT file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT target_part) AS BIGINT) AS n_targets,
+           CASE WHEN COUNT(DISTINCT target_part) = 1
+                THEN 'move' ELSE 'rewrite' END AS action
+    FROM placed
+    GROUP BY file_id
+"""
+
+
+@query("q9l_partition_evolution", oracle=_Q9L_SQL)
+def q9l_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q9L_SQL)

@@ -2146,3 +2146,63 @@ def q8n_media_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("decode_ok").alias("n_decode_ok"),
         F.sum("pix").alias("total_pixels"),
     )
+
+
+# --------------------------------------------------------------------------
+# q8o — CROSS-CODEC TRANSCODE AUDIT (round 9): re-encode the whole PPM
+# corpus as PNG inside one mapInPandas pass (decode raster -> PNG encode
+# -> PNG decode -> pixel-array equality) and report corpus-level
+# losslessness — the migration job a media lake runs before switching
+# storage codecs, and the only operator that value-checks ENCODE+DECODE
+# of two codecs composed end-to-end at corpus scale (q8b/q8d pin the
+# codecs separately). The oracle derives every figure from the corpus
+# construction rule (the q8n device): if any byte of either codec, the
+# equality check, or the Arrow plumbing regresses, n_lossless drops and
+# the hash mismatches.
+#
+# Scale (100 TB): embarrassingly parallel single pass; only three scalar
+# counters leave each Arrow batch (partial-agg rollup); per-task memory
+# is one batch of payloads. The transcode target writes would stream to
+# the object store from the same pass in production.
+# --------------------------------------------------------------------------
+@query(
+    "q8o_transcode_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_lossless,
+           CAST(SUM(3 * (8 + (doc_id * 7919) % 25)
+                      * (8 + (doc_id * 104729) % 25)) AS BIGINT)
+             AS total_pixels
+    FROM documents
+    """,
+)
+def q8o_transcode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.functions.imagecodec import encode_png
+
+    corpus = synthetic_corpus(spark, sf_dir, "ppm")
+
+    def transcode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = lossless = pix = 0
+            for content in pdf["content"]:
+                n += 1
+                try:
+                    src = decode_image(bytes(content), "ppm")
+                    out = decode_image(encode_png(src), "png")
+                    if np.array_equal(src, out):
+                        lossless += 1
+                        pix += int(out.size)
+                except Exception:
+                    pass
+            yield pd.DataFrame(
+                {"n": [n], "lossless": [lossless], "pix": [pix]}
+            )
+
+    probed = corpus.mapInPandas(
+        transcode, schema="n bigint, lossless bigint, pix bigint"
+    )
+    return probed.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum("lossless").alias("n_lossless"),
+        F.sum("pix").alias("total_pixels"),
+    )

@@ -1908,3 +1908,69 @@ def q7k_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_vecs").over(w)
         ).alias("balance"),
     )
+
+
+# --------------------------------------------------------------------------
+# q7l — PER-DIMENSION VARIANCE PROFILE (round 9): mean and variance of
+# every embedding dimension in one scan — the PCA/whitening precursor
+# and the index-health probe that catches dead or exploding dimensions
+# before they poison ANN recall (a dimension with near-zero variance
+# wastes PQ codebook capacity; one with outlier variance dominates L2).
+#
+# Exactness: float32 lanes cast to double (exact), per-dim sums are
+# exact decimal folds (dsum), mean is one IEEE division and the variance
+# (s2 - s1*(s1/n))/n is the q1j exact-moment form with the GREATEST
+# clamp. Spark's posexplode(pos) and DuckDB's generate_subscripts-1
+# produce the same 0-based dim.
+#
+# Scale (100 TB): posexplode fans 64 rows per vector but feeds a
+# partial-aggregated 64-group groupBy — the shuffle carries 64 rows per
+# task, and nothing materializes the exploded set. Output: 64 rows.
+# --------------------------------------------------------------------------
+def _q7l_oracle() -> str:
+    from tf_datapipeline_spark.functions.exact import sql_dsum
+
+    return f"""
+    WITH vals AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    agg AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             {sql_dsum("v", 8)} AS s1,
+             {sql_dsum("v * v", 10)} AS s2
+      FROM vals GROUP BY dim
+    )
+    SELECT CAST(dim AS INT) AS dim, n,
+           s1 / n AS mean_v,
+           GREATEST(s2 - s1 * (s1 / n), 0.0) / n AS var_v
+    FROM agg
+    """
+
+
+@query("q7l_dim_variance", oracle=_q7l_oracle())
+def q7l_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.functions.exact import dsum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(F.posexplode("embedding").alias("dim", "vf")).select(
+        "dim", F.col("vf").cast("double").alias("v")
+    )
+    agg = vals.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("v", 8).alias("s1"),
+        dsum(F.col("v") * F.col("v"), 10).alias("s2"),
+    )
+    return agg.select(
+        "dim",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean_v"),
+        (
+            F.greatest(
+                F.col("s2") - F.col("s1") * (F.col("s1") / F.col("n")),
+                F.lit(0.0),
+            )
+            / F.col("n")
+        ).alias("var_v"),
+    )

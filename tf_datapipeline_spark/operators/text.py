@@ -1946,3 +1946,42 @@ def _corpus_health_sql(dialect: str) -> str:
 def qt5_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_corpus_health_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# q5q — LENGTH-BAND SELECTION PROFILE (round 9): per-source document-
+# length quartile bands with exact boundaries — the length-stratified
+# curation policy ("keep the middle two bands, cap the tails") every
+# pretraining mix applies before token budgeting. Rank-based banding
+# (band of rank rn over n = ((rn-1)*4) DIV n + 1, computed division-free
+# with the q27 exact-multiple device, ties broken by doc_id) means both
+# engines band identically with no float thresholds anywhere.
+#
+# Shared SQL runs verbatim on both engines. Scale (100 TB): the window
+# partitions by source — a per-source sort, no Exchange SinglePartition;
+# row_number/count stream through the sort without buffering rows.
+# --------------------------------------------------------------------------
+_Q5Q_SQL = """
+    WITH ranked AS (
+      SELECT source, n_chars, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT source,
+           CAST((((rn - 1) * 4) - ((rn - 1) * 4) % n) / n AS BIGINT) + 1
+             AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM ranked
+    GROUP BY 1, 2
+"""
+
+
+@query("q5q_length_bands", oracle=_Q5Q_SQL)
+def q5q_length_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q5Q_SQL)

@@ -440,3 +440,112 @@ def q29_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("cents").over(wg)
         ).alias("cum_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# q2a/q2b/q2c — WINDOW-FAMILY VALUE DIGESTS (round 9, r8 verdict task 3).
+# q21/q25/q28 emit one row per input row, so a full-output compare at
+# sf10 measures the harness, not the engine (35 GB RSS observed in r8).
+# These wrappers compute a BOUNDED per-group digest of the full output —
+# identically in SQL on both engines (the oracle wraps the original
+# oracle as a subquery; the Spark side digests the engine DataFrame
+# through a temp view) — so the family has driver-checkable VALUE parity
+# at ANY scale: ≤4096 buckets for the per-row queries, 5 segments for
+# the rank query.
+#
+# Digest exactness rules (the q75 half-even-vs-half-up cast hazard is
+# the enemy — never decimal-cast a double that can land on a cast
+# midpoint):
+#   - integer keys fold into SUM((mix) % 1e9+7) — pure BIGINT;
+#   - cents-valued doubles digest as dsum(x*100, 2): the product sits
+#     within ~1e-9 of an integer, 5e-3 away from any scale-2 midpoint;
+#   - thirds (trailing3_avg) digest as dsum(x*3.0, 6): the product is
+#     within 2 ulp of an integer;
+#   - rank ratios digest as dsum(pct_rank*(n-1), 4) / dsum(cume*n, 4):
+#     multiplying back by the window size reconstructs near-integers
+#     (safe to n ≈ 1e11 at scale 4 — ulp(n) << 5e-5).
+# Every addend is therefore unambiguous under decimal cast, and dsum
+# makes the fold order-independent.
+# --------------------------------------------------------------------------
+def _digest_sql_q21(src: str) -> str:
+    from tf_datapipeline_spark.functions.exact import sql_dsum
+
+    return f"""
+    SELECT l_orderkey % 4096 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((l_orderkey * 31 + l_linenumber * 7
+                     + CAST(l_quantity AS BIGINT)) % 1000000007) AS BIGINT)
+             AS key_mix,
+           {sql_dsum("running_qty", 4)} AS d_running,
+           {sql_dsum("trailing3_avg_qty * 3.0", 6)} AS d_trailing3x
+    FROM {src}
+    GROUP BY 1
+    """
+
+
+def _digest_sql_q25(src: str) -> str:
+    from tf_datapipeline_spark.functions.exact import sql_dsum
+
+    return f"""
+    SELECT o_custkey % 4096 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((o_custkey * 31 + o_orderkey) % 1000000007) AS BIGINT)
+             AS key_mix,
+           {sql_dsum("o_totalprice * 100", 2)} AS d_price_cents,
+           {sql_dsum("COALESCE(prev_price, 0.0) * 100", 2)} AS d_prev_cents,
+           {sql_dsum("COALESCE(next_price, 0.0) * 100", 2)} AS d_next_cents,
+           {sql_dsum("delta_prev * 100", 2)} AS d_delta_cents
+    FROM {src}
+    GROUP BY 1
+    """
+
+
+def _digest_sql_q28(src: str) -> str:
+    from tf_datapipeline_spark.functions.exact import sql_dsum
+
+    return f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c_custkey % 1000000007) AS BIGINT) AS key_mix,
+           {sql_dsum("c_acctbal * 100", 2)} AS d_bal_cents,
+           {sql_dsum("pct_rank * (cnt - 1)", 4)} AS d_rank_sum,
+           {sql_dsum("cum_dist * cnt", 4)} AS d_peer_sum
+    FROM (SELECT *, COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+          FROM {src}) ranked
+    GROUP BY 1
+    """
+
+
+def _oracle_of(name: str) -> str:
+    from tf_datapipeline_spark.registry import _ORACLES
+
+    return _ORACLES[name]
+
+
+@query(
+    "q2a_window_digest_running",
+    oracle=_digest_sql_q21(f"({_oracle_of('q21_window_running')}) src"),
+)
+def q2a_window_digest_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q21_window_running(spark, sf_dir).createOrReplaceTempView("q21_digest_src")
+    return spark.sql(_digest_sql_q21("q21_digest_src"))
+
+
+@query(
+    "q2b_window_digest_lag",
+    oracle=_digest_sql_q25(f"({_oracle_of('q25_lag_lead')}) src"),
+)
+def q2b_window_digest_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q25_lag_lead(spark, sf_dir).createOrReplaceTempView("q25_digest_src")
+    return spark.sql(_digest_sql_q25("q25_digest_src"))
+
+
+@query(
+    "q2c_window_digest_ranks",
+    oracle=_digest_sql_q28(f"({_oracle_of('q28_distribution_ranks')}) src"),
+)
+def q2c_window_digest_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q28_distribution_ranks(spark, sf_dir).createOrReplaceTempView(
+        "q28_digest_src"
+    )
+    return spark.sql(_digest_sql_q28("q28_digest_src"))
