@@ -1917,19 +1917,34 @@ def q7k_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # before they poison ANN recall (a dimension with near-zero variance
 # wastes PQ codebook capacity; one with outlier variance dominates L2).
 #
-# Exactness: float32 lanes cast to double (exact), per-dim sums are
-# exact decimal folds (dsum), mean is one IEEE division and the variance
-# (s2 - s1*(s1/n))/n is the q1j exact-moment form with the GREATEST
-# clamp. Spark's posexplode(pos) and DuckDB's generate_subscripts-1
-# produce the same 0-based dim.
+# Exactness (the hard-won device): raw float->decimal casts can land on
+# rounding-mode ties across engines (HALF_UP vs half-even — the q75
+# class; the r9 sf10 sweep caught EXACTLY this on this query's first
+# dsum-based draft: float32 lanes are coarse dyadics, maximally
+# midpoint-prone). So the moments accumulate FLOOR(x * 2^30) /
+# FLOOR(x*x * 2^30) exact BIGINTs instead (the q72/q78 quantization:
+# x*2^30 and the 48-bit-mantissa x*x*2^30 are exact double products,
+# FLOOR is identical in both engines), and the derived mean/variance
+# are computed from those integers by ONE shared expression string —
+# identical IEEE op order on both sides, bit-identical output. The
+# contract is the profile of 2^-30-quantized lanes; overflow regime:
+# |sum| <= n * 2^30, exact in BIGINT to n ~ 8.5e9 vectors per dim.
 #
 # Scale (100 TB): posexplode fans 64 rows per vector but feeds a
 # partial-aggregated 64-group groupBy — the shuffle carries 64 rows per
 # task, and nothing materializes the exploded set. Output: 64 rows.
 # --------------------------------------------------------------------------
-def _q7l_oracle() -> str:
-    from tf_datapipeline_spark.functions.exact import sql_dsum
+_Q7L_Q = 1073741824.0  # 2^30
 
+_Q7L_MEAN = f"CAST(s1 AS DOUBLE) / {_Q7L_Q} / n"
+_Q7L_VAR = (
+    f"GREATEST(CAST(s2 AS DOUBLE) / {_Q7L_Q}"
+    f" - (CAST(s1 AS DOUBLE) / {_Q7L_Q})"
+    f" * ((CAST(s1 AS DOUBLE) / {_Q7L_Q}) / n), 0.0) / n"
+)
+
+
+def _q7l_oracle() -> str:
     return f"""
     WITH vals AS (
       SELECT generate_subscripts(embedding, 1) - 1 AS dim,
@@ -1938,39 +1953,36 @@ def _q7l_oracle() -> str:
     ),
     agg AS (
       SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
-             {sql_dsum("v", 8)} AS s1,
-             {sql_dsum("v * v", 10)} AS s2
+             CAST(SUM(CAST(FLOOR(v * {_Q7L_Q}) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(FLOOR(v * v * {_Q7L_Q}) AS BIGINT)) AS BIGINT)
+               AS s2
       FROM vals GROUP BY dim
     )
     SELECT CAST(dim AS INT) AS dim, n,
-           s1 / n AS mean_v,
-           GREATEST(s2 - s1 * (s1 / n), 0.0) / n AS var_v
+           {_Q7L_MEAN} AS mean_v,
+           {_Q7L_VAR} AS var_v
     FROM agg
     """
 
 
 @query("q7l_dim_variance", oracle=_q7l_oracle())
 def q7l_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tf_datapipeline_spark.functions.exact import dsum
-
     emb = load_table(spark, sf_dir, "embeddings")
     vals = emb.select(F.posexplode("embedding").alias("dim", "vf")).select(
         "dim", F.col("vf").cast("double").alias("v")
     )
     agg = vals.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
-        dsum("v", 8).alias("s1"),
-        dsum(F.col("v") * F.col("v"), 10).alias("s2"),
+        F.sum(F.floor(F.col("v") * _Q7L_Q).cast("bigint"))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.floor(F.col("v") * F.col("v") * _Q7L_Q).cast("bigint"))
+        .cast("bigint")
+        .alias("s2"),
     )
     return agg.select(
         "dim",
         "n",
-        (F.col("s1") / F.col("n")).alias("mean_v"),
-        (
-            F.greatest(
-                F.col("s2") - F.col("s1") * (F.col("s1") / F.col("n")),
-                F.lit(0.0),
-            )
-            / F.col("n")
-        ).alias("var_v"),
+        F.expr(_Q7L_MEAN).alias("mean_v"),
+        F.expr(_Q7L_VAR).alias("var_v"),
     )
