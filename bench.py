@@ -133,6 +133,16 @@ EXTRA = [
     "q4zd_user_growth",
     "qt5_corpus_health",
     "q8n_media_audit",
+    # round 9 additions: timed for evidence, out of the headline total
+    "q4ze_retention_triangle",
+    "q4zf_rfm_segments",
+    "q5q_length_bands",
+    "q7l_dim_variance",
+    "q9l_partition_evolution",
+    "q8o_transcode_audit",
+    "q2a_window_digest_running",
+    "q2b_window_digest_lag",
+    "q2c_window_digest_ranks",
 ]
 
 
@@ -255,7 +265,9 @@ def main() -> None:
     # to q9a in a round-8 shakeout run whose headline was clean). 190s
     # bought a second pass at 41 queries; the late-round-8 additions
     # take EXTRA to 56 (~103s/pass quiet), so 230s keeps min-of-2 honest.
-    extra_passes = run_group(EXTRA, 230)
+    # Round 9 promotes 3 to HEADLINE and adds 9 (EXTRA 62, ~115s/pass
+    # quiet after the codec speedup): 280s.
+    extra_passes = run_group(EXTRA, 280)
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = round(sum(timings[n] for n in HEADLINE_LEGACY if n in timings), 3)
     total32 = round(sum(timings[n] for n in HEADLINE if n in timings), 3)

@@ -1061,14 +1061,29 @@ def _stream_ingest_oracle() -> str:
       AND d.n_chars >= 100
       AND length(list_filter({_TOKENS_SQL.replace('text', 'd.text')},
                              t -> t IN ({_SW_LIST}))) > 0
+      -- NOT(A OR B) split into two AND'ed NOT EXISTS, one per band, so
+      -- each subquery carries a pure band-key EQUALITY the oracle engine
+      -- can hash-join (matching the engine's two separate anti-joins).
+      -- The original single OR-join condition defeated hash planning and
+      -- degenerated to a ~5e9-pair nested loop at sf10 (observed >80 min
+      -- before the r9 rewrite; the split runs the same semantics in
+      -- seconds — admission iff NO band-sharing corpus doc has est>=0.5,
+      -- identical under the split by De Morgan).
       AND NOT EXISTS (
         SELECT 1
         FROM sig s JOIN sig i
           ON i.doc_id % {_DELTA_MOD} <> 0
-         AND (concat_ws('|', i.{mcols_half1.replace(', ', ', i.')})
-                = concat_ws('|', s.{mcols_half1.replace(', ', ', s.')})
-              OR concat_ws('|', i.{mcols_half2.replace(', ', ', i.')})
-                = concat_ws('|', s.{mcols_half2.replace(', ', ', s.')}))
+         AND concat_ws('|', i.{mcols_half1.replace(', ', ', i.')})
+               = concat_ws('|', s.{mcols_half1.replace(', ', ', s.')})
+         AND CAST(({est}) AS DOUBLE) / {_K} >= 0.5
+        WHERE s.doc_id = d.doc_id
+      )
+      AND NOT EXISTS (
+        SELECT 1
+        FROM sig s JOIN sig i
+          ON i.doc_id % {_DELTA_MOD} <> 0
+         AND concat_ws('|', i.{mcols_half2.replace(', ', ', i.')})
+               = concat_ws('|', s.{mcols_half2.replace(', ', ', s.')})
          AND CAST(({est}) AS DOUBLE) / {_K} >= 0.5
         WHERE s.doc_id = d.doc_id
       )
