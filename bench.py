@@ -143,6 +143,9 @@ EXTRA = [
     "q2a_window_digest_running",
     "q2b_window_digest_lag",
     "q2c_window_digest_ranks",
+    "q4zg_attribution",
+    "q4zh_temporal_leakage",
+    "q9m_manifest_diff",
 ]
 
 

@@ -1574,3 +1574,165 @@ def q4zf_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("total_cents"),
         F.sum("rec").cast("bigint").alias("total_rec_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# q4zg — LAST-TOUCH ATTRIBUTION (round 9): credit each purchase to the
+# user's most recent preceding click within a 24h lookback (channel =
+# the click's props.k mod 5), else 'direct' — the marketing-analytics
+# twin of the ASOF family, expressed WITHOUT a range join: one
+# per-user window pass carries the last click forward
+# (LAST_VALUE ... IGNORE NULLS over ROWS UNBOUNDED PRECEDING TO
+# 1 PRECEDING — strictly-before semantics under the deterministic
+# (ts, event_id) total order, identical in both engines), and the 24h
+# constraint is then row-local. One shuffle on user_id; output is the
+# ≤6-row channel table with exact counts and integer cents.
+# --------------------------------------------------------------------------
+@query(
+    "q4zg_attribution",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_type, event_id, value,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, ts,
+             CASE WHEN event_type = 'click'
+                  THEN CAST(props->>'k' AS BIGINT) END AS click_k,
+             CASE WHEN event_type = 'click'
+                  THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END AS click_es
+      FROM events
+    ),
+    attributed AS (
+      SELECT user_id, event_type, value, es,
+             LAST_VALUE(click_k IGNORE NULLS) OVER w AS lk,
+             LAST_VALUE(click_es IGNORE NULLS) OVER w AS le
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN le IS NOT NULL AND es - le <= 86400
+                THEN 'ch' || CAST(lk % 5 AS VARCHAR)
+                ELSE 'direct' END AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q4zg_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    es = _epoch_s("ts")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        es.alias("es"),
+        F.when(F.col("event_type") == "click", k).alias("click_k"),
+        F.when(F.col("event_type") == "click", es).alias("click_es"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = base.select(
+        "event_type",
+        "value",
+        "es",
+        F.last("click_k", ignorenulls=True).over(w).alias("lk"),
+        F.last("click_es", ignorenulls=True).over(w).alias("le"),
+    )
+    channel = F.when(
+        F.col("le").isNotNull() & (F.col("es") - F.col("le") <= 86400),
+        F.concat(F.lit("ch"), (F.col("lk") % 5).cast("string")),
+    ).otherwise("direct")
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q4zh — TEMPORAL SPLIT + LEAKAGE AUDIT (round 9): split the event log
+# at the 80% point of its time range (exact integer arithmetic on epoch
+# seconds — the division-free %-then-divide device) into train/test and
+# report, per event type, the split sizes AND the leakage surface: how
+# many test events belong to users already seen in train (the signal a
+# temporal-holdout evaluation must control for). One scan for the
+# per-user min/max membership, one broadcast of the 2-scalar range;
+# everything integer-exact.
+# --------------------------------------------------------------------------
+@query(
+    "q4zh_temporal_leakage",
+    oracle="""
+    WITH es AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    rng AS (
+      SELECT MIN(es) AS mn,
+             MIN(es) + CAST(((MAX(es) - MIN(es)) * 4
+                             - ((MAX(es) - MIN(es)) * 4) % 5) / 5 AS BIGINT)
+               AS cutoff
+      FROM es
+    ),
+    tagged AS (
+      SELECT e.user_id, e.event_type,
+             CASE WHEN e.es < r.cutoff THEN 1 ELSE 0 END AS in_train
+      FROM es e, rng r
+    ),
+    train_users AS (
+      SELECT DISTINCT user_id FROM tagged WHERE in_train = 1
+    )
+    SELECT t.event_type,
+           CAST(SUM(t.in_train) AS BIGINT) AS n_train,
+           CAST(SUM(1 - t.in_train) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t.in_train = 0
+                          AND tu.user_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_test_from_seen_users
+    FROM tagged t LEFT JOIN train_users tu ON tu.user_id = t.user_id
+    GROUP BY 1
+    """,
+)
+def q4zh_temporal_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    es = ev.select("user_id", "event_type", _epoch_s("ts").alias("es"))
+    span = (F.max("es") - F.min("es")) * 4
+    rng = es.agg(
+        (F.min("es") + ((span - span % 5) / 5).cast("bigint")).alias("cutoff")
+    )
+    tagged = es.crossJoin(F.broadcast(rng)).select(
+        "user_id",
+        "event_type",
+        F.when(F.col("es") < F.col("cutoff"), 1).otherwise(0).alias("in_train"),
+    )
+    train_users = (
+        tagged.filter(F.col("in_train") == 1).select("user_id").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    return (
+        tagged.join(train_users, "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.sum("in_train").cast("bigint").alias("n_train"),
+            F.sum(1 - F.col("in_train")).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    (F.col("in_train") == 0) & F.col("seen").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_test_from_seen_users"),
+        )
+    )

@@ -1160,3 +1160,60 @@ def q9l_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q9L_SQL)
+
+
+# --------------------------------------------------------------------------
+# q9m — SNAPSHOT MANIFEST DIFF (round 9): the file-level time-travel
+# report between two table versions — which 4096-key files were added,
+# removed, rewritten, or untouched by the CDC apply, with exact row and
+# integer-cents deltas per file. The q1y/q9i device derives both
+# snapshots deterministically (inserts ≡ 0 mod 10, deletes ≡ 1 mod 10,
+# reprices ≡ 2 mod 7); file ids use the exact %-then-divide bucketing.
+# This is the manifest a lakehouse compares for incremental replication
+# and audit ("what did commit N change, physically?").
+#
+# Scale (100 TB): two partial-aggregated scans (or one scan of the CDC
+# delta in production) into manifest-sized per-file rows, FULL OUTER
+# join on file_id — metadata cardinality end to end.
+# --------------------------------------------------------------------------
+_Q9M_SQL = f"""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, {_IVM_CENTS} AS cents
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    v2 AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 2
+                  THEN CAST(FLOOR(o_totalprice * 1.1 * 100) AS BIGINT)
+                  ELSE {_IVM_CENTS} END AS cents
+      FROM orders WHERE o_orderkey % 10 <> 1
+    ),
+    m1 AS (
+      SELECT CAST((k - k % 4096) / 4096 AS BIGINT) AS file_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM v1 GROUP BY 1
+    ),
+    m2 AS (
+      SELECT CAST((k - k % 4096) / 4096 AS BIGINT) AS file_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM v2 GROUP BY 1
+    )
+    SELECT COALESCE(m1.file_id, m2.file_id) AS file_id,
+           CASE WHEN m1.file_id IS NULL THEN 'added'
+                WHEN m2.file_id IS NULL THEN 'removed'
+                WHEN m1.n_rows = m2.n_rows AND m1.cents = m2.cents
+                THEN 'unchanged' ELSE 'rewritten' END AS status,
+           COALESCE(m1.n_rows, 0) AS rows_v1,
+           COALESCE(m2.n_rows, 0) AS rows_v2,
+           COALESCE(m1.cents, 0) AS cents_v1,
+           COALESCE(m2.cents, 0) AS cents_v2
+    FROM m1 FULL OUTER JOIN m2 ON m2.file_id = m1.file_id
+"""
+
+
+@query("q9m_manifest_diff", oracle=_Q9M_SQL)
+def q9m_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q9M_SQL)
