@@ -1150,11 +1150,12 @@ def _seasonal_keyed(ev: DataFrame, *extra_cols: str) -> DataFrame:
     """(event_type, value, dow, hr, is_base) + extra_cols — the shared
     hour-of-week keying for q4zb (batch) and q4zc (streaming twin)."""
     es = _epoch_s("ts")
-    # Floor division (F.floor, not .cast truncation) so the keying matches
-    # the oracle's `//` semantics for ALL timestamps — trunc-toward-zero
-    # and floor diverge on negative epoch seconds (pre-1970 data), where
-    # dow/hr/is_base would otherwise disagree across engines. `%` is
-    # trunc-remainder in BOTH engines, so it needs no device.
+    # Floor-division convention (pinned by tests/test_negative_epoch.py):
+    # the engine floors (F.floor), and every oracle spells the matching
+    # division as CAST(FLOOR(x / d) AS BIGINT) — NEVER DuckDB's `//`,
+    # which truncates toward zero (-86401 // 86400 = -1, floor = -2) and
+    # silently diverges on pre-1970 timestamps. `%` IS trunc-remainder in
+    # both engines, so remainders need no device.
     eday = F.floor(es / F.lit(86400.0))
     return ev.select(
         *extra_cols,
@@ -1221,15 +1222,19 @@ def _seasonal_stats(keyed: DataFrame) -> DataFrame:
 @query(
     "q4zb_seasonal_baseline",
     oracle="""
-    WITH keyed AS (
+    WITH dayed AS (
+      SELECT event_type, value, es,
+             CAST(FLOOR(es / 86400.0) AS BIGINT) AS eday
+      FROM (SELECT event_type, value,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+            FROM events)
+    ),
+    keyed AS (
       SELECT event_type, value,
-             CAST(((CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) + 4) % 7
-                  AS INT) AS dow,
-             CAST((CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400) // 3600
-                  AS INT) AS hr,
-             ((CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) // 7) % 2 = 0
-                  AS is_base
-      FROM events
+             CAST((eday + 4) % 7 AS INT) AS dow,
+             CAST(FLOOR((es % 86400) / 3600.0) AS INT) AS hr,
+             CAST(FLOOR(eday / 7.0) AS BIGINT) % 2 = 0 AS is_base
+      FROM dayed
     ),
     base AS (
       SELECT event_type, dow, hr,
@@ -1333,7 +1338,8 @@ def q4zb_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ed AS (
       SELECT user_id,
-             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS eday
+             CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400.0)
+                  AS BIGINT) AS eday
       FROM events
     ),
     firstseen AS (
@@ -1362,8 +1368,9 @@ def q4zd_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ed = ev.select(
         "user_id",
-        # F.floor (not cast truncation) — matches the oracle's `//` floor
-        # semantics for negative epoch seconds too (the q4zb device).
+        # F.floor, matched by the oracle's explicit CAST(FLOOR(...)) —
+        # DuckDB `//` truncates toward zero and would diverge on
+        # pre-1970 epochs (the q4zb device; tests/test_negative_epoch.py).
         F.floor(_epoch_s("ts") / F.lit(86400.0)).cast("bigint").alias("eday"),
     )
     newby = (
@@ -1408,18 +1415,20 @@ def q4zd_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the shuffle carries users, not events); the cohort join co-partitions
 # on user_id; cohort sizes are a metadata-sized broadcast. Every figure
 # is an exact integer; retention is one IEEE division of exact integers.
-# Week keying floor-divides epoch days (the q4zb floor device, matching
-# the oracle's // for pre-1970 data too).
+# Week keying floor-divides epoch days (the q4zb floor device — the
+# oracle spells it CAST(FLOOR(...)), since DuckDB's // truncates).
 # --------------------------------------------------------------------------
 @query(
     "q4ze_retention_triangle",
     oracle="""
     WITH ed AS (
       SELECT user_id,
-             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS eday
+             CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400.0)
+                  AS BIGINT) AS eday
       FROM events
     ),
-    uw AS (SELECT DISTINCT user_id, eday // 7 AS eweek FROM ed),
+    uw AS (SELECT DISTINCT user_id,
+                  CAST(FLOOR(eday / 7.0) AS BIGINT) AS eweek FROM ed),
     fw AS (SELECT user_id, MIN(eweek) AS cohort_week FROM uw GROUP BY user_id),
     act AS (
       SELECT f.cohort_week, u.eweek - f.cohort_week AS week_offset,
@@ -1482,8 +1491,11 @@ def q4ze_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with the two-pass offset numbering (pipeline.offset_row_number —
 # per-bucket counts to the driver, broadcast prefix offsets, windows
 # partitioned BY BUCKET), three user-keyed joins reassemble the triple.
-# Everything after the per-user aggregate is user-cardinality, not
-# event-cardinality.
+# The raw metric is passed as the bucket; offset_row_number's coarsening
+# (r10, the r9 advice fix) re-buckets it to ≤ _MAX_OFFSET_BUCKETS driver
+# rows, so the pass-1 collect is corpus-INDEPENDENT even for `cents`,
+# whose distinct count is ~user-cardinality. Everything after the
+# per-user aggregate is user-cardinality, not event-cardinality.
 # --------------------------------------------------------------------------
 def _q4zf_oracle() -> str:
     def quint(rank_expr: str) -> str:
@@ -1493,7 +1505,8 @@ def _q4zf_oracle() -> str:
     return f"""
     WITH pu AS (
       SELECT user_id,
-             MAX(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS last_day,
+             MAX(CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400.0)
+                      AS BIGINT)) AS last_day,
              CAST(COUNT(*) AS BIGINT) AS freq,
              CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM events GROUP BY user_id

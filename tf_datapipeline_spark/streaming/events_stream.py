@@ -1403,15 +1403,19 @@ def q7b_stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def _stream_anomaly_oracle() -> str:
     return """
-    WITH keyed AS (
+    WITH dayed AS (
+      SELECT event_id, event_type, value, es,
+             CAST(FLOOR(es / 86400.0) AS BIGINT) AS eday
+      FROM (SELECT event_id, event_type, value,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+            FROM events)
+    ),
+    keyed AS (
       SELECT event_id, event_type, value,
-             CAST(((CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) + 4) % 7
-                  AS INT) AS dow,
-             CAST((CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400) // 3600
-                  AS INT) AS hr,
-             ((CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) // 7) % 2 = 0
-                  AS is_base
-      FROM events
+             CAST((eday + 4) % 7 AS INT) AS dow,
+             CAST(FLOOR((es % 86400) / 3600.0) AS INT) AS hr,
+             CAST(FLOOR(eday / 7.0) AS BIGINT) % 2 = 0 AS is_base
+      FROM dayed
     ),
     stats AS (
       SELECT event_type, dow, hr,
