@@ -1,0 +1,85 @@
+"""The two-pass offset-numbering device (pipeline.offset_row_number /
+offset_running_sum) and its r10 bucket coarsening.
+
+The r9 advice: q4zf passed a raw metric (cents) as the bucket, so the
+pass-1 per-bucket collect was ~user-cardinality — corpus-proportional
+driver memory behind a '100 TB' comment. The fix re-coarsens any
+high-cardinality bucket to ≤ _MAX_OFFSET_BUCKETS equi-width cells
+(monotone, so global order is preserved). These tests pin:
+
+  1. the coarse bucket count is bounded for a corpus-sized distinct set,
+  2. numbering is still exactly the global sort order,
+  3. an already-bounded bucket is left untouched (pre-r10 plans intact),
+  4. offset_running_sum agrees with the unpartitioned running sum.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tf_datapipeline_spark.operators.pipeline import (
+    _MAX_OFFSET_BUCKETS,
+    _coarsen_bucket,
+    offset_row_number,
+    offset_running_sum,
+)
+
+
+def _wide_df(spark, n=20_000):
+    # distinct, skew-clustered values spanning a huge range: two dense
+    # clusters plus a far outlier, > _MAX_OFFSET_BUCKETS distinct.
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (
+            F.when(F.col("id") % 3 == 0, F.col("id") * 7)
+            .when(F.col("id") % 3 == 1, F.lit(2**40) + F.col("id") * 11)
+            .otherwise(F.lit(2**55) + F.col("id"))
+        ).alias("v"),
+    )
+
+
+def test_coarsen_bounds_bucket_count(spark):
+    df = _wide_df(spark).withColumn("_b", F.col("v"))
+    out = _coarsen_bucket(df, _MAX_OFFSET_BUCKETS)
+    n_coarse = out.select("_b").distinct().count()
+    assert n_coarse <= _MAX_OFFSET_BUCKETS
+    # monotone: coarse bucket order == raw value order
+    pairs = [
+        (r["v"], r["_b"]) for r in out.select("v", "_b").distinct().collect()
+    ]
+    pairs.sort()
+    assert all(
+        pairs[i][1] <= pairs[i + 1][1] for i in range(len(pairs) - 1)
+    )
+
+
+def test_coarsen_leaves_bounded_buckets_alone(spark):
+    df = spark.range(1000).withColumn("_b", F.col("id") % 17)
+    out = _coarsen_bucket(df, _MAX_OFFSET_BUCKETS)
+    assert out is df  # byte-identical plan for every pre-r10 caller
+
+
+def test_offset_row_number_matches_global_sort(spark):
+    df = _wide_df(spark)
+    numbered, total = offset_row_number(
+        df, F.col("v"), [F.asc("v"), F.asc("k")]
+    )
+    rows = numbered.select("k", "v", "rn").collect()
+    assert total == len(rows) == 20_000
+    by_rn = sorted(rows, key=lambda r: r["rn"])
+    assert [r["rn"] for r in by_rn] == list(range(1, total + 1))
+    assert [(r["v"], r["k"]) for r in by_rn] == sorted(
+        (r["v"], r["k"]) for r in rows
+    )
+
+
+def test_offset_running_sum_matches_global(spark):
+    df = _wide_df(spark, n=5_000).withColumn("val", F.col("k") % 97)
+    out = offset_running_sum(
+        df, F.col("v"), [F.asc("v"), F.asc("k")], F.col("val")
+    ).collect()
+    ordered = sorted(out, key=lambda r: (r["v"], r["k"]))
+    acc = 0
+    for r in ordered:
+        assert r["running_sum"] == acc, (r["k"], r["running_sum"], acc)
+        acc += r["val"]

@@ -142,6 +142,12 @@ def test_exact_numbering_has_no_single_partition_exchange(spark):
         # same two-pass offset machinery — the window must stay
         # partitioned by the orderkey bucket
         "q9j_clustering_depth",
+        # r10 (r9 verdict task 2): the last data-sized windows keyed on
+        # the 5-value c_mktsegment, rewritten onto
+        # grouped_offset_row_number — every window must stay partitioned
+        # by (segment, balance-bucket) / (segment, balance)
+        "q26_ntile_frames",
+        "q28_distribution_ranks",
     ):
         plan = formatted_plan(_q(name, spark))
         assert "SinglePartition" not in plan, (name, plan)
@@ -324,6 +330,14 @@ def test_collect_sites_are_bounded_metadata_only():
         ("operators/multimodal.py", "q8h_tfrecord_roundtrip"),  # shard manifest rows
         ("operators/pipeline.py", "offset_running_sum"),  # n_buckets agg rows
         ("operators/pipeline.py", "offset_row_number"),  # n_buckets agg rows
+        # 1-row (min, max, approx_count_distinct) stats; bounds the two
+        # collects above at _MAX_OFFSET_BUCKETS rows (r9 advice: a raw
+        # metric bucket is otherwise corpus-proportional)
+        ("operators/pipeline.py", "_coarsen_bucket"),
+        # <= |groups| * _MAX_OFFSET_BUCKETS agg rows; group_cols is a
+        # low-cardinality metadata key by contract (q26/q28's 5-value
+        # c_mktsegment)
+        ("operators/pipeline.py", "grouped_offset_row_number"),
         ("operators/similarity.py", "q73_knn_ann_ivf"),  # k=16 centroid rows
         ("operators/similarity.py", "q77_knn_ivfpq"),  # k=16 seed-centroid rows
         ("operators/similarity.py", "q7k_cell_balance"),  # <=16 seed rows

@@ -40,6 +40,36 @@ def sql_shuffle_key(expr: str, seed: int = 0) -> str:
     return f"((({expr}) + {seed}) * {_SHUFFLE_MULT}) % {_SHUFFLE_MOD}"
 
 
+_MAX_OFFSET_BUCKETS = 4096  # driver prefix-table ceiling (corpus-independent)
+
+
+def _coarsen_bucket(df: DataFrame, max_buckets: int) -> DataFrame:
+    """Re-bucket `_b` so the driver prefix table stays ≤ max_buckets rows
+    no matter the caller's bucket cardinality (r9 advice: a raw metric
+    bucket — e.g. q4zf's cents — is ~user-cardinality, so the pass-1
+    collect would grow with the corpus). Equi-width on the observed
+    range: coarse = (raw - lo) >> shift is monotone in raw, so bucket
+    order still equals global order; when the raw buckets are already
+    bounded (every pre-r10 caller) nothing changes and the final plan is
+    byte-identical. Heavy ties in the LEADING order key cannot be split
+    by any monotone bucketing (they must share a window partition), so
+    tie-skew is inherent to exact global numbering, not to this device."""
+    stats = df.agg(
+        F.min("_b").alias("lo"),
+        F.max("_b").alias("hi"),
+        F.approx_count_distinct("_b").alias("nd"),
+    ).collect()[0]
+    if stats["lo"] is None or stats["nd"] <= max_buckets:
+        return df
+    span = stats["hi"] - stats["lo"] + 1
+    shift = 0
+    while ((span - 1) >> shift) + 1 > max_buckets:
+        shift += 1
+    return df.withColumn(
+        "_b", F.shiftright(F.col("_b") - F.lit(stats["lo"]), shift)
+    )
+
+
 def offset_running_sum(
     df: DataFrame,
     bucket: Column,
@@ -58,6 +88,7 @@ def offset_running_sum(
     b = df.withColumn("_b", bucket.cast("bigint")).withColumn(
         "_v", value.cast("bigint")
     )
+    b = _coarsen_bucket(b, _MAX_OFFSET_BUCKETS)
     sums = {
         r["_b"]: r["s"]
         for r in b.groupBy("_b").agg(F.sum("_v").alias("s")).collect()
@@ -92,11 +123,14 @@ def offset_row_number(
     `bucket` must be a monotone function of the leading order key so that
     bucket order == global order; every window in the final plan is
     partitioned by bucket — no `Exchange SinglePartition`, the shape that
-    survives 100 TB. Returns (numbered df, total row count) — the total
-    falls out of pass 1 for free.
+    survives 100 TB. High-cardinality buckets (a raw metric value is
+    fine) are re-coarsened to ≤ _MAX_OFFSET_BUCKETS driver rows first.
+    Returns (numbered df, total row count) — the total falls out of
+    pass 1 for free.
     """
     spark = df.sparkSession
     b = df.withColumn("_b", bucket.cast("bigint"))
+    b = _coarsen_bucket(b, _MAX_OFFSET_BUCKETS)
     counts = {
         r["_b"]: r["n"]
         for r in b.groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -114,6 +148,60 @@ def offset_row_number(
         .drop("_b", "_off")
     )
     return numbered, total
+
+
+def grouped_offset_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    bucket: Column,
+    order_cols: list[Column | str],
+    rn_name: str = "rn",
+    n_name: str = "_n",
+) -> DataFrame:
+    """Per-GROUP 1-based row numbering plus the group's row count,
+    without partitioning any window on the group key alone — the fix for
+    the q26/q28 class (r9 verdict task 2): a data-sized window
+    partitioned on a ≤5-value key funnels each group through ONE task's
+    sort. Same two-pass shape as `offset_row_number`, prefix-summed per
+    group: (1) (group, bucket) counts -> driver (≤ |groups| ·
+    _MAX_OFFSET_BUCKETS rows — group_cols must be a LOW-cardinality
+    metadata key, the very property that made the single-task sort a
+    bottleneck), (2) windows partitioned by (group, bucket) + a
+    broadcast-joined per-(group, bucket) offset. `bucket` must be a
+    monotone function of the group's leading order key. Appends rn_name
+    and n_name (the group total, for rank-ratio arithmetic)."""
+    spark = df.sparkSession
+    b = df.withColumn("_b", bucket.cast("bigint"))
+    b = _coarsen_bucket(b, _MAX_OFFSET_BUCKETS)
+    counts = (
+        b.groupBy(*group_cols, "_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_group: dict[tuple, list] = {}
+    for r in counts:
+        by_group.setdefault(tuple(r[c] for c in group_cols), []).append(r)
+    offsets = []
+    for g in sorted(by_group, key=repr):
+        acc = 0
+        rows = sorted(by_group[g], key=lambda r: r["_b"])
+        total = sum(r["n"] for r in rows)
+        for r in rows:
+            offsets.append((*g, r["_b"], acc, total))
+            acc += r["n"]
+    schema_groups = b.select(*group_cols).schema
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schema_groups.fields
+    )
+    odf = spark.createDataFrame(
+        offsets, f"{fields}, _b bigint, _off bigint, {n_name} bigint"
+    )
+    w = Window.partitionBy(*group_cols, "_b").orderBy(*order_cols)
+    return (
+        b.join(F.broadcast(odf), [*group_cols, "_b"])
+        .withColumn(rn_name, F.row_number().over(w) + F.col("_off"))
+        .drop("_b", "_off")
+    )
 
 
 # --------------------------------------------------------------------------

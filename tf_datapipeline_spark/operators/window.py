@@ -10,7 +10,7 @@ dataset through one task at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tf_datapipeline_spark.catalog import load_table
@@ -214,10 +214,32 @@ def q25_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _idiv(a: Column, d: Column) -> Column:
+    """Floor division of nonnegative bigints via the exact-multiple
+    device (a - a%d is an exact multiple of d, so the double quotient is
+    the exact integer — holds to ~2^53; the q27 convention)."""
+    return ((a - a % d) / d).cast("bigint")
+
+
 # --------------------------------------------------------------------------
 # q26 — distribution framing: NTILE quartiles + FIRST/NTH value frames per
 # market segment (rounds out the analytic-function surface: q20-q25 cover
 # rank/lag/running/percentile; this adds tile + positional frame access).
+#
+# Spark shape (100 TB, r10 — the r9 verdict's last single-task sort):
+# the oracle's PARTITION BY c_mktsegment is a 5-value key, so a naive
+# window funnels each segment through ONE task. The engine instead
+# numbers rows per segment with the grouped two-pass offset machinery
+# (pipeline.grouped_offset_row_number — windows partitioned by
+# (segment, balance-bucket), ≤ 5·4096 driver prefix rows) and derives
+# every analytic from (rn, n) with exact integer arithmetic:
+#   NTILE(k): q = n DIV k, r = n MOD k (first r tiles take q+1 rows) —
+#     rn ≤ r·(q+1) ? (rn-1) DIV (q+1) + 1 : r + (rn - r·(q+1) - 1) DIV q + 1,
+#     integer divisions via the exact-multiple device (the q27 pattern);
+#   FIRST_VALUE: the rn=1 row per segment, a ≤5-row broadcast join;
+#   NTH_VALUE(2) under ROWS UNBOUNDED..CURRENT: NULL at rn=1, else the
+#     rn=2 row — same broadcast shape.
+# Output values (and hashes) are identical to the window formulation.
 # --------------------------------------------------------------------------
 @query(
     "q26_ntile_frames",
@@ -235,18 +257,44 @@ def q25_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q26_ntile_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.desc("c_acctbal"), F.asc("c_custkey")
+    from tf_datapipeline_spark.operators.pipeline import (
+        grouped_offset_row_number,
     )
-    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return c.select(
-        "c_mktsegment",
-        "c_custkey",
-        "c_acctbal",
-        F.ntile(4).over(w).alias("balance_quartile"),
-        F.first("c_custkey").over(w).alias("richest_custkey"),
-        F.nth_value("c_custkey", 2).over(wf).alias("second_custkey"),
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey", "c_acctbal"
+    )
+    # bucket = -acctbal truncated: nondecreasing in the DESC sort order
+    # (trunc is monotone); grouped_offset_row_number coarsens it.
+    numbered = grouped_offset_row_number(
+        c,
+        ["c_mktsegment"],
+        -F.col("c_acctbal"),
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+    )
+    rn, n = F.col("rn"), F.col("_n")
+    k = F.lit(4).cast("bigint")
+    q, r = _idiv(n, k), n % k
+    cut = r * (q + F.lit(1))
+    tile = F.when(
+        rn <= cut, _idiv(rn - 1, q + F.lit(1)) + F.lit(1)
+    ).otherwise(r + _idiv(rn - cut - 1, q) + F.lit(1))
+    heads = lambda i: numbered.filter(rn == i).select(  # noqa: E731
+        "c_mktsegment", F.col("c_custkey").alias(f"_head{i}")
+    )
+    return (
+        numbered.join(F.broadcast(heads(1)), "c_mktsegment")
+        .join(F.broadcast(heads(2)), "c_mktsegment", "left")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            tile.cast("int").alias("balance_quartile"),
+            F.col("_head1").alias("richest_custkey"),
+            F.when(rn == 1, F.lit(None).cast("bigint"))
+            .otherwise(F.col("_head2"))
+            .alias("second_custkey"),
+        )
     )
 
 
@@ -317,11 +365,17 @@ def q27_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SQL-standard peer-group semantics are what this op pins; a unique
 # tie-break would reduce both to row_number arithmetic). Both functions
 # are rank-ratio divisions of exact integers, so cross-engine values are
-# bit-identical. Scale note (same as q26): partitionBy on a 5-value key
-# funnels each segment through one task's sort — fine at bench scale; at
-# 100 TB the two-pass partition-offset machinery (pipeline.py
-# offset_running_sum) computes the same global ranks without a
-# single-task sort, at the cost of one extra pass.
+# bit-identical.
+#
+# Spark shape (100 TB, r10 — the other half of the q26 fix): per-segment
+# rn via grouped_offset_row_number (windows partitioned by (segment,
+# balance-bucket), never by the 5-value segment alone), then SQL peer
+# semantics recovered from rn: RANK = MIN(rn) over the peer group,
+# CUME_DIST numerator = MAX(rn) over it. Peers share one balance value,
+# so the peer window partitions by (segment, acctbal) — a
+# high-cardinality key with tiny groups; PERCENT_RANK = (rank-1)/(n-1)
+# and CUME_DIST = peer_max/n are each ONE IEEE division of exact
+# integers, bit-identical to both engines' native functions.
 # --------------------------------------------------------------------------
 @query(
     "q28_distribution_ranks",
@@ -335,14 +389,31 @@ def q27_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q28_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
-    return cust.select(
+    from tf_datapipeline_spark.operators.pipeline import (
+        grouped_offset_row_number,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    numbered = grouped_offset_row_number(
+        cust,
+        ["c_mktsegment"],
+        F.col("c_acctbal"),
+        [F.asc("c_acctbal"), F.asc("c_custkey")],
+    )
+    wpeer = Window.partitionBy("c_mktsegment", "c_acctbal")
+    rank = F.min("rn").over(wpeer)
+    peer_max = F.max("rn").over(wpeer)
+    n = F.col("_n")
+    return numbered.select(
         "c_custkey",
         "c_mktsegment",
         "c_acctbal",
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cum_dist"),
+        F.when(n == 1, F.lit(0.0))
+        .otherwise((rank - 1).cast("double") / (n - 1))
+        .alias("pct_rank"),
+        (peer_max.cast("double") / n).alias("cum_dist"),
     )
 
 
