@@ -445,7 +445,74 @@ GATE_ORDER_R8 = [
     "q8d2_jpeg420_golden",
 ]
 
-GATE_ORDER = GATE_ORDER_R9
+# ---------------------------------------------------------------------------
+# Permanent anchor slots (r9 advice): high-risk composites that exercise
+# many operator layers in one query, re-gated EVERY round so an
+# engine-side bug in shared machinery can't ride out a fully-rotated
+# window between driver rows. The remaining WINDOW - len(GATE_ANCHORS)
+# slots rotate round-robin (tools/gate_rotation.py).
+# ---------------------------------------------------------------------------
+GATE_ANCHORS = [
+    "qp1_feed_pipeline",  # shuffle/split/batch/epoch composite (R1-B3)
+    "qt0_text_profile",  # text-analysis composite over documents
+    "qt1_prep_pipeline",  # prep + exact-dedup composite
+    "qt4_stream_ingest",  # streaming quality gate + dual anti-join dedup
+    "qt5_corpus_health",  # cross-family corpus monitor composite
+]
+
+# Round-10 window: the 5 anchors, then the 25 remaining never-gated
+# queries (all 12 r9 additions + the 13 deferred from r9), then the 20
+# stalest r1-era queries — the block `tools/gate_rotation.py propose`
+# emits verbatim.
+GATE_ORDER_R10 = GATE_ANCHORS + [
+    "q2a_window_digest_running",  # never
+    "q2b_window_digest_lag",  # never
+    "q2c_window_digest_ranks",  # never
+    "q3c_stratified_sample",  # never
+    "q44_late_data_filter",  # never
+    "q4e_ewma",  # never
+    "q4k_window_topk",  # never
+    "q4ze_retention_triangle",  # never
+    "q4zf_rfm_segments",  # never
+    "q4zg_attribution",  # never
+    "q4zh_temporal_leakage",  # never
+    "q53_token_count_bpe",  # never
+    "q5f_top_ngrams",  # never
+    "q5i_oov_rate",  # never
+    "q5q_length_bands",  # never
+    "q76_pq_ann",  # never
+    "q7l_dim_variance",  # never
+    "q8f_image_ahash",  # never
+    "q8g_audio_zcr",  # never
+    "q8o_transcode_audit",  # never
+    "q48_stream_dedup_keys",  # never
+    "q1o_csv_roundtrip",  # never
+    "q1p_jsonl_roundtrip",  # never
+    "q9l_partition_evolution",  # never
+    "q9m_manifest_diff",  # never
+    "q02_filter_project",  # stale 9
+    "q03_shipping_priority",  # stale 9
+    "q04_order_priority",  # stale 9
+    "q06_forecast_revenue",  # stale 9
+    "q07_semi_join",  # stale 9
+    "q08_anti_join",  # stale 9
+    "q09_topk_orders",  # stale 9
+    "q10_distinct_agg",  # stale 9
+    "q11_union_all",  # stale 9
+    "q12_intersect",  # stale 9
+    "q13_except",  # stale 9
+    "q14_rollup",  # stale 9
+    "q15_cube",  # stale 9
+    "q16_promo_share",  # stale 9
+    "q18_grouping_sets",  # stale 9
+    "q19_set_ops_all",  # stale 9
+    "q1a_customer_distribution",  # stale 9
+    "q1b_small_quantity_revenue",  # stale 9
+    "q1c_large_orders",  # stale 9
+    "q1d_date_functions",  # stale 9
+]
+
+GATE_ORDER = GATE_ORDER_R10
 
 
 def _gate_sorted(d: dict) -> dict:
