@@ -1,0 +1,125 @@
+"""Pluggable image-decoder seam (r9 verdict task 3).
+
+The pure-stdlib/numpy codecs (functions/imagecodec.py,
+functions/jpegcodec.py) are this engine's VERIFICATION REFERENCE: every
+golden hash, probe pixel, and oracle in the registry was frozen against
+them, and tests/jpeg_independent.py re-derives JPEG decode from the
+T.81 spec independently. They are also interpreter-bound — the r9
+verdict's one remaining perf blemish (q8o's 298 s sf10 row is codec
+time, not plan time). A real 100 TB media lake decodes with a native
+library, so the decode path is a SEAM:
+
+  arm "stdlib"   the reference implementation (always present, default)
+  arm "native"   Pillow-backed, registered automatically when PIL
+                 imports; the production arm on a real cluster
+
+Selection: the `SPARK_GRAFT_CODEC` environment variable (read in every
+Python worker at import, so `spark.executorEnv.SPARK_GRAFT_CODEC=native`
+flips a whole cluster) or `set_arm()` for in-process tests. Dispatch is
+PER FORMAT with automatic fallback to stdlib, so an arm may cover only
+the formats it can decode bit-identically.
+
+The swap is GATED by equivalence, not trust (tests/test_codec_seam.py):
+  - PPM/PNG are lossless containers with a single valid pixel output —
+    any correct decoder is bit-identical, and the test asserts it
+    exactly against the stdlib arm over a property corpus.
+  - JPEG decode is only spec-identical if the IDCT matches; Pillow's
+    libjpeg fast-IDCT is NOT guaranteed to reproduce the stdlib
+    decoder's output bit-for-bit, so the native arm registers JPEG only
+    behind the explicit `SPARK_GRAFT_CODEC_JPEG=native` opt-in, and the
+    equivalence test fails the opt-in configuration unless decode is
+    exact on this host's Pillow build.
+
+Every registry query (q8n/q8o included) reaches pixels through
+imagecodec.decode_image -> this seam, so either arm runs the whole
+multimodal surface; with equivalence green the hashes are identical by
+construction.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+import numpy as np
+
+DecoderFn = Callable[[bytes], "np.ndarray"]
+
+_ARMS: dict[str, dict[str, DecoderFn]] = {}
+_active: str = os.environ.get("SPARK_GRAFT_CODEC", "stdlib")
+
+
+def register_arm(name: str, decoders: dict[str, DecoderFn]) -> None:
+    """Register/extend an arm: {format: decode(bytes) -> (H, W, 3) u8}."""
+    _ARMS.setdefault(name, {}).update(decoders)
+
+
+def set_arm(name: str) -> None:
+    """In-process arm switch (tests). Cluster-wide, set the
+    SPARK_GRAFT_CODEC executor env instead — each Python worker reads it
+    at import."""
+    global _active
+    _active = name
+
+
+def active_arm() -> str:
+    return _active
+
+
+def arms() -> dict[str, list[str]]:
+    """{arm: sorted formats it covers} — for audits and the seam test."""
+    _ensure_builtin_arms()
+    return {a: sorted(d) for a, d in _ARMS.items()}
+
+
+def decoder_for(fmt: str) -> tuple[str, DecoderFn]:
+    """(arm_name, decoder) for `fmt` under the active arm, falling back
+    to the stdlib reference when the active arm doesn't cover it."""
+    _ensure_builtin_arms()
+    fmt = "jpeg" if fmt == "jpg" else fmt
+    arm = _ARMS.get(_active, {})
+    if fmt in arm:
+        return _active, arm[fmt]
+    ref = _ARMS["stdlib"]
+    if fmt not in ref:
+        raise ValueError(f"unknown image format {fmt!r}")
+    return "stdlib", ref[fmt]
+
+
+_built = False
+
+
+def _ensure_builtin_arms() -> None:
+    """Lazy construction (avoids import cycles with imagecodec)."""
+    global _built
+    if _built:
+        return
+    _built = True
+    from tf_datapipeline_spark.functions import imagecodec as ic
+
+    def _jpeg_stdlib(data: bytes) -> np.ndarray:
+        from tf_datapipeline_spark.functions.jpegcodec import decode_jpeg
+
+        return decode_jpeg(data)
+
+    register_arm(
+        "stdlib",
+        {"ppm": ic.decode_ppm, "png": ic.decode_png, "jpeg": _jpeg_stdlib},
+    )
+    try:  # pragma: no cover - Pillow not installed in this container
+        import io
+
+        from PIL import Image  # type: ignore
+
+        def _pil(data: bytes) -> np.ndarray:
+            arr = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+            return arr.astype(np.uint8)
+
+        native: dict[str, DecoderFn] = {"ppm": _pil, "png": _pil}
+        if os.environ.get("SPARK_GRAFT_CODEC_JPEG") == "native":
+            # lossy-format decode is only spec-identical if the IDCT
+            # matches — tests/test_codec_seam.py gates this opt-in
+            native["jpeg"] = _pil
+        register_arm("native", native)
+    except ImportError:
+        pass

@@ -250,29 +250,29 @@ def decode_image(data: bytes, image_format: str) -> np.ndarray:
     """Decode an encoded image payload to (H, W, 3) uint8.
 
     Reference analog: tf.image.decode_jpeg / decode_png
-    (make_tf_record.py:18-19, tutorial nb cell 6). PPM, PNG (8-bit
-    truecolor) and baseline JPEG (functions/jpegcodec.py) decode with no
-    third-party dependency; non-baseline JPEG falls back to Pillow when
-    installed and raises a clear error otherwise.
+    (make_tf_record.py:18-19, tutorial nb cell 6). Dispatch goes through
+    the pluggable decoder seam (functions/codecseam.py, r10): the
+    pure-stdlib codecs in this module are the default/verification arm;
+    a Pillow-backed "native" arm serves as the production path on real
+    clusters (SPARK_GRAFT_CODEC=native), equivalence-gated by
+    tests/test_codec_seam.py. Non-baseline JPEG on the stdlib arm still
+    falls back to Pillow when installed and raises a clear error
+    otherwise.
     """
+    from tf_datapipeline_spark.functions import codecseam
+
     fmt = image_format.lower()
-    if fmt == "ppm":
-        return decode_ppm(data)
-    if fmt == "png":
-        return decode_png(data)
-    if fmt in ("jpg", "jpeg"):
-        from tf_datapipeline_spark.functions.jpegcodec import decode_jpeg
+    arm, dec = codecseam.decoder_for(fmt)
+    try:
+        return dec(data)
+    except ValueError:
+        if arm == "stdlib" and fmt in ("jpg", "jpeg") and _HAVE_PIL:
+            # pragma: no cover - Pillow not installed in this container
+            import io
 
-        try:
-            return decode_jpeg(data)
-        except ValueError:
-            if _HAVE_PIL:  # pragma: no cover - not installed in this container
-                import io
-
-                arr = np.asarray(_PILImage.open(io.BytesIO(data)).convert("RGB"))
-                return arr.astype(np.uint8)
-            raise
-    raise ValueError(f"unknown image format {image_format!r}")
+            arr = np.asarray(_PILImage.open(io.BytesIO(data)).convert("RGB"))
+            return arr.astype(np.uint8)
+        raise
 
 
 def image_dims(data: bytes, image_format: str) -> tuple[int, int]:
