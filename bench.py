@@ -69,7 +69,16 @@ HEADLINE_R9 = [
     "q5h_winnow_fingerprint",
 ]
 
-HEADLINE = HEADLINE_LEGACY + HEADLINE_R9
+# Round 10 (r9 verdict task 6): q2a promoted — it re-runs q21's full
+# running-window pass and digests it, so the headline chain now guards
+# the window family's data-proportional path. Reported in
+# `headline33_total`; `headline32_total` (legacy 28 + the 4 r9
+# promotions) and the legacy-28 `value` chains stay untouched.
+HEADLINE_R10 = [
+    "q2a_window_digest_running",
+]
+
+HEADLINE = HEADLINE_LEGACY + HEADLINE_R9 + HEADLINE_R10
 
 # heavy queries benched since r02 — timed and reported, but kept OUT of
 # the headline total so BENCH_rN totals stay comparable round over round
@@ -140,7 +149,7 @@ EXTRA = [
     "q7l_dim_variance",
     "q9l_partition_evolution",
     "q8o_transcode_audit",
-    "q2a_window_digest_running",
+    # (q2a promoted to HEADLINE_R10 in round 10)
     "q2b_window_digest_lag",
     "q2c_window_digest_ranks",
     "q4zg_attribution",
@@ -273,15 +282,26 @@ def main() -> None:
     extra_passes = run_group(EXTRA, 280)
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = round(sum(timings[n] for n in HEADLINE_LEGACY if n in timings), 3)
-    total32 = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
+    total32 = round(
+        sum(
+            timings[n]
+            for n in HEADLINE_LEGACY + HEADLINE_R9
+            if n in timings
+        ),
+        3,
+    )
+    total33 = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     extra_total = round(sum(timings[n] for n in EXTRA if n in timings), 3)
     common = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
-        # full promoted-headline total (legacy 28 + the 4 post-r4 family
-        # representatives); `value` stays the legacy-28 chain metric.
+        # promoted-headline chains: headline32 = legacy 28 + the 4 r9
+        # family representatives (unchanged series), headline33 adds the
+        # r10 q2a window-family promotion; `value` stays the legacy-28
+        # chain metric.
         "headline32_total": total32,
+        "headline33_total": total33,
         "extra_total": extra_total,
         # constant-work CPU+shuffle probes now run interleaved between
         # every pass of both groups (r7 verdict task 1b). calibration_sec

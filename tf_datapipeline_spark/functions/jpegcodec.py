@@ -595,7 +595,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     buf = _unstuff_entropy(data, pos)
     nbits_avail = 8 * len(buf)
     bb = np.frombuffer(buf, dtype=np.uint8).astype(np.uint32)
-    bb = np.concatenate([bb, np.zeros(68, dtype=np.uint32)])
+    # Zero-pad to the worst-case single-block overrun (r9 advice): the
+    # truncation check below runs once per BLOCK, and one corrupt block
+    # can legally consume 64 coefficient entries x (16-bit code + 16-bit
+    # magnitude) = 256 bytes past the end before the check fires — with
+    # huffman tables whose all-zero peek decodes (possible off Annex K),
+    # a 68-byte pad let `words[bitoff >> 3]` IndexError instead of
+    # raising the intended ValueError. 264 = 256 + 8 window-read slack.
+    bb = np.concatenate([bb, np.zeros(264, dtype=np.uint32)])
     words = ((bb[:-3] << 24) | (bb[1:-2] << 16) | (bb[2:-1] << 8) | bb[3:]).tolist()
 
     mask = [(1 << s) - 1 for s in range(17)]
