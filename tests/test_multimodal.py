@@ -78,6 +78,26 @@ def test_jpeg_flat_block_roundtrip_is_bit_exact():
         assert np.array_equal(out[:, :, 1], out[:, :, 2])
 
 
+def test_jpeg_truncated_stream_raises_valueerror():
+    """Malformed input contract (r9 advice): cutting the entropy stream
+    at ANY byte must raise ValueError — never IndexError. The decoder
+    zero-pads to the worst-case single-block overrun (~260 bytes, one
+    block of max-width codes past the end) so the per-block truncation
+    check always fires before the window array runs out, even with
+    huffman tables whose all-zero peek decodes."""
+    from tf_datapipeline_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    enc = encode_jpeg(img, quality=75)
+    # cut inside the entropy segment (past all headers, before EOI)
+    sos = enc.find(b"\xff\xda")
+    assert sos > 0
+    for cut in range(sos + 20, len(enc) - 2, 7):
+        with pytest.raises(ValueError):
+            decode_jpeg(enc[:cut])
+
+
 @settings(max_examples=15, deadline=None)
 @given(h=st.integers(1, 40), w=st.integers(1, 40), seed=st.integers(0, 2**31))
 def test_jpeg_gray_roundtrip_tolerance(h, w, seed):
