@@ -155,6 +155,9 @@ EXTRA = [
     "q4zg_attribution",
     "q4zh_temporal_leakage",
     "q9m_manifest_diff",
+    # round 10 additions: timed for evidence, out of the headline total
+    "q4zi_conversion_funnel",
+    "q5s_zipf_profile",
 ]
 
 
