@@ -1749,3 +1749,109 @@ def q4zh_temporal_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_test_from_seen_users"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q4zi — ORDERED CONVERSION FUNNEL (round 10): the product-analytics
+# table the retention/RFM/attribution trio (q4ze/q4zf/q4zg) still
+# lacked — per-user first-touch progression through view -> click ->
+# purchase, where each step must occur STRICTLY AFTER the user's
+# previous step's first occurrence. Output is the 3-row step ladder
+# with exact user counts and the two conversion ratios (step/previous,
+# step/start).
+#
+# Spark shape (100 TB): each step is ONE partial-aggregated
+# groupBy(user_id).min(ts) over a pushed-down event_type filter, joined
+# to the previous step's user table — all three shuffles are keyed on
+# user_id (co-partitioned after the first), nothing is
+# event-cardinality past the scans, and the final ladder is 3 rows.
+# Exactness: counts are integers; ratios are one IEEE division each;
+# the strictly-after comparison is exact microsecond arithmetic
+# identical in both engines.
+# --------------------------------------------------------------------------
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _funnel_oracle() -> str:
+    return f"""
+    WITH u1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1
+    ),
+    u2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN u1 ON u1.user_id = e.user_id
+      WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > u1.t
+      GROUP BY 1
+    ),
+    u3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN u2 ON u2.user_id = e.user_id
+      WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > u2.t
+      GROUP BY 1
+    ),
+    ladder(step, step_name, n_users) AS (
+      SELECT 1, '{_FUNNEL_STEPS[0]}', (SELECT CAST(COUNT(*) AS BIGINT) FROM u1)
+      UNION ALL
+      SELECT 2, '{_FUNNEL_STEPS[1]}', (SELECT CAST(COUNT(*) AS BIGINT) FROM u2)
+      UNION ALL
+      SELECT 3, '{_FUNNEL_STEPS[2]}', (SELECT CAST(COUNT(*) AS BIGINT) FROM u3)
+    )
+    SELECT CAST(step AS INT) AS step, step_name, n_users,
+           CAST(n_users AS DOUBLE)
+             / LAG(n_users, 1, n_users) OVER (ORDER BY step) AS conv_prev,
+           CAST(n_users AS DOUBLE)
+             / FIRST_VALUE(n_users) OVER (ORDER BY step) AS conv_start
+    FROM ladder
+    """
+
+
+@query("q4zi_conversion_funnel", oracle=_funnel_oracle())
+def q4zi_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(step: str, prev: DataFrame | None) -> DataFrame:
+        step_ev = ev.filter(F.col("event_type") == step).select(
+            "user_id", "ts"
+        )
+        if prev is not None:
+            step_ev = step_ev.join(prev, "user_id").filter(
+                F.col("ts") > F.col("t")
+            ).select("user_id", "ts")
+        return step_ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    u1 = first_after(_FUNNEL_STEPS[0], None)
+    u2 = first_after(_FUNNEL_STEPS[1], u1)
+    u3 = first_after(_FUNNEL_STEPS[2], u2)
+    ladder = None
+    for i, u in enumerate((u1, u2, u3)):
+        row = u.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).cast("int").alias("step"),
+            F.lit(_FUNNEL_STEPS[i]).alias("step_name"),
+            "n_users",
+        )
+        ladder = row if ladder is None else ladder.unionAll(row)
+    # 3-row ladder: the ratio windows are metadata-sized by construction
+    # (the q4za convention), never data-sized
+    w = Window.orderBy("step")
+    return ladder.select(
+        "step",
+        "step_name",
+        "n_users",
+        (
+            F.col("n_users").cast("double")
+            / F.lag("n_users", 1, None).over(w)
+        ).alias("conv_prev"),
+        (
+            F.col("n_users").cast("double")
+            / F.first("n_users").over(w)
+        ).alias("conv_start"),
+    ).select(
+        "step",
+        "step_name",
+        "n_users",
+        F.coalesce(
+            "conv_prev", F.lit(1.0)
+        ).alias("conv_prev"),
+        "conv_start",
+    )

@@ -1985,3 +1985,63 @@ _Q5Q_SQL = """
 def q5q_length_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_Q5Q_SQL)
+
+
+# --------------------------------------------------------------------------
+# q5s — ZIPF RANK-FREQUENCY PROFILE (round 10): the corpus-quality
+# diagnostic every tokenizer/mixture audit starts from — the top-64
+# global token frequencies with each rank's Zipf ratio f(1)/f(r)
+# (natural text tracks ~r^-1; boilerplate/dup-heavy corpora flatten, and
+# a template flood shows up as a cliff). Log-log slope fitting is
+# deliberately NOT computed here: ln() is not guaranteed identically
+# rounded across libm implementations, while f(1)/f(r) is one IEEE
+# division of exact integers per row — bit-identical in both engines.
+#
+# Spark shape (100 TB): ONE partial-aggregated shuffle keyed on token
+# (map-side combine collapses each partition's vocabulary first), then
+# a TakeOrderedAndProject top-64 (per-partition heaps, no global sort)
+# and the q5f convention for ranking the survivors: one sorted-array
+# aggregate over 64 rows instead of an unpartitioned WindowExec.
+# --------------------------------------------------------------------------
+@query(
+    "q5s_zipf_profile",
+    oracle=f"""
+    WITH counts AS (
+      SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest({_TOKENS_SQL}) AS t FROM documents) u
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk
+      FROM counts
+    )
+    SELECT CAST(rnk AS INT) AS rnk, token, n,
+           CAST((SELECT MAX(n) FROM counts) AS DOUBLE) / n AS zipf_ratio
+    FROM ranked WHERE rnk <= 64
+    """,
+)
+def q5s_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_tokens_spark()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(64)
+    ranked = (
+        top.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-F.col("n")).alias("_neg"), "token", "n")
+                )
+            ).alias("_a")
+        )
+        .select(F.col("_a"), F.posexplode("_a").alias("_pos", "_s"))
+    )
+    f1 = F.element_at("_a", 1)["n"]
+    return ranked.select(
+        (F.col("_pos") + 1).alias("rnk"),
+        F.col("_s.token").alias("token"),
+        F.col("_s.n").alias("n"),
+        (f1.cast("double") / F.col("_s.n")).alias("zipf_ratio"),
+    )
