@@ -158,6 +158,9 @@ EXTRA = [
     # round 10 additions: timed for evidence, out of the headline total
     "q4zi_conversion_funnel",
     "q5s_zipf_profile",
+    "q6j_dup_size_histogram",
+    "q4zj_entry_paths",
+    "q4zk_stream_funnel",
 ]
 
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tf_datapipeline_spark.catalog import load_table, register_views
@@ -1816,3 +1816,73 @@ def _canonical_pick_sql(dialect: str) -> str:
 def q6i_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_canonical_pick_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# q6j — DUPLICATE-CLUSTER SIZE HISTOGRAM + concentration (round 10): the
+# dedup-family monitoring table — how duplicated IS the corpus? Exact
+# content clusters (q61's sha2 shuffle key) rolled into a size
+# histogram: for every cluster size, how many clusters, how many docs,
+# the share of the corpus they hold, and the cumulative share of docs
+# sitting in clusters AT LEAST that duplicated (the top-heavy
+# concentration curve a curation policy reads before choosing a dedup
+# threshold — a template flood shows up as mass at high sizes).
+#
+# Spark shape (100 TB): one partial-aggregated shuffle keyed on the
+# 64-hex digest (never the document body), a second tiny shuffle on
+# cluster size (≤ max-multiplicity rows — metadata), and the cumulative
+# window runs over THAT metadata spine ordered by size (the q4za
+# convention). All counts exact integers; the two shares are one IEEE
+# division each.
+# --------------------------------------------------------------------------
+@query(
+    "q6j_dup_size_histogram",
+    oracle="""
+    WITH clusters AS (
+      SELECT sha256(text) AS h, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM documents GROUP BY 1
+    ),
+    hist AS (
+      SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(SUM(sz) AS BIGINT) AS n_docs
+      FROM clusters GROUP BY sz
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM hist)
+    SELECT sz AS cluster_size, n_clusters, n_docs,
+           CAST(n_docs AS DOUBLE) / total_docs AS doc_share,
+           CAST(SUM(n_docs) OVER (ORDER BY sz DESC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS docs_at_least,
+           CAST(SUM(n_docs) OVER (ORDER BY sz DESC
+                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / total_docs AS share_at_least
+    FROM hist, tot
+    """,
+)
+def q6j_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = docs.groupBy(F.sha2(F.col("text"), 256).alias("h")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    hist = clusters.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+    )
+    tot = hist.agg(F.sum("n_docs").cast("bigint").alias("total_docs"))
+    # metadata-sized spine (≤ max cluster multiplicity rows): the
+    # cumulative window over it is the deliberate q4za convention
+    w = Window.orderBy(F.desc("sz")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        F.col("sz").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("total_docs")).alias(
+            "doc_share"
+        ),
+        F.sum("n_docs").over(w).cast("bigint").alias("docs_at_least"),
+        (
+            F.sum("n_docs").over(w).cast("double") / F.col("total_docs")
+        ).alias("share_at_least"),
+    )

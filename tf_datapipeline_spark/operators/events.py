@@ -1855,3 +1855,74 @@ def q4zi_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("conv_prev"),
         "conv_start",
     )
+
+
+# --------------------------------------------------------------------------
+# q4zj — ENTRY-PATH ANALYSIS (round 10): the "how do journeys start"
+# table next to q4zi's fixed funnel — each user's first three event
+# types under the deterministic (ts, event_id) total order, folded to a
+# path string, counted and shared. Missing steps (users with < 3
+# events) render as '-' via explicit COALESCE: Spark's concat_ws
+# null-SKIPPING and SQL's null-propagating || would otherwise disagree,
+# so both engines build the path with the same COALESCE-then-concat.
+#
+# Spark shape (100 TB): one user-keyed window pass (rn <= 3 filter
+# prunes to 3 rows/user before the aggregate), one user-keyed
+# conditional aggregate, then a path-keyed partial agg that collapses
+# to ≤ |event_types|^3 metadata rows; the share is one IEEE division
+# against a broadcast 1-row total.
+# --------------------------------------------------------------------------
+@query(
+    "q4zj_entry_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             COALESCE(MAX(CASE WHEN rn = 1 THEN event_type END), '-')
+               || ' > ' ||
+             COALESCE(MAX(CASE WHEN rn = 2 THEN event_type END), '-')
+               || ' > ' ||
+             COALESCE(MAX(CASE WHEN rn = 3 THEN event_type END), '-')
+               AS path
+      FROM seq WHERE rn <= 3 GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM paths)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS DOUBLE) / MAX(n_total) AS user_share
+    FROM paths, tot GROUP BY path
+    """,
+)
+def q4zj_entry_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+
+    def step(i: int) -> F.Column:
+        return F.coalesce(
+            F.max(F.when(F.col("rn") == i, F.col("event_type"))),
+            F.lit("-"),
+        )
+
+    paths = seq.groupBy("user_id").agg(
+        F.concat(
+            step(1), F.lit(" > "), step(2), F.lit(" > "), step(3)
+        ).alias("path")
+    )
+    tot = paths.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        paths.crossJoin(F.broadcast(tot))
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            (F.count(F.lit(1)).cast("double") / F.max("n_total")).alias(
+                "user_share"
+            ),
+        )
+    )

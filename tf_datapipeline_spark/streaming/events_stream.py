@@ -1470,3 +1470,98 @@ def q4zc_stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_bounded(alerts, "append")
+
+
+# --------------------------------------------------------------------------
+# q4zk — STREAMING FUNNEL twin (round 10): q4zi's ordered view -> click
+# -> purchase ladder maintained INCREMENTALLY with per-user state
+# (applyInPandasWithState) instead of a batch re-scan — the live
+# conversion dashboard over an append-only event log. State per user is
+# three first-touch timestamps; each delivery is folded in event-time
+# order, and the first-touch machine only ever ADVANCES (t1 = first
+# view; t2 = first click strictly after t1; t3 = first purchase
+# strictly after t2), so state is O(1) per user forever. Ingest
+# contract (the q4zc convention): files of an append-only log land in
+# event-time order, so cross-batch folding preserves the total order;
+# within a batch the fold sorts by (ts, event_id) explicitly. On the
+# bounded availableNow run this equals the batch funnel exactly, so the
+# oracle is q4zi's ladder SQL verbatim — the state machine itself is
+# what is tested.
+# --------------------------------------------------------------------------
+def _funnel_state(key, pdf_iter, state):
+    import pandas as pd
+
+    t1, t2, t3 = state.get() if state.exists else (None, None, None)
+    frames = [pdf for pdf in pdf_iter]
+    rows = pd.concat(frames).sort_values(["ts", "event_id"])
+    s1, s2, s3 = _FUNNEL_STEPS
+    for ts, et in zip(rows["ts"], rows["event_type"]):
+        if t1 is None:
+            if et == s1:
+                t1 = ts
+        elif t2 is None:
+            if et == s2 and ts > t1:
+                t2 = ts
+        elif t3 is None:
+            if et == s3 and ts > t2:
+                t3 = ts
+    state.update((t1, t2, t3))
+    step = 3 if t3 is not None else 2 if t2 is not None else (
+        1 if t1 is not None else 0
+    )
+    yield pd.DataFrame({"user_id": [key[0]], "step_reached": [step]})
+
+
+from tf_datapipeline_spark.operators.events import (  # noqa: E402
+    _FUNNEL_STEPS,
+    _funnel_oracle,
+)
+
+
+# oracle = q4zi's ladder SQL verbatim: on bounded input the streamed
+# state machine must equal the batch funnel byte for byte
+@query("q4zk_stream_funnel", oracle=_funnel_oracle())
+def q4zk_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    staged = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_state,
+            outputStructType="user_id bigint, step_reached int",
+            stateStructType="t1 timestamp, t2 timestamp, t3 timestamp",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+    per_user = run_bounded(staged, "update")
+    # update mode re-emits a user on every batch that touches them: the
+    # first-touch machine only advances, so the user's final step is the MAX
+    final = per_user.groupBy("user_id").agg(
+        F.max("step_reached").alias("step_reached")
+    )
+    ladder = None
+    for i, name in enumerate(_FUNNEL_STEPS):
+        row = final.filter(F.col("step_reached") >= i + 1).agg(
+            F.count(F.lit(1)).alias("n_users")
+        ).select(
+            F.lit(i + 1).cast("int").alias("step"),
+            F.lit(name).alias("step_name"),
+            "n_users",
+        )
+        ladder = row if ladder is None else ladder.unionAll(row)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("step")
+    return ladder.select(
+        "step",
+        "step_name",
+        "n_users",
+        F.coalesce(
+            F.col("n_users").cast("double") / F.lag("n_users", 1, None).over(w),
+            F.lit(1.0),
+        ).alias("conv_prev"),
+        (F.col("n_users").cast("double") / F.first("n_users").over(w)).alias(
+            "conv_start"
+        ),
+    )
