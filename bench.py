@@ -161,6 +161,7 @@ EXTRA = [
     "q6j_dup_size_histogram",
     "q4zj_entry_paths",
     "q4zk_stream_funnel",
+    "q1aa_expectation_suite",
 ]
 
 

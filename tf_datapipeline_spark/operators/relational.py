@@ -1538,3 +1538,104 @@ def q1z_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_ANALYZE_COLS)}, {rows}) AS "
         "(col_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
     )
+
+
+# --------------------------------------------------------------------------
+# q1aa — DATA-QUALITY EXPECTATION SUITE (round 10): the Deequ/Great-
+# Expectations shape — a declared constraint set validated in bulk with
+# per-constraint violation counts and pass rates, the admission gate a
+# production lake runs before letting a snapshot into training:
+#   uniqueness      o_orderkey has no duplicates
+#   referential     every o_custkey exists in customer
+#   range           o_totalprice > 0
+#   completeness    o_orderdate is non-null
+#   domain          o_orderstatus ∈ {O, F, P}
+#
+# Spark shape (100 TB): the three row-local constraints fold into ONE
+# conditional aggregate over a single orders scan (map-side partial,
+# 1-row result); uniqueness is one partial-aggregated groupBy on the
+# key; referential integrity is a LEFT ANTI join on o_custkey (shuffle
+# or broadcast as the dim side allows — Catalyst's choice). The suite
+# result is 5 metadata rows; pass rates are one IEEE division each.
+# --------------------------------------------------------------------------
+@query(
+    "q1aa_expectation_suite",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders),
+    dup AS (
+      SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS v FROM (
+        SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey
+      ) g WHERE c > 1
+    ),
+    orphan AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)
+    ),
+    rowlocal AS (
+      SELECT
+        CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS v_range,
+        CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS v_null,
+        CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_domain
+      FROM orders
+    ),
+    suite(constraint_name, n_violations) AS (
+      SELECT 'unique_o_orderkey', (SELECT v FROM dup)
+      UNION ALL
+      SELECT 'fk_o_custkey_in_customer', (SELECT v FROM orphan)
+      UNION ALL
+      SELECT 'range_o_totalprice_positive', (SELECT v_range FROM rowlocal)
+      UNION ALL
+      SELECT 'notnull_o_orderdate', (SELECT v_null FROM rowlocal)
+      UNION ALL
+      SELECT 'domain_o_orderstatus', (SELECT v_domain FROM rowlocal)
+    )
+    SELECT constraint_name, n.n_rows AS n_checked, n_violations,
+           1.0 - CAST(n_violations AS DOUBLE) / n.n_rows AS pass_rate,
+           n_violations = 0 AS passed
+    FROM suite, n
+    """,
+)
+def q1aa_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    # lazy 1-row total (broadcast) — an eager .count() here would run a
+    # job at query-CONSTRUCTION time, once per plan inspection
+    n = orders.agg(F.count(F.lit(1)).alias("n_rows"))
+    dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("bigint").alias("v"))
+    )
+    orphan = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("v"))
+    rowlocal = orders.agg(
+        F.sum((F.col("o_totalprice") <= 0).cast("int")).cast("bigint").alias("v_range"),
+        F.sum(F.col("o_orderdate").isNull().cast("int")).cast("bigint").alias("v_null"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("int"))
+        .cast("bigint")
+        .alias("v_domain"),
+    )
+    rows = (
+        dup.select(F.lit("unique_o_orderkey").alias("constraint_name"), F.col("v").alias("n_violations"))
+        .unionAll(orphan.select(F.lit("fk_o_custkey_in_customer"), F.col("v").cast("bigint")))
+        .unionAll(rowlocal.select(F.lit("range_o_totalprice_positive"), "v_range"))
+        .unionAll(rowlocal.select(F.lit("notnull_o_orderdate"), "v_null"))
+        .unionAll(rowlocal.select(F.lit("domain_o_orderstatus"), "v_domain"))
+    )
+    return rows.crossJoin(F.broadcast(n)).select(
+        "constraint_name",
+        F.col("n_rows").alias("n_checked"),
+        "n_violations",
+        (
+            F.lit(1.0) - F.col("n_violations").cast("double") / F.col("n_rows")
+        ).alias("pass_rate"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
