@@ -162,6 +162,7 @@ EXTRA = [
     "q4zj_entry_paths",
     "q4zk_stream_funnel",
     "q1aa_expectation_suite",
+    "q4zl_ab_uplift",
 ]
 
 

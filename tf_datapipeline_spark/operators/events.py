@@ -1926,3 +1926,77 @@ def q4zj_entry_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q4zl — A/B UPLIFT with z-statistic (round 10): the experiment-readout
+# table — users deterministically split into two variants by the
+# cross-engine md5 hash (the q3c sampling device, so assignment is
+# identical in both engines and stable under retries), per-variant
+# conversion (>= 1 purchase), the uplift, and the two-proportion pooled
+# z-statistic. The z is a fixed chain of IEEE ops over exact integer
+# counts — every division/multiply/sqrt rounds once, identically, in
+# both engines (SQRT is correctly rounded under IEEE-754), and every
+# literal is CAST(... AS DOUBLE) so neither engine types it DECIMAL.
+#
+# Spark shape (100 TB): ONE user-keyed partial aggregate over the event
+# scan (the shuffle carries users), then a 1-row conditional aggregate.
+# Nothing after the scan is event-cardinality; output is one row.
+# --------------------------------------------------------------------------
+def _ab_uplift_sql(dialect: str) -> str:
+    from tf_datapipeline_spark.functions.texthash import sql_hash32_dialect
+
+    cast_t = "STRING" if dialect == "spark" else "VARCHAR"
+    h = sql_hash32_dialect(f"'ab-' || CAST(user_id AS {cast_t})", dialect)
+    rate = "(CAST({c} AS DOUBLE) / {n})"
+    ra = rate.format(c="c_a", n="n_a")
+    rb = rate.format(c="c_b", n="n_b")
+    pooled = "(CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+    # conversion = a HIGH-VALUE purchase (value >= 190): with ~13
+    # purchases/user over value ~ U[0, 200] this splits users near 50/50
+    # at every scale factor; plain ">= 1 purchase" converts everyone in
+    # this corpus and degenerates the z (pooled p = 1). The z is still
+    # CASE-guarded for degenerate corpora — both engines emit NULL
+    # instead of Spark's ANSI divide-by-zero error / DuckDB's inf.
+    denom = (
+        f"SQRT({pooled} * (CAST(1 AS DOUBLE) - {pooled})"
+        f" * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))"
+    )
+    return f"""
+    WITH pu AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase'
+                       AND value >= CAST(190 AS DOUBLE)
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT CASE WHEN ({h}) % 2 = 0 THEN 'A' ELSE 'B' END AS variant, conv
+      FROM pu
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT)
+          AS c_a,
+        CAST(SUM(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT)
+          AS c_b
+      FROM v
+    )
+    SELECT n_a, n_b, c_a AS conv_a_users, c_b AS conv_b_users,
+           {ra} AS rate_a, {rb} AS rate_b,
+           {rb} - {ra} AS uplift,
+           CASE WHEN n_a = 0 OR n_b = 0 OR c_a + c_b = 0
+                     OR c_a + c_b = n_a + n_b THEN NULL
+                ELSE ({rb} - {ra}) / {denom} END AS z_stat
+    FROM agg
+    """
+
+
+@query("q4zl_ab_uplift", oracle=_ab_uplift_sql("duckdb"))
+def q4zl_ab_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ab_uplift_sql("spark"))
