@@ -163,6 +163,7 @@ EXTRA = [
     "q4zk_stream_funnel",
     "q1aa_expectation_suite",
     "q4zl_ab_uplift",
+    "q2d_moving_median",
 ]
 
 

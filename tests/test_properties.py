@@ -1349,3 +1349,25 @@ def test_media_audit_agrees_with_sniff_and_probe(spark):
         assert r.n_docs == s.n_docs and r.n_sniff_match == s.n_sniff_match
         assert r.n_decode_ok == r.n_docs, fmt
         assert r.total_pixels == want_pix[fmt], fmt
+
+
+def test_double_to_int_cast_semantics_differ_across_engines(spark):
+    """Pin the r10-caught engine trap behind q2d's index arithmetic:
+    DuckDB's double->int CAST ROUNDS (1.5 -> 2) while Spark's TRUNCATES
+    (1.5 -> 1) — so any shared SQL that casts a fractional quotient to
+    INT silently diverges. The engine convention (q2d, the floor-device
+    family): spell the intent with explicit FLOOR on both sides. This
+    test exists so the trap stays documented-by-failure: if either
+    engine changes semantics, it fires."""
+    import duckdb
+
+    got_spark = spark.sql(
+        "SELECT CAST(3/2 AS INT) a, CAST(5/2 AS INT) b, CAST(-3/2 AS INT) c"
+    ).collect()[0]
+    assert (got_spark["a"], got_spark["b"], got_spark["c"]) == (1, 2, -1)
+    con = duckdb.connect()
+    a, b, c = con.execute(
+        "SELECT CAST(3/2 AS INT), CAST(5/2 AS INT), CAST(-3/2 AS INT)"
+    ).fetchone()
+    con.close()
+    assert (a, b, c) == (2, 2, -2)  # half-even ROUNDING, not truncation

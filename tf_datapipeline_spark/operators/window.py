@@ -620,3 +620,72 @@ def q2c_window_digest_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q28_digest_src"
     )
     return spark.sql(_digest_sql_q28("q28_digest_src"))
+
+
+# --------------------------------------------------------------------------
+# q2d — MOVING MEDIAN (round 10): the order-statistic window the family
+# lacked — per customer, the median of the trailing 5 order totals
+# (ROWS 4 PRECEDING..CURRENT), the robust trend smoother a mean-based
+# rolling average can't give (one fat-finger order shifts a mean for 5
+# rows; the median shrugs). Neither engine's native windowed
+# median/percentile is trusted across engines (typing and interpolation
+# differ); BOTH engines instead sort the explicit frame list of exact
+# integer CENTS and read the middle order statistics — the even-count
+# midpoint is (a + b) / 2.0, one IEEE division of an exact integer sum,
+# bit-identical.
+#
+# Scale (100 TB): one window pass partitioned by o_custkey (a real
+# high-cardinality key), frame buffer is 5 rows; the in-frame sort is
+# O(5 log 5) per row. No global sort, no SinglePartition.
+# --------------------------------------------------------------------------
+@query(
+    "q2d_moving_median",
+    oracle="""
+    WITH cents AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    framed AS (
+      SELECT o_custkey, o_orderkey, cents,
+             list_sort(list(cents) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS frame
+      FROM cents
+    )
+    SELECT o_custkey, o_orderkey, cents,
+           CAST(len(frame) AS INT) AS n_frame,
+           -- explicit FLOOR on the index arithmetic: DuckDB's
+           -- double->int CAST ROUNDS (1.5 -> 2) while Spark's truncates
+           -- (1.5 -> 1) — the same engine-cast trap as the floor device
+           (CAST(frame[CAST(FLOOR((len(frame) + 1) / 2) AS INT)] AS DOUBLE)
+            + frame[CAST(FLOOR(len(frame) / 2) AS INT) + 1])
+             / CAST(200 AS DOUBLE) AS moving_median
+    FROM framed
+    """,
+)
+def q2d_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    df = orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate", cents.alias("cents")
+    ).withColumn("frame", F.array_sort(F.collect_list("cents").over(w)))
+    n = F.size("frame")
+    # lower/upper middle order statistics (1-based): for odd n they
+    # coincide; (lo + hi) / 200.0 converts summed cents back to currency.
+    # F.floor matches the oracle's explicit FLOOR (Spark's double->int
+    # cast truncates but DuckDB's ROUNDS — never rely on either).
+    lo = F.element_at("frame", F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at("frame", F.floor(n / 2).cast("int") + 1)
+    return df.select(
+        "o_custkey",
+        "o_orderkey",
+        "cents",
+        n.cast("int").alias("n_frame"),
+        ((lo.cast("double") + hi) / F.lit(200.0)).alias("moving_median"),
+    )
