@@ -29,11 +29,13 @@ from tests.oracle_harness import compare
 from tf_datapipeline_spark import registry
 
 # Queries keyed on floor(epoch/86400) / floor(eday/7): the q4zb device.
-# q4zc (streaming) shares _seasonal_keyed and the q4zb keyed-CTE SQL
-# verbatim, so q4zb covers its keying; q4zg/q4zh subtract epochs with no
-# division and are unaffected.
+# q4zc (streaming) shares _seasonal_keyed AND the oracle keyed CTE
+# (events.seasonal_keyed_ctes, one string since r10) — included anyway
+# so the parity holds even if the sharing is ever undone; q4zg/q4zh
+# subtract epochs with no division and are unaffected.
 AFFECTED = [
     "q4zb_seasonal_baseline",
+    "q4zc_stream_anomaly_alerts",
     "q4zd_user_growth",
     "q4ze_retention_triangle",
     "q4zf_rfm_segments",

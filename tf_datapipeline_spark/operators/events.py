@@ -1146,6 +1146,29 @@ def q4za_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def seasonal_keyed_ctes(extra: str = "") -> str:
+    """The hour-of-week keying CTEs (dayed + keyed) shared VERBATIM by
+    the q4zb (batch) and q4zc (streaming twin) oracles — one string so
+    the floor-device arithmetic cannot drift between the two copies
+    (r10 review; the r10 floor fix had to edit both in lockstep).
+    `extra` prepends pass-through columns (q4zc carries event_id)."""
+    cols = f"{extra}event_type, value"
+    return f"""dayed AS (
+      SELECT {cols}, es,
+             CAST(FLOOR(es / 86400.0) AS BIGINT) AS eday
+      FROM (SELECT {cols},
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+            FROM events)
+    ),
+    keyed AS (
+      SELECT {cols},
+             CAST((eday + 4) % 7 AS INT) AS dow,
+             CAST(FLOOR((es % 86400) / 3600.0) AS INT) AS hr,
+             CAST(FLOOR(eday / 7.0) AS BIGINT) % 2 = 0 AS is_base
+      FROM dayed
+    )"""
+
+
 def _seasonal_keyed(ev: DataFrame, *extra_cols: str) -> DataFrame:
     """(event_type, value, dow, hr, is_base) + extra_cols — the shared
     hour-of-week keying for q4zb (batch) and q4zc (streaming twin)."""
@@ -1221,21 +1244,8 @@ def _seasonal_stats(keyed: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q4zb_seasonal_baseline",
-    oracle="""
-    WITH dayed AS (
-      SELECT event_type, value, es,
-             CAST(FLOOR(es / 86400.0) AS BIGINT) AS eday
-      FROM (SELECT event_type, value,
-                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
-            FROM events)
-    ),
-    keyed AS (
-      SELECT event_type, value,
-             CAST((eday + 4) % 7 AS INT) AS dow,
-             CAST(FLOOR((es % 86400) / 3600.0) AS INT) AS hr,
-             CAST(FLOOR(eday / 7.0) AS BIGINT) % 2 = 0 AS is_base
-      FROM dayed
-    ),
+    oracle=f"""
+    WITH {seasonal_keyed_ctes()},
     base AS (
       SELECT event_type, dow, hr,
              CAST(COUNT(value) AS BIGINT) AS n_base,
@@ -1798,12 +1808,42 @@ def _funnel_oracle() -> str:
       SELECT 3, '{_FUNNEL_STEPS[2]}', (SELECT CAST(COUNT(*) AS BIGINT) FROM u3)
     )
     SELECT CAST(step AS INT) AS step, step_name, n_users,
-           CAST(n_users AS DOUBLE)
-             / LAG(n_users, 1, n_users) OVER (ORDER BY step) AS conv_prev,
-           CAST(n_users AS DOUBLE)
-             / FIRST_VALUE(n_users) OVER (ORDER BY step) AS conv_start
+           CASE WHEN step = 1 THEN CAST(1 AS DOUBLE)
+                WHEN LAG(n_users) OVER (ORDER BY step) = 0 THEN NULL
+                ELSE CAST(n_users AS DOUBLE)
+                       / LAG(n_users) OVER (ORDER BY step) END AS conv_prev,
+           CASE WHEN FIRST_VALUE(n_users) OVER (ORDER BY step) = 0 THEN NULL
+                ELSE CAST(n_users AS DOUBLE)
+                       / FIRST_VALUE(n_users) OVER (ORDER BY step) END
+             AS conv_start
     FROM ladder
     """
+
+
+def _funnel_ratios(ladder: DataFrame) -> DataFrame:
+    """Conversion ratios over a (step, step_name, n_users) ladder —
+    SHARED by q4zi (batch) and q4zk (streaming twin) so the ratio
+    semantics cannot drift between them (r10 review finding). An empty
+    previous/first step yields NULL in BOTH engines by explicit CASE:
+    Spark's ANSI double 0/0 would error while DuckDB emits NaN, so an
+    unguarded division (or a blanket coalesce-to-1.0) diverges exactly
+    when a funnel step is empty. The 3-row ratio windows are
+    metadata-sized by construction (the q4za convention)."""
+    w = Window.orderBy("step")
+    prev = F.lag("n_users").over(w)
+    first = F.first("n_users").over(w)
+    return ladder.select(
+        "step",
+        "step_name",
+        "n_users",
+        F.when(F.col("step") == 1, F.lit(1.0))
+        .when(prev == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("n_users").cast("double") / prev)
+        .alias("conv_prev"),
+        F.when(first == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("n_users").cast("double") / first)
+        .alias("conv_start"),
+    )
 
 
 @query("q4zi_conversion_funnel", oracle=_funnel_oracle())
@@ -1831,30 +1871,7 @@ def q4zi_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
         ladder = row if ladder is None else ladder.unionAll(row)
-    # 3-row ladder: the ratio windows are metadata-sized by construction
-    # (the q4za convention), never data-sized
-    w = Window.orderBy("step")
-    return ladder.select(
-        "step",
-        "step_name",
-        "n_users",
-        (
-            F.col("n_users").cast("double")
-            / F.lag("n_users", 1, None).over(w)
-        ).alias("conv_prev"),
-        (
-            F.col("n_users").cast("double")
-            / F.first("n_users").over(w)
-        ).alias("conv_start"),
-    ).select(
-        "step",
-        "step_name",
-        "n_users",
-        F.coalesce(
-            "conv_prev", F.lit(1.0)
-        ).alias("conv_prev"),
-        "conv_start",
-    )
+    return _funnel_ratios(ladder)
 
 
 # --------------------------------------------------------------------------
@@ -1955,9 +1972,10 @@ def _ab_uplift_sql(dialect: str) -> str:
     # conversion = a HIGH-VALUE purchase (value >= 190): with ~13
     # purchases/user over value ~ U[0, 200] this splits users near 50/50
     # at every scale factor; plain ">= 1 purchase" converts everyone in
-    # this corpus and degenerates the z (pooled p = 1). The z is still
-    # CASE-guarded for degenerate corpora — both engines emit NULL
-    # instead of Spark's ANSI divide-by-zero error / DuckDB's inf.
+    # this corpus and degenerates the z (pooled p = 1). EVERY division —
+    # the rates and the uplift too, not just the z (r10 review) — is
+    # CASE-guarded for degenerate corpora: both engines emit NULL
+    # instead of Spark's ANSI divide-by-zero error / DuckDB's NaN-inf.
     denom = (
         f"SQRT({pooled} * (CAST(1 AS DOUBLE) - {pooled})"
         f" * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))"
@@ -1985,8 +2003,10 @@ def _ab_uplift_sql(dialect: str) -> str:
       FROM v
     )
     SELECT n_a, n_b, c_a AS conv_a_users, c_b AS conv_b_users,
-           {ra} AS rate_a, {rb} AS rate_b,
-           {rb} - {ra} AS uplift,
+           CASE WHEN n_a = 0 THEN NULL ELSE {ra} END AS rate_a,
+           CASE WHEN n_b = 0 THEN NULL ELSE {rb} END AS rate_b,
+           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                ELSE {rb} - {ra} END AS uplift,
            CASE WHEN n_a = 0 OR n_b = 0 OR c_a + c_b = 0
                      OR c_a + c_b = n_a + n_b THEN NULL
                 ELSE ({rb} - {ra}) / {denom} END AS z_stat

@@ -14,6 +14,8 @@ embarrassingly parallel at 100 TB. Tests verify it is a permutation.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -47,27 +49,47 @@ def _coarsen_bucket(df: DataFrame, max_buckets: int) -> DataFrame:
     """Re-bucket `_b` so the driver prefix table stays ≤ max_buckets rows
     no matter the caller's bucket cardinality (r9 advice: a raw metric
     bucket — e.g. q4zf's cents — is ~user-cardinality, so the pass-1
-    collect would grow with the corpus). Equi-width on the observed
-    range: coarse = (raw - lo) >> shift is monotone in raw, so bucket
-    order still equals global order; when the raw buckets are already
-    bounded (every pre-r10 caller) nothing changes and the final plan is
-    byte-identical. Heavy ties in the LEADING order key cannot be split
+    collect would grow with the corpus).
+
+    Guard: when the value SPAN already fits (hi - lo + 1 ≤ max_buckets),
+    distinct ≤ span is an EXACT bound — keep the raw buckets and the
+    final plan byte-identical (the r10 review killed the earlier
+    approx_count_distinct guard, whose HLL error made the documented
+    ceiling only approximate).
+
+    Otherwise: EQUI-DEPTH cut points (approxQuantile, one sketch pass)
+    + a vectorized Arrow-batched np.searchsorted per row (the engine's
+    sanctioned Python path — a pure-SQL binary search either duplicates
+    the index expression exponentially or scans all cuts linearly).
+    Equi-width shifting was the first draft and collapses under range
+    outliers (one whale value stretches the span so every other row
+    lands in coarse bucket 0 — re-creating the single-task sort this
+    device exists to prevent); quantile cuts keep partitions balanced
+    for ANY distribution. The mapping (count of cuts ≤ raw) is monotone
+    in raw, so bucket order still equals global order, and the RESULT is
+    invariant to where the cuts land — only plan balance depends on
+    sketch accuracy. Heavy TIES in the leading order key cannot be split
     by any monotone bucketing (they must share a window partition), so
-    tie-skew is inherent to exact global numbering, not to this device."""
-    stats = df.agg(
-        F.min("_b").alias("lo"),
-        F.max("_b").alias("hi"),
-        F.approx_count_distinct("_b").alias("nd"),
-    ).collect()[0]
-    if stats["lo"] is None or stats["nd"] <= max_buckets:
+    tie-skew is inherent to exact global numbering, not to this
+    device."""
+    stats = df.agg(F.min("_b").alias("lo"), F.max("_b").alias("hi")).collect()[0]
+    if stats["lo"] is None or stats["hi"] - stats["lo"] + 1 <= max_buckets:
         return df
-    span = stats["hi"] - stats["lo"] + 1
-    shift = 0
-    while ((span - 1) >> shift) + 1 > max_buckets:
-        shift += 1
-    return df.withColumn(
-        "_b", F.shiftright(F.col("_b") - F.lit(stats["lo"]), shift)
+    probs = [i / max_buckets for i in range(1, max_buckets)]
+    cuts = np.array(
+        sorted(int(c) for c in df.stat.approxQuantile("_b", probs, 1.0 / max_buckets)),
+        dtype=np.int64,
     )
+
+    @F.pandas_udf("bigint")
+    def _equi_depth(vals: pd.Series) -> pd.Series:
+        return pd.Series(
+            np.searchsorted(cuts, vals.to_numpy(), side="right").astype(
+                "int64"
+            )
+        )
+
+    return df.withColumn("_b", _equi_depth("_b"))
 
 
 def offset_running_sum(
@@ -115,6 +137,7 @@ def offset_row_number(
     bucket: Column,
     order_cols: list[Column | str],
     rn_name: str = "rn",
+    prebounded: bool = False,
 ) -> tuple[DataFrame, int]:
     """Global 1-based row numbering WITHOUT an unpartitioned window.
 
@@ -124,13 +147,18 @@ def offset_row_number(
     bucket order == global order; every window in the final plan is
     partitioned by bucket — no `Exchange SinglePartition`, the shape that
     survives 100 TB. High-cardinality buckets (a raw metric value is
-    fine) are re-coarsened to ≤ _MAX_OFFSET_BUCKETS driver rows first.
+    fine) are re-coarsened to ≤ _MAX_OFFSET_BUCKETS driver rows first;
+    a caller whose bucket is bounded BY CONSTRUCTION (q32/q36's fixed
+    64-cell hash-key grid) passes prebounded=True to skip the
+    coarsening stats pass entirely (r10 review: the guard pass is cheap
+    but it is still one extra scan).
     Returns (numbered df, total row count) — the total falls out of
     pass 1 for free.
     """
     spark = df.sparkSession
     b = df.withColumn("_b", bucket.cast("bigint"))
-    b = _coarsen_bucket(b, _MAX_OFFSET_BUCKETS)
+    if not prebounded:
+        b = _coarsen_bucket(b, _MAX_OFFSET_BUCKETS)
     counts = {
         r["_b"]: r["n"]
         for r in b.groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -282,7 +310,8 @@ def q32_split_exact_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     key = shuffle_key(F.col("doc_id"))
     numbered, total = offset_row_number(
-        docs, F.floor(key / _KEY_BUCKET_W), [key, F.col("doc_id")]
+        docs, F.floor(key / _KEY_BUCKET_W), [key, F.col("doc_id")],
+        prebounded=True,  # fixed 64-cell grid by construction
     )
     return numbered.select(
         "doc_id",
@@ -397,7 +426,8 @@ def q36_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     key = shuffle_key(F.col("doc_id"))
     numbered, total = offset_row_number(
-        docs, F.floor(key / _KEY_BUCKET_W), [key, F.col("doc_id")]
+        docs, F.floor(key / _KEY_BUCKET_W), [key, F.col("doc_id")],
+        prebounded=True,  # fixed 64-cell grid by construction
     )
     per_shard = math.ceil(total / 5) if total else 1
     rn0 = F.col("rn") - 1

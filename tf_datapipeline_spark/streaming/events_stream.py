@@ -1402,21 +1402,10 @@ def q7b_stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on the batch table and must match the streamed alerts byte for byte.
 # --------------------------------------------------------------------------
 def _stream_anomaly_oracle() -> str:
-    return """
-    WITH dayed AS (
-      SELECT event_id, event_type, value, es,
-             CAST(FLOOR(es / 86400.0) AS BIGINT) AS eday
-      FROM (SELECT event_id, event_type, value,
-                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
-            FROM events)
-    ),
-    keyed AS (
-      SELECT event_id, event_type, value,
-             CAST((eday + 4) % 7 AS INT) AS dow,
-             CAST(FLOOR((es % 86400) / 3600.0) AS INT) AS hr,
-             CAST(FLOOR(eday / 7.0) AS BIGINT) % 2 = 0 AS is_base
-      FROM dayed
-    ),
+    from tf_datapipeline_spark.operators.events import seasonal_keyed_ctes
+
+    return f"""
+    WITH {seasonal_keyed_ctes("event_id, ")},
     stats AS (
       SELECT event_type, dow, hr,
              TRY_CAST(CONCAT(SUM(CAST(value AS DECIMAL(28,6))), '')
@@ -1515,6 +1504,7 @@ def _funnel_state(key, pdf_iter, state):
 from tf_datapipeline_spark.operators.events import (  # noqa: E402
     _FUNNEL_STEPS,
     _funnel_oracle,
+    _funnel_ratios,
 )
 
 
@@ -1550,18 +1540,6 @@ def q4zk_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
         ladder = row if ladder is None else ladder.unionAll(row)
-    from pyspark.sql import Window
-
-    w = Window.orderBy("step")
-    return ladder.select(
-        "step",
-        "step_name",
-        "n_users",
-        F.coalesce(
-            F.col("n_users").cast("double") / F.lag("n_users", 1, None).over(w),
-            F.lit(1.0),
-        ).alias("conv_prev"),
-        (F.col("n_users").cast("double") / F.first("n_users").over(w)).alias(
-            "conv_start"
-        ),
-    )
+    # shared ratio semantics with batch q4zi (incl. the empty-step NULL
+    # convention) — see events._funnel_ratios
+    return _funnel_ratios(ladder)

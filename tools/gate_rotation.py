@@ -178,7 +178,7 @@ def cmd_check(now: int) -> int:
             print(" -", e)
         return 1
     last, _ = _history(cap=now)
-    stale = _staleness(reg, _history(cap=now)[0], now)
+    stale = _staleness(reg, last, now)
     print(f"gate rotation policy OK (r{now}): {len(gate)} slots, "
           f"{sum(1 for q in gate if q not in last)} first-ever driver rows, "
           f"{len(_anchors(reg))} anchors, "
