@@ -164,6 +164,7 @@ EXTRA = [
     "q1aa_expectation_suite",
     "q4zl_ab_uplift",
     "q2d_moving_median",
+    "q1ab_xml_roundtrip",
 ]
 
 

@@ -229,3 +229,60 @@ def q1t_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").alias("last_order"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q1ab — XML round-trip (round 10): supplier written as element-rows XML
+# (Spark 4's NATIVE xml source — no external package), read back with an
+# explicit schema, then a per-nation supplier rollup value-checked
+# against the raw-parquet oracle. XML is the interchange container
+# enterprise feeds still arrive in; the read path is splittable by file
+# (a 100 TB drop of .xml shards parallelizes like the CSV/JSONL twins —
+# q1o/q1p), and the schema is explicit for the same
+# no-inference-double-scan reason. Float discipline: the XML writer
+# emits shortest-round-trip doubles like the CSV/JSON writers, so the
+# exact-decimal aggregate matches the oracle bit-for-bit.
+# --------------------------------------------------------------------------
+_SUPPLIER_SCHEMA = (
+    "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
+)
+
+
+@query(
+    "q1ab_xml_roundtrip",
+    oracle=f"""
+    SELECT n.n_name,
+           COUNT(*) AS n_suppliers,
+           {sql_dsum("s.s_acctbal", 2)} AS total_acctbal,
+           MIN(s.s_suppkey) AS min_suppkey
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1
+    """,
+)
+def q1ab_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = scratch_dir(f"xml_{_tag(sf_dir)}")
+    path = f"{root}/supplier"
+    load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    ).write.mode("overwrite").format("xml").option("rootTag", "suppliers").option(
+        "rowTag", "supplier"
+    ).save(path)
+    sup = (
+        spark.read.schema(_SUPPLIER_SCHEMA)
+        .format("xml")
+        .option("rowTag", "supplier")
+        .load(path)
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        sup.join(
+            F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dsum("s_acctbal", 2).alias("total_acctbal"),
+            F.min("s_suppkey").alias("min_suppkey"),
+        )
+    )
