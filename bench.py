@@ -165,6 +165,7 @@ EXTRA = [
     "q4zl_ab_uplift",
     "q2d_moving_median",
     "q1ab_xml_roundtrip",
+    "q9n_occ_conflicts",
 ]
 
 

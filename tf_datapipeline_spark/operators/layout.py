@@ -1217,3 +1217,56 @@ _Q9M_SQL = f"""
 def q9m_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_Q9M_SQL)
+
+
+# --------------------------------------------------------------------------
+# q9n — OPTIMISTIC-CONCURRENCY conflict detection (round 10): the
+# lakehouse commit protocol made explicit — two transactions prepared
+# against the same snapshot of the hourly file manifest (the q9c
+# derivation), validated Delta/Iceberg-style before the second commit:
+#   txn A  compaction — rewrites (reads + removes) every file in days
+#          divisible by 3 (OPTIMIZE over a partition subset);
+#   txn B  retention delete — rewrites files holding hours 0-5 of even
+#          days (a GDPR/TTL sweep).
+# A file both transactions remove is a CONFLICT (the
+# ConcurrentDeleteDelete class): whichever commits second must fail
+# validation and rebase. The per-day report counts each txn's file
+# footprint, the conflicting file set, the rows a rebase must re-read,
+# and the verdict — exactly the validation pass a commit coordinator
+# runs over manifest metadata.
+#
+# Scale (100 TB): everything after the one partial-aggregated manifest
+# groupBy is metadata-cardinality (one row per file, then one per day);
+# the conflict check never touches table data — the whole point of
+# manifest-level OCC. All integer arithmetic; hash-exact cross-engine.
+# --------------------------------------------------------------------------
+def _occ_body(dialect: str) -> str:
+    hr = "hour(ts)" if dialect == "spark" else "EXTRACT(hour FROM ts)"
+    dom = "day(day)" if dialect == "spark" else "EXTRACT(day FROM day)"
+    return f"""
+    WITH files AS (
+      SELECT CAST(ts AS DATE) AS day, CAST({hr} AS INT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS f_rows
+      FROM events GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT day, hr, f_rows,
+             CAST(({dom} % 3 = 0) AS INT) AS in_a,
+             CAST(({dom} % 2 = 0 AND hr <= 5) AS INT) AS in_b
+      FROM files
+    )
+    SELECT day,
+           CAST(SUM(in_a) AS BIGINT) AS files_txn_a,
+           CAST(SUM(in_b) AS BIGINT) AS files_txn_b,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS files_conflict,
+           CAST(SUM(in_a * in_b * f_rows) AS BIGINT) AS rows_to_rebase,
+           CASE WHEN SUM(in_a * in_b) > 0 THEN 'conflict'
+                ELSE 'commit-both' END AS verdict
+    FROM flagged GROUP BY day
+    """
+
+
+@query("q9n_occ_conflicts", oracle=_occ_body("duckdb"))
+def q9n_occ_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_occ_body("spark"))
