@@ -166,6 +166,7 @@ EXTRA = [
     "q2d_moving_median",
     "q1ab_xml_roundtrip",
     "q9n_occ_conflicts",
+    "q3f_importance_sample",
 ]
 
 

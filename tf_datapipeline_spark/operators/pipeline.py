@@ -852,3 +852,71 @@ def q3e_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fold_size",
         (F.col("n_docs").cast("double") / F.col("fold_size")).alias("lang_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# q3f — IMPORTANCE-WEIGHTED DOWNSAMPLE (round 10): the inverse-
+# propensity sampling shape behind size-aware corpus thinning — keep
+# each document with probability proportional to its length (capped at
+# 1), carry the inverse-probability weight, and report the per-language
+# Horvitz-Thompson reweighted character estimate next to the true total
+# so the estimator's closure is value-checked, not assumed. This is the
+# 5th sampling rung (q3a hash-stratified, q3b weighted mix, q3c rate
+# table, q3d exact-k reservoir) — the one that changes INCLUSION
+# probability per row instead of per stratum.
+#
+# Determinism: inclusion is the cross-engine md5 hash compared against
+# FLOOR(p * 2^20) (integer compare of identically-derived doubles —
+# p is one shared IEEE chain from two exact integers); the reweighted
+# estimate sums FLOOR(w * n_chars * 2^20) exact bigints
+# (order-independent), divided back once at the end.
+#
+# Scale (100 TB): one 1-row totals aggregate broadcast back, one
+# pushed-down per-row filter, one partial-aggregated groupBy(lang) —
+# no shuffle carries more than |langs| rows past the scan.
+# --------------------------------------------------------------------------
+_IMP_TARGET = "CAST(0.2 AS DOUBLE)"  # sampled fraction of documents
+
+
+def _importance_sample_sql(dialect: str) -> str:
+    from tf_datapipeline_spark.functions.texthash import sql_hash32_dialect
+
+    cast_t = "STRING" if dialect == "spark" else "VARCHAR"
+    h = sql_hash32_dialect(f"'imp-' || CAST(doc_id AS {cast_t})", dialect)
+    p = (
+        f"LEAST(CAST(1 AS DOUBLE), CAST(n_chars AS DOUBLE)"
+        f" * ({_IMP_TARGET} * n_total) / chars_total)"
+    )
+    return f"""
+    WITH tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(n_chars) AS BIGINT) AS chars_total
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, n_chars, chars_total, {p} AS p
+      FROM documents, tot
+    ),
+    kept AS (
+      SELECT lang, n_chars, chars_total,
+             CAST(FLOOR((CAST(1 AS DOUBLE) / p) * n_chars * 1048576.0)
+                  AS BIGINT) AS wq
+      FROM scored
+      WHERE ({h}) % 1048576 < CAST(FLOOR(p * 1048576.0) AS BIGINT)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+           CAST(SUM(wq) AS DOUBLE) / 1048576.0 AS est_chars,
+           CAST(SUM(wq) AS DOUBLE) / 1048576.0 / MAX(chars_total)
+             AS est_share_of_corpus
+    FROM kept GROUP BY lang
+    """
+
+
+@query("q3f_importance_sample", oracle=_importance_sample_sql("duckdb"))
+def q3f_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_importance_sample_sql("spark"))
