@@ -512,7 +512,59 @@ GATE_ORDER_R10 = GATE_ANCHORS + [
     "q1d_date_functions",  # stale 9
 ]
 
-GATE_ORDER = GATE_ORDER_R10
+# Round-11 window: the 5 anchors, then the 12 never-gated queries (the
+# 11 round-10 additions + q77 newly promoted from rows-only to
+# oracle-checked), then the stalest of the r9-era staleness backlog —
+# the block `tools/gate_rotation.py propose` emits verbatim.
+GATE_ORDER_R11 = GATE_ANCHORS + [
+    "q1aa_expectation_suite",  # never
+    "q2d_moving_median",  # never
+    "q3f_importance_sample",  # never
+    "q4zi_conversion_funnel",  # never
+    "q4zj_entry_paths",  # never
+    "q4zl_ab_uplift",  # never
+    "q5s_zipf_profile",  # never
+    "q77_knn_ivfpq",  # never
+    "q6j_dup_size_histogram",  # never
+    "q4zk_stream_funnel",  # never
+    "q1ab_xml_roundtrip",  # never
+    "q9n_occ_conflicts",  # never
+    "q1e_array_functions",  # stale 10
+    "q1f_pivot",  # stale 10
+    "q1g_string_functions",  # stale 10
+    "q1h_unpivot",  # stale 10
+    "q1j_stats_kernel",  # stale 10
+    "q1k_full_outer",  # stale 10
+    "q1l_null_kernel",  # stale 10
+    "q1m_regex_kernel",  # stale 10
+    "q20_window_rank",  # stale 10
+    "q23_percentiles",  # stale 10
+    "q24_revenue_share",  # stale 10
+    "q25_lag_lead",  # stale 10
+    "q26_ntile_frames",  # stale 10
+    "q27_group_quantiles",  # stale 10
+    "q30_label_dictionary",  # stale 10
+    "q31_seeded_shuffle_split",  # stale 10
+    "q33_epoch_repeat",  # stale 10
+    "q34_one_hot",  # stale 10
+    "q35_batch_ragged_tail",  # stale 10
+    "q36_shard_assignment",  # stale 10
+    "q37_argmax",  # stale 10
+    "q38_accuracy_metric",  # stale 10
+    "q39_step_math",  # stale 10
+    "q85_frame_sample",  # stale 9
+    "q17_approx_distinct",  # stale 8
+    "q40_tumbling_window",  # stale 8
+    "q47_stream_tumbling_window",  # stale 8
+    "q49_stream_session_window",  # stale 8
+    "q4a_asof_join",  # stale 8
+    "q4f_funnel",  # stale 8
+    "q4t_stream_static_join",  # stale 8
+    "q56_levenshtein_pairs",  # stale 8
+    "q57_corpus_prep",  # stale 8
+]
+
+GATE_ORDER = GATE_ORDER_R11
 
 
 def _gate_sorted(d: dict) -> dict:
