@@ -1480,7 +1480,11 @@ def q4zc_stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _funnel_state(key, pdf_iter, state):
     import pandas as pd
 
-    t1, t2, t3 = state.get() if state.exists else (None, None, None)
+    # GroupState.get is a PROPERTY in PySpark (calling it explodes the
+    # first time state actually persists across micro-batches — caught
+    # by test_stream_funnel_invariant_to_batch_count, invisible to any
+    # single-batch availableNow run)
+    t1, t2, t3 = state.get if state.exists else (None, None, None)
     frames = [pdf for pdf in pdf_iter]
     rows = pd.concat(frames).sort_values(["ts", "event_id"])
     s1, s2, s3 = _FUNNEL_STEPS
