@@ -3,9 +3,12 @@ offset_running_sum) and its r10 bucket coarsening.
 
 The r9 advice: q4zf passed a raw metric (cents) as the bucket, so the
 pass-1 per-bucket collect was ~user-cardinality — corpus-proportional
-driver memory behind a '100 TB' comment. The fix re-coarsens any
-high-cardinality bucket to ≤ _MAX_OFFSET_BUCKETS equi-width cells
-(monotone, so global order is preserved). These tests pin:
+driver memory behind a '100 TB' comment. The fix guards on the exact
+value SPAN (hi - lo + 1 ≤ ceiling keeps raw buckets and the plan
+byte-identical) and otherwise re-buckets to ≤ _MAX_OFFSET_BUCKETS
+EQUI-DEPTH cells from approxQuantile cut points (monotone, so global
+order is preserved; equi-width was the first draft and collapses when
+one outlier stretches the span). These tests pin:
 
   1. the coarse bucket count is bounded for a corpus-sized distinct set,
   2. numbering is still exactly the global sort order,

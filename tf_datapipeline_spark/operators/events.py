@@ -1547,7 +1547,10 @@ def _q4zf_oracle() -> str:
 
 @query("q4zf_rfm_segments", oracle=_q4zf_oracle())
 def q4zf_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tf_datapipeline_spark.operators.pipeline import offset_row_number
+    from tf_datapipeline_spark.operators.pipeline import (
+        offset_row_number,
+        plan_coarsen_cuts,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     eday = F.floor(_epoch_s("ts") / F.lit(86400.0)).cast("bigint")
@@ -1561,12 +1564,26 @@ def q4zf_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = pu.agg(
         F.max("last_day").alias("corpus_day"), F.count(F.lit(1)).alias("n")
     )
-    m = pu.crossJoin(F.broadcast(g)).select(
-        "user_id",
-        (F.col("corpus_day") - F.col("last_day")).alias("rec"),
-        "freq",
-        "cents",
+    # materialize the per-user triple ONCE (localCheckpoint, the q67
+    # idiom): every pass below — the fused coarsening probe, the three
+    # rank passes' count collects, and the four arms of the reassembly
+    # join — would otherwise re-run the event scan + user aggregate.
+    # m is user-cardinality (the small table this analytic exists to
+    # produce), so the materialization is bounded at any corpus scale.
+    m = (
+        pu.crossJoin(F.broadcast(g))
+        .select(
+            "user_id",
+            (F.col("corpus_day") - F.col("last_day")).alias("rec"),
+            "freq",
+            "cents",
+        )
+        .localCheckpoint()
     )
+    # ONE fused span-guard + quantile-sketch job for all three ranked
+    # metrics (r10 verdict task 6: per-metric probes re-aggregated the
+    # event scan up to six times; values are unchanged by construction)
+    cuts = plan_coarsen_cuts(m, ["rec", "freq", "cents"])
     ranked = {}
     total = None
     for metric, rn_name in (("rec", "rn_r"), ("freq", "rn_f"), ("cents", "rn_m")):
@@ -1575,6 +1592,7 @@ def q4zf_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(metric),
             [F.asc(metric), F.asc("user_id")],
             rn_name,
+            cuts=cuts[metric],
         )
         ranked[metric] = num
         total = tot

@@ -45,6 +45,57 @@ def sql_shuffle_key(expr: str, seed: int = 0) -> str:
 _MAX_OFFSET_BUCKETS = 4096  # driver prefix-table ceiling (corpus-independent)
 
 
+def plan_coarsen_cuts(
+    df: DataFrame, cols: list[str], max_buckets: int = _MAX_OFFSET_BUCKETS
+) -> dict[str, "np.ndarray | None"]:
+    """Fused coarsening probe for callers that rank SEVERAL metrics of
+    the same table (r10 verdict task 6: q4zf ran the span guard + the
+    approxQuantile sketch once PER ranked metric — three stats jobs and
+    up to three sketch jobs over the same per-user aggregate). ONE agg
+    computes every metric's span; ONE multi-column approxQuantile call
+    sketches exactly the metrics whose span exceeds the ceiling. Returns
+    per-column cut arrays (None = span fits, keep raw buckets) to pass
+    as offset_row_number(..., cuts=...). The cut semantics are identical
+    to _coarsen_bucket's own probe — same probs, same relativeError,
+    same int cast — so the fusion changes job count, never values."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(F.col(c).cast("bigint")).alias(f"_lo_{c}"))
+        aggs.append(F.max(F.col(c).cast("bigint")).alias(f"_hi_{c}"))
+    stats = df.agg(*aggs).collect()[0]
+    need = [
+        c
+        for c in cols
+        if stats[f"_lo_{c}"] is not None
+        and stats[f"_hi_{c}"] - stats[f"_lo_{c}"] + 1 > max_buckets
+    ]
+    cuts: dict[str, np.ndarray | None] = {c: None for c in cols}
+    if need:
+        probs = [i / max_buckets for i in range(1, max_buckets)]
+        for c, qs in zip(
+            need, df.stat.approxQuantile(need, probs, 1.0 / max_buckets)
+        ):
+            cuts[c] = np.array(sorted(int(v) for v in qs), dtype=np.int64)
+    return cuts
+
+
+def _apply_cuts(df: DataFrame, cuts: "np.ndarray") -> DataFrame:
+    """Monotone re-bucket of `_b` by binary search over the cut points
+    (vectorized Arrow-batched np.searchsorted — the engine's sanctioned
+    Python path; a pure-SQL binary search either duplicates the index
+    expression exponentially or scans all cuts linearly)."""
+
+    @F.pandas_udf("bigint")
+    def _equi_depth(vals: pd.Series) -> pd.Series:
+        return pd.Series(
+            np.searchsorted(cuts, vals.to_numpy(), side="right").astype(
+                "int64"
+            )
+        )
+
+    return df.withColumn("_b", _equi_depth("_b"))
+
+
 def _coarsen_bucket(df: DataFrame, max_buckets: int) -> DataFrame:
     """Re-bucket `_b` so the driver prefix table stays ≤ max_buckets rows
     no matter the caller's bucket cardinality (r9 advice: a raw metric
@@ -80,16 +131,7 @@ def _coarsen_bucket(df: DataFrame, max_buckets: int) -> DataFrame:
         sorted(int(c) for c in df.stat.approxQuantile("_b", probs, 1.0 / max_buckets)),
         dtype=np.int64,
     )
-
-    @F.pandas_udf("bigint")
-    def _equi_depth(vals: pd.Series) -> pd.Series:
-        return pd.Series(
-            np.searchsorted(cuts, vals.to_numpy(), side="right").astype(
-                "int64"
-            )
-        )
-
-    return df.withColumn("_b", _equi_depth("_b"))
+    return _apply_cuts(df, cuts)
 
 
 def offset_running_sum(
@@ -138,6 +180,7 @@ def offset_row_number(
     order_cols: list[Column | str],
     rn_name: str = "rn",
     prebounded: bool = False,
+    cuts: "np.ndarray | None | str" = "auto",
 ) -> tuple[DataFrame, int]:
     """Global 1-based row numbering WITHOUT an unpartitioned window.
 
@@ -151,14 +194,21 @@ def offset_row_number(
     a caller whose bucket is bounded BY CONSTRUCTION (q32/q36's fixed
     64-cell hash-key grid) passes prebounded=True to skip the
     coarsening stats pass entirely (r10 review: the guard pass is cheap
-    but it is still one extra scan).
+    but it is still one extra scan); a caller ranking several metrics of
+    one table passes the fused plan_coarsen_cuts result as `cuts`
+    (ndarray = apply these cut points, None = span already fits) so the
+    guard + sketch run once for ALL metrics, not once per call.
     Returns (numbered df, total row count) — the total falls out of
     pass 1 for free.
     """
     spark = df.sparkSession
     b = df.withColumn("_b", bucket.cast("bigint"))
-    if not prebounded:
+    if cuts is None or prebounded:
+        pass  # caller certifies the bucket span fits _MAX_OFFSET_BUCKETS
+    elif isinstance(cuts, str):  # "auto": probe + sketch per call
         b = _coarsen_bucket(b, _MAX_OFFSET_BUCKETS)
+    else:
+        b = _apply_cuts(b, cuts)
     counts = {
         r["_b"]: r["n"]
         for r in b.groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()
