@@ -122,3 +122,80 @@ def test_native_arm_equivalence_gate():  # pragma: no cover
                 "this host — the SPARK_GRAFT_CODEC_JPEG=native opt-in is "
                 "not safe here"
             )
+
+
+def test_sniffers_match_stdlib_accept_set():
+    """Accept-set guard (r10 advice): the native arm's header sniffers
+    must ACCEPT exactly what the stdlib reference decodes and REJECT
+    exactly the variants it raises on — so flipping
+    SPARK_GRAFT_CODEC=native never silently widens the accept set.
+    Runs without Pillow: the sniffers are pure header parsers."""
+    import struct
+    import zlib
+
+    from tf_datapipeline_spark.functions.jpegcodec import encode_jpeg
+
+    # 1) every stdlib-decodable payload passes its sniffer
+    for seed in range(4):
+        img = _rng_img(seed, h=8 + seed, w=9 + seed)
+        codecseam.sniff_png(imagecodec.encode_png(img))
+        codecseam.sniff_ppm(imagecodec.encode_ppm(img))
+        for sub in ("444", "420"):
+            codecseam.sniff_jpeg(encode_jpeg(img, subsampling=sub))
+        gray = img[:, :, :1]
+        codecseam.sniff_jpeg(encode_jpeg(gray))
+
+    # 2) crafted out-of-set variants: sniffer and stdlib decoder must
+    # BOTH raise (pairwise, same variant)
+    img = _rng_img(99, h=6, w=6)
+
+    def png_with_ihdr(depth, color, interlace):
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr = struct.pack(">IIBBBBB", 6, 6, depth, color, 0, 0, interlace)
+        chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        chunk += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        return sig + chunk
+
+    bad_pngs = [
+        png_with_ihdr(8, 0, 0),  # grayscale
+        png_with_ihdr(8, 3, 0),  # palette
+        png_with_ihdr(16, 2, 0),  # 16-bit
+        png_with_ihdr(8, 2, 1),  # interlaced
+    ]
+    for payload in bad_pngs:
+        with pytest.raises(ValueError):
+            codecseam.sniff_png(payload)
+        with pytest.raises(ValueError):
+            imagecodec.decode_png(payload)
+
+    ppm_p5 = b"P5\n6 6\n255\n" + bytes(36)  # grayscale PGM
+    ppm_16 = b"P6\n6 6\n65535\n" + bytes(6 * 6 * 6)  # 16-bit maxval
+    for payload in (ppm_p5, ppm_16):
+        with pytest.raises(ValueError):
+            codecseam.sniff_ppm(payload)
+        with pytest.raises(ValueError):
+            imagecodec.decode_ppm(payload)
+
+    # progressive JPEG: rewrite the baseline's SOF0 marker to SOF2 —
+    # header-identical otherwise, so the sniffer must key on the marker
+    base = bytearray(encode_jpeg(img))
+    sof0_at = bytes(base).find(b"\xff\xc0")
+    assert sof0_at > 0
+    base[sof0_at + 1] = 0xC2
+    progressive = bytes(base)
+    with pytest.raises(ValueError):
+        codecseam.sniff_jpeg(progressive)
+    from tf_datapipeline_spark.functions.jpegcodec import decode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(progressive)
+
+    # 4-component (CMYK-shaped) SOF0: sniffer rejects like the decoder
+    cmyk = bytearray(encode_jpeg(img))
+    cmyk[sof0_at + 1] = 0xC0
+    cmyk[sof0_at + 9] = 4  # ncomp byte inside SOF0
+    cmyk = bytes(cmyk)
+    with pytest.raises(ValueError):
+        codecseam.sniff_jpeg(cmyk)
+    with pytest.raises(ValueError):
+        decode_jpeg(cmyk)

@@ -111,15 +111,108 @@ def _ensure_builtin_arms() -> None:
 
         from PIL import Image  # type: ignore
 
-        def _pil(data: bytes) -> np.ndarray:
-            arr = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
-            return arr.astype(np.uint8)
+        def _pil(sniff: Callable[[bytes], None]) -> DecoderFn:
+            # accept-set guard (r10 advice): Pillow decodes variants the
+            # stdlib reference REJECTS (grayscale/palette PNG,
+            # progressive/CMYK JPEG, P5 PPM), so an unguarded native arm
+            # would silently change accept-vs-ValueError behavior when
+            # SPARK_GRAFT_CODEC=native flips. Sniff the container header
+            # first and raise exactly where the reference arm would.
+            def decode(data: bytes) -> np.ndarray:
+                sniff(data)
+                arr = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+                return arr.astype(np.uint8)
 
-        native: dict[str, DecoderFn] = {"ppm": _pil, "png": _pil}
+            return decode
+
+        native: dict[str, DecoderFn] = {
+            "ppm": _pil(sniff_ppm),
+            "png": _pil(sniff_png),
+        }
         if os.environ.get("SPARK_GRAFT_CODEC_JPEG") == "native":
             # lossy-format decode is only spec-identical if the IDCT
             # matches — tests/test_codec_seam.py gates this opt-in
-            native["jpeg"] = _pil
+            native["jpeg"] = _pil(sniff_jpeg)
         register_arm("native", native)
     except ImportError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Container sniffers: header-only re-statements of the stdlib arms'
+# accept-sets (imagecodec.decode_ppm/decode_png, jpegcodec.decode_jpeg),
+# so EVERY arm raises ValueError on exactly the same variants. Pure
+# header parsing — no pixel work.
+# ---------------------------------------------------------------------------
+def sniff_ppm(data: bytes) -> None:
+    """Reference accept-set: binary P6, maxval 255."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts = data.split(b"\n", 3)
+    if len(parts) < 4:
+        raise ValueError("truncated PPM header")
+    if int(parts[2]) != 255:
+        raise ValueError(f"unsupported PPM maxval {int(parts[2])}")
+
+
+def sniff_png(data: bytes) -> None:
+    """Reference accept-set: 8-bit truecolor (color type 2),
+    non-interlaced, standard compression/filter method."""
+    import struct
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if not data.startswith(sig) or len(data) < len(sig) + 25:
+        raise ValueError("not a PNG payload")
+    if data[len(sig) + 4 : len(sig) + 8] != b"IHDR":
+        raise ValueError("PNG without IHDR")
+    _, _, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", data[len(sig) + 8 : len(sig) + 21]
+    )
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            "unsupported PNG variant: need 8-bit truecolor, "
+            f"got depth={depth} color={color} interlace={interlace}"
+        )
+
+
+def sniff_jpeg(data: bytes) -> None:
+    """Reference accept-set: baseline sequential (SOF0), 8-bit
+    precision, 1 or 3 components, sampling factors 1..2 per axis."""
+    import struct
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if marker == 0xC0:  # SOF0 baseline — the only accepted process
+            seg = data[pos + 4 : pos + 2 + seglen]
+            precision, _, _, ncomp = struct.unpack(">BHHB", seg[:6])
+            if precision != 8:
+                raise ValueError(f"unsupported precision {precision}")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            for c in range(ncomp):
+                samp = seg[6 + 3 * c + 1]
+                h_s, v_s = samp >> 4, samp & 0xF
+                if not (1 <= h_s <= 2 and 1 <= v_s <= 2):
+                    raise ValueError(
+                        f"unsupported sampling factors {h_s}x{v_s}"
+                    )
+            return
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                      0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG coding process (SOF marker 0x{marker:02X}); "
+                "only baseline sequential (SOF0) is implemented"
+            )
+        if marker == 0xDA:  # SOS before any SOF: malformed
+            raise ValueError("JPEG missing SOF0 or SOS")
+        pos += 2 + seglen
+    raise ValueError("JPEG without SOF marker")
