@@ -330,10 +330,16 @@ def test_collect_sites_are_bounded_metadata_only():
         ("operators/multimodal.py", "q8h_tfrecord_roundtrip"),  # shard manifest rows
         ("operators/pipeline.py", "offset_running_sum"),  # n_buckets agg rows
         ("operators/pipeline.py", "offset_row_number"),  # n_buckets agg rows
-        # 1-row (min, max, approx_count_distinct) stats; bounds the two
-        # collects above at _MAX_OFFSET_BUCKETS rows (r9 advice: a raw
-        # metric bucket is otherwise corpus-proportional)
+        # 1-row (min, max) span guard + equi-depth approxQuantile cuts;
+        # bounds the two collects above at _MAX_OFFSET_BUCKETS rows (r9
+        # advice: a raw metric bucket is otherwise corpus-proportional)
         ("operators/pipeline.py", "_coarsen_bucket"),
+        # fused multi-metric variant of the same probe: one 1-row span
+        # agg + one multi-column approxQuantile for ALL ranked metrics
+        ("operators/pipeline.py", "plan_coarsen_cuts"),
+        # <= _BPE_K merge-table rows (top-K over a partial aggregate);
+        # inlined as literals so the vocab fold stays codegen-cheap
+        ("operators/text.py", "q5t_bpe_encode"),
         # <= |groups| * _MAX_OFFSET_BUCKETS agg rows; group_cols is a
         # low-cardinality metadata key by contract (q26/q28's 5-value
         # c_mktsegment)

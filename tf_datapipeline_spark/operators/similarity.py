@@ -895,6 +895,18 @@ def q77_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = {
         r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in seed_rows
     }
+    # loud dense-prefix guard (r10 advice): the engine labels cells and
+    # codes by POSITION among the found seeds while the oracle keeps the
+    # ORIGINAL grid indices and inner-joins missing seeds away — the two
+    # agree iff the found seeds are a prefix of the requested grid (a
+    # smaller corpus may truncate the TAIL, never punch a mid-range
+    # hole). A sparse vec_id space must fail here, not hash-diverge.
+    found = sorted(seeds)
+    assert found == seed_ids[: len(found)], (
+        "IVF-PQ seed grid has mid-range holes (non-dense vec_ids): "
+        f"missing {sorted(set(seed_ids[: len(found)]) - set(found))[:5]} — "
+        "cell/code labels would silently diverge from the oracle"
+    )
     # like q73: a small corpus may not contain every seed id — cells are
     # whatever seeds exist, in vec_id order (cell c = c'th found seed).
     # Cells come from the first _N_CELLS found seeds only, so the cell
@@ -1333,8 +1345,10 @@ def _mutual_knn_oracle() -> str:
     """
 
 
-@query("q7c_mutual_knn", oracle=_mutual_knn_oracle())
-def q7c_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mknn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed cell-blocked kNN edge list (va, vb) — q7c's graph
+    construction, shared with q7m's NSW-style beam search. Out-degree
+    is bounded at _MKNN_K by the per-va window."""
     from pyspark.sql import Window
 
     from tf_datapipeline_spark.operators.semcells import semantic_cells_df
@@ -1370,11 +1384,19 @@ def q7c_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("va").orderBy(F.desc("cos"), F.asc("vb"))
-    edges = (
+    return (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _MKNN_K)
         .select("va", "vb")
     )
+
+
+@query("q7c_mutual_knn", oracle=_mutual_knn_oracle())
+def q7c_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.operators.semcells import semantic_cells_df
+
+    cv = semantic_cells_df(spark, sf_dir)  # vec_id, embedding, nrm, cell
+    edges = _mknn_edges(spark, sf_dir)
     rev = edges.select(F.col("va").alias("rva"), F.col("vb").alias("rvb"))
     mutual = edges.join(
         rev, (F.col("rva") == F.col("vb")) & (F.col("rvb") == F.col("va"))
@@ -2139,4 +2161,243 @@ def q7l_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr(_Q7L_MEAN).alias("mean_v"),
         F.expr(_Q7L_VAR).alias("var_v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q7m — GRAPH-ANN (NSW-style neighbor-graph beam search, round 11
+# verdict task 5): the one mainstream ANN family the quantization
+# ladder lacked — search by WALKING a bounded-out-degree neighbor graph
+# instead of probing cells (the HNSW/NSW class, public method:
+# Malkov & Yashunin 2016, single-layer variant). The graph is q7c's
+# cell-blocked kNN edge list made undirected (out-degree ≤ 2·_MKNN_K);
+# search is a DETERMINISTIC fixed-iteration beam: frontier_0 = the
+# _N_CELLS IVF seed vectors, then _GANN_ROUNDS rounds of
+# expand-via-edges → exact cosine rescore → top-_GANN_BEAM by
+# (cos DESC, vec_id ASC). The frontier is always its own candidate, so
+# beam quality is monotone and frontier_T contains the best vectors
+# the walk ever found; the report is recall@_REC_K vs the exact
+# top-k — the q7i evaluation shape.
+#
+# Determinism/oracle: every step is a join + window with exact integer
+# tie-breaks; cosines use the order-pinned fold_dot/fold_norm2 doubles
+# (the family's q6b float contract — rank flips live in a ~1e-12
+# sliver). The output carries only integer counts and one IEEE
+# division, so the whole query is ORACLE-CHECKED: DuckDB replays the
+# identical graph construction and the identical T unrolled beam
+# rounds.
+#
+# Scale (100 TB): graph build is q7c's banded construction (cells cap
+# per-task pair work; digests/ids shuffle, never raw text); each beam
+# round touches |queries| × (beam · out-degree) candidate rows — a
+# METADATA-sized join against the broadcast query set, T times, with
+# one hash-join per round against the (vec_id-keyed) corpus for
+# rescoring. Nothing is ever all-pairs; the only corpus-sized work is
+# the edge list the index build already paid for.
+# --------------------------------------------------------------------------
+_GANN_BEAM = 16  # beam width per query per round
+_GANN_ROUNDS = 3  # fixed expansion rounds (graph diameter at this K)
+
+
+def _graph_ann_sql() -> str:
+    from tf_datapipeline_spark.operators.semcells import _cells_ctes_sql
+
+    d = "duckdb"
+    rounds = []
+    for t in range(1, _GANN_ROUNDS + 1):
+        rounds.append(f"""
+    cand{t} AS (
+      SELECT DISTINCT query_id, vec_id FROM (
+        SELECT query_id, vec_id FROM beam{t - 1}
+        UNION ALL
+        SELECT f.query_id, u.vb AS vec_id
+        FROM beam{t - 1} f JOIN undirected u ON u.va = f.vec_id
+        WHERE u.vb >= {_N_QUERIES}
+      ) c
+    ),
+    beam{t} AS (
+      SELECT query_id, vec_id, cos FROM (
+        SELECT c.query_id, c.vec_id,
+               {fold_dot(d, "n.embedding", "q.embedding")}
+                 / (q.nrm * n.nrm) AS cos,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY {fold_dot(d, "n.embedding", "q.embedding")}
+                            / (q.nrm * n.nrm) DESC,
+                          c.vec_id) AS rn
+        FROM cand{t} c
+        JOIN gnorms n ON n.vec_id = c.vec_id
+        JOIN gnorms q ON q.vec_id = c.query_id
+      ) r WHERE rn <= {_GANN_BEAM}
+    )""")
+    return f"""
+    WITH {_cells_ctes_sql()},
+    gpairs AS (
+      SELECT ca.vec_id AS va, cb.vec_id AS vb,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cos
+      FROM cells ca
+      JOIN cells cb ON cb.cell = ca.cell AND cb.vec_id <> ca.vec_id
+      JOIN embeddings a ON a.vec_id = ca.vec_id
+      JOIN embeddings b ON b.vec_id = cb.vec_id
+    ),
+    gedges AS (
+      SELECT va, vb FROM (
+        SELECT va, vb,
+               ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+        FROM gpairs
+      ) r WHERE rn <= {_MKNN_K}
+    ),
+    undirected AS (
+      SELECT va, vb FROM gedges
+      UNION
+      SELECT vb AS va, va AS vb FROM gedges
+    ),
+    gnorms AS (
+      SELECT vec_id, embedding, SQRT({fold_norm2(d, "embedding")}) AS nrm
+      FROM embeddings
+    ),
+    beam0 AS (
+      SELECT q.vec_id AS query_id, s.vec_id
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id < {_N_QUERIES}) q,
+           (SELECT vec_id FROM embeddings
+            WHERE vec_id >= 8 AND (vec_id - 8) % {_CENTROID_STRIDE} = 0
+              AND (vec_id - 8) // {_CENTROID_STRIDE} < {_N_CELLS}) s
+    ),
+    {", ".join(rounds)},
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                  ORDER BY s.cos_sim DESC, s.vec_id) AS rnk
+        FROM (
+          SELECT q.vec_id AS query_id, d2.vec_id,
+                 {fold_dot(d, "d2.embedding", "q.embedding")}
+                   / (q.nrm * d2.nrm) AS cos_sim
+          FROM (SELECT * FROM gnorms WHERE vec_id < {_N_QUERIES}) q
+          JOIN gnorms d2 ON d2.vec_id >= {_N_QUERIES}
+        ) s
+      ) r WHERE rnk <= {_REC_K}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(b.vec_id) AS INT) AS n_hit,
+           CAST({_REC_K} AS INT) AS k,
+           CAST(COUNT(b.vec_id) AS DOUBLE)
+             / CAST({_REC_K} AS DOUBLE) AS recall_at_k
+    FROM exact e
+    LEFT JOIN (SELECT query_id, vec_id FROM (
+                 SELECT query_id, vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, vec_id) AS rn
+                 FROM beam{_GANN_ROUNDS}
+               ) t WHERE rn <= {_REC_K}) b
+      ON b.query_id = e.query_id AND b.vec_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@query("q7m_graph_ann", oracle=_graph_ann_sql())
+def q7m_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    gnorms = emb.select("vec_id", "embedding", F.sqrt(norm2).alias("nrm"))
+    queries = gnorms.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    edges = _mknn_edges(spark, sf_dir)
+    undirected = (
+        edges.union(edges.select(F.col("vb").alias("va"), F.col("va").alias("vb")))
+        .distinct()
+        .localCheckpoint()  # O(K·n) edge metadata, reused every round
+    )
+    # seed ids are a LITERAL grid (the q73/q77 convention) — isin pushes
+    # In(vec_id, ...) into the scan, so the beam0 cross product's build
+    # side is provably bounded by the query text (the stride-arithmetic
+    # filter form hid that bound from the scan AND the NLJ audit)
+    seed_ids = [8 + _CENTROID_STRIDE * k for k in range(_N_CELLS)]
+    seeds = gnorms.filter(F.col("vec_id").isin(seed_ids)).select("vec_id")
+    beam = queries.select("query_id").crossJoin(seeds)
+
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "q_emb", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    # The unroll keeps the full lineage: cand references beam twice, so
+    # the logical plan doubles per round — but every replicated subtree
+    # bottoms out in the same two exchanges (the checkpointed edge list
+    # and the corpus rescore join), which ReusedExchange dedupes;
+    # measured 2x FASTER than a per-round localCheckpoint at T=3 (the
+    # checkpoint splits rounds into separate jobs and re-shuffles the
+    # corpus side each round). Raise _GANN_ROUNDS past ~6 and the
+    # trade flips — re-measure before touching it.
+    for _ in range(_GANN_ROUNDS):
+        cand = (
+            beam.select("query_id", "vec_id")
+            .unionAll(
+                beam.join(undirected, beam.vec_id == undirected.va)
+                .filter(F.col("vb") >= _N_QUERIES)
+                .select("query_id", F.col("vb").alias("vec_id"))
+            )
+            .distinct()
+        )
+        beam = (
+            cand.join(gnorms, "vec_id")
+            .join(F.broadcast(queries), "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cos_sim"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _GANN_BEAM)
+            .select("query_id", "vec_id", "cos_sim")
+        )
+    found = beam.withColumn(
+        "rn", F.row_number().over(w)
+    ).filter(F.col("rn") <= _REC_K).select("query_id", "vec_id")
+
+    exact_scored = gnorms.filter(F.col("vec_id") >= _N_QUERIES).join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cos_sim"),
+    )
+    exact = (
+        exact_scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _REC_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    hit = found.select(
+        F.col("query_id").alias("h_qid"), F.col("vec_id").alias("h_vid")
+    )
+    return (
+        exact.join(
+            hit,
+            (F.col("h_qid") == F.col("query_id"))
+            & (F.col("h_vid") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("h_vid").cast("int").alias("n_hit"),
+            F.lit(_REC_K).cast("int").alias("k"),
+            (
+                F.count("h_vid").cast("double") / F.lit(float(_REC_K))
+            ).alias("recall_at_k"),
+        )
     )
