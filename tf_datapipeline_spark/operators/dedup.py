@@ -1886,3 +1886,173 @@ def q6j_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_docs").over(w).cast("double") / F.col("total_docs")
         ).alias("share_at_least"),
     )
+
+
+# --------------------------------------------------------------------------
+# q6k — LSH S-CURVE CALIBRATION (round 11): the tuning audit for the
+# whole MinHash-LSH family — measure, on a deterministic bounded pair
+# sample, how the band scheme's ACTUAL capture probability tracks exact
+# Jaccard similarity, next to the textbook S-curve 1-(1-s^r)^b the
+# (bands, rows) choice promises. This is the table a production dedup
+# pipeline reads before changing _BAND/_K: per Jaccard decile, how many
+# sampled pairs exist, how many the banded join would surface, the
+# empirical capture rate, and the theoretical curve at the decile
+# midpoint. (Reference analog: none — driver-contract extension op.)
+#
+# Pair sample: docs hash into ~32-doc blocks via the cross-engine md5
+# key (adaptive block count GREATEST(16, ceil(n/32)) — the q6b dynamic
+# computation both engines replay); only the first _CAL_BLOCKS blocks
+# are sampled, so the pair set is ≤ ~32·32·_CAL_BLOCKS pairs BY THE
+# QUERY TEXT at any corpus scale — a fixed-size random audit, not a
+# corpus-quadratic sweep. Exact Jaccard for sampled pairs reuses the
+# q65 shingle-join form restricted (Spark-side) to sampled docs; band
+# capture is pair-level band-column equality on the memoized signature
+# table (no bucket cap here: capture probability is a property of the
+# band scheme, the cap is a production-fanout guard audited by q63).
+#
+# Exactness: counts are integers; capture_rate is one IEEE division;
+# the theory curve is an explicit multiplication chain over the decile
+# midpoint (no pow(), whose cross-engine last-ulp behavior is not
+# pinned), every literal CAST to DOUBLE (shared-literal gotcha).
+# --------------------------------------------------------------------------
+_CAL_BLOCKS = 64  # sampled blocks of ~32 docs -> <= ~2k docs, ~32k pairs
+
+
+def _lsh_calibration_body(dialect: str) -> str:
+    str_t = "STRING" if dialect == "spark" else "VARCHAR"
+    n_bands = _K // _BAND
+    band_eq = " OR ".join(
+        "("
+        + " AND ".join(
+            f"ga.m{i} = gb.m{i}" for i in range(b * _BAND, (b + 1) * _BAND)
+        )
+        + ")"
+        for b in range(n_bands)
+    )
+    one = "CAST(1.0 AS DOUBLE)"
+    sm = (
+        f"((CAST(j_bucket AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" / CAST(10.0 AS DOUBLE))"
+    )
+    p_band = " * ".join([sm] * _BAND)
+    return f"""
+    nblk AS (
+      SELECT GREATEST(CAST(16 AS BIGINT),
+                      CAST(CEIL(COUNT(*) / CAST(32.0 AS DOUBLE)) AS BIGINT))
+               AS nb
+      FROM documents WHERE length(text) >= 5
+    ),
+    cal_docs AS (
+      SELECT doc_id, blk FROM (
+        SELECT t.doc_id,
+               {sql_hash32_from_md5_dialect("t.md5s", dialect)} % nblk.nb
+                 AS blk
+        FROM (SELECT doc_id, md5(CAST(doc_id AS {str_t})) AS md5s
+              FROM documents WHERE length(text) >= 5) t
+        CROSS JOIN nblk
+      ) keyed WHERE blk < {_CAL_BLOCKS}
+    ),
+    cal_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM cal_docs a
+      JOIN cal_docs b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+      FROM cal_pairs p
+      JOIN shingles sa ON sa.doc_id = p.doc_a
+      JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.h = sa.h
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    scored AS (
+      SELECT CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+               / (za.sz + zb.sz - COALESCE(i.n_common, 0)) AS jaccard,
+             CASE WHEN {band_eq} THEN 1 ELSE 0 END AS captured
+      FROM cal_pairs p
+      LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+      JOIN sizes za ON za.doc_id = p.doc_a
+      JOIN sizes zb ON zb.doc_id = p.doc_b
+      JOIN sig ga ON ga.doc_id = p.doc_a
+      JOIN sig gb ON gb.doc_id = p.doc_b
+    )
+    SELECT CAST(j_bucket AS INT) AS j_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(captured) AS BIGINT) AS n_captured,
+           CAST(SUM(captured) AS DOUBLE) / COUNT(*) AS capture_rate,
+           {one} - ({one} - ({p_band})) * ({one} - ({p_band}))
+             AS theory_capture
+    FROM (
+      SELECT captured,
+             LEAST(CAST(FLOOR(jaccard * CAST(10.0 AS DOUBLE)) AS INT), 9)
+               AS j_bucket
+      FROM scored
+    ) bucketed
+    GROUP BY j_bucket
+    """
+
+
+def _materialize_cal_shingles(spark: SparkSession, sf_dir: str) -> None:
+    """Bind the `shingles` view to the DISTINCT shingle sets of the
+    SAMPLED calibration docs only (the q65 candidate-restriction idiom):
+    exact-Jaccard cost then scales with the fixed-size sample, not the
+    corpus. The oracle computes the corpus-wide CTE; results agree
+    because every join is keyed on sampled doc_ids either way."""
+    key = _memo_key(spark, sf_dir, "cal_shingles")
+    if key not in _MATERIALIZED:
+        ids = spark.sql(
+            f"""
+            SELECT doc_id FROM (
+              SELECT t.doc_id,
+                     {sql_hash32_from_md5_dialect("t.md5s", "spark")} % nblk.nb
+                       AS blk
+              FROM (SELECT doc_id, md5(CAST(doc_id AS STRING)) AS md5s
+                    FROM documents WHERE length(text) >= 5) t
+              CROSS JOIN (
+                SELECT GREATEST(CAST(16 AS BIGINT),
+                                CAST(CEIL(COUNT(*) / CAST(32.0 AS DOUBLE))
+                                     AS BIGINT)) AS nb
+                FROM documents WHERE length(text) >= 5
+              ) nblk
+            ) keyed WHERE blk < {_CAL_BLOCKS}
+            """
+        )
+        # restrict BEFORE the shingle explode: the md5-per-5-gram stream
+        # is the family's dominant cost, and only ~32·_CAL_BLOCKS docs
+        # are sampled — semi-join the doc table first so shingle work is
+        # sample-sized at any corpus scale
+        ids.createOrReplaceTempView("_cal_ids")
+        sampled_shingles = _sql_shingles("spark", distinct=False).replace(
+            "FROM documents",
+            "FROM (SELECT d.* FROM documents d"
+            " LEFT SEMI JOIN _cal_ids c ON c.doc_id = d.doc_id)",
+        )
+        _MATERIALIZED[key] = (
+            spark.sql(f"SELECT * FROM ({sampled_shingles})")
+            .distinct()
+            .localCheckpoint()
+        )
+    _MATERIALIZED[key].createOrReplaceTempView("shingles")
+
+
+def _lsh_calibration_sql(dialect: str) -> str:
+    # the body is itself a CTE chain, so it merges into ONE WITH list
+    # (a _with_prelude wrap would nest two WITH keywords)
+    if dialect == "spark":
+        return "WITH " + _lsh_calibration_body("spark")
+    return (
+        f"WITH shingles AS ({_sql_shingles('duckdb')}),\n"
+        f"    sig AS ({_sql_signature()}),\n"
+        + _lsh_calibration_body("duckdb")
+    )
+
+
+@query("q6k_lsh_calibration", oracle=_lsh_calibration_sql("duckdb"))
+def q6k_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-vs-theoretical LSH capture curve per Jaccard decile over
+    a deterministic bounded pair sample — the (bands, rows) tuning
+    table. See _lsh_calibration_body for the sampling contract."""
+    register_views(spark, sf_dir)
+    _materialize_sig(spark, sf_dir)
+    _materialize_cal_shingles(spark, sf_dir)
+    return spark.sql(_lsh_calibration_sql("spark"))
