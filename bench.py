@@ -78,7 +78,15 @@ HEADLINE_R10 = [
     "q2a_window_digest_running",
 ]
 
-HEADLINE = HEADLINE_LEGACY + HEADLINE_R9 + HEADLINE_R10
+# Round 11 (r10 verdict task 8): q4zk promoted — the applyInPandasWithState
+# funnel is the only stateful-streaming machinery in the headline chain,
+# so micro-batch startup + per-user state cost now has a guarded series.
+# Reported in `headline34_total`; all earlier chains stay untouched.
+HEADLINE_R11 = [
+    "q4zk_stream_funnel",
+]
+
+HEADLINE = HEADLINE_LEGACY + HEADLINE_R9 + HEADLINE_R10 + HEADLINE_R11
 
 # heavy queries benched since r02 — timed and reported, but kept OUT of
 # the headline total so BENCH_rN totals stay comparable round over round
@@ -160,13 +168,17 @@ EXTRA = [
     "q5s_zipf_profile",
     "q6j_dup_size_histogram",
     "q4zj_entry_paths",
-    "q4zk_stream_funnel",
+    # (q4zk promoted to HEADLINE_R11 in round 11)
     "q1aa_expectation_suite",
     "q4zl_ab_uplift",
     "q2d_moving_median",
     "q1ab_xml_roundtrip",
     "q9n_occ_conflicts",
     "q3f_importance_sample",
+    # round 11 additions: timed for evidence, out of the headline total
+    "q5t_bpe_encode",
+    "q7m_graph_ann",
+    "q6k_lsh_calibration",
 ]
 
 
@@ -302,7 +314,15 @@ def main() -> None:
         ),
         3,
     )
-    total33 = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
+    total33 = round(
+        sum(
+            timings[n]
+            for n in HEADLINE_LEGACY + HEADLINE_R9 + HEADLINE_R10
+            if n in timings
+        ),
+        3,
+    )
+    total34 = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     extra_total = round(sum(timings[n] for n in EXTRA if n in timings), 3)
     common = {
         "metric": "headline_queries_total_time",
@@ -314,6 +334,7 @@ def main() -> None:
         # chain metric.
         "headline32_total": total32,
         "headline33_total": total33,
+        "headline34_total": total34,
         "extra_total": extra_total,
         # constant-work CPU+shuffle probes now run interleaved between
         # every pass of both groups (r7 verdict task 1b). calibration_sec
