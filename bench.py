@@ -179,6 +179,10 @@ EXTRA = [
     "q5t_bpe_encode",
     "q7m_graph_ann",
     "q6k_lsh_calibration",
+    "q5u_quality_classifier",
+    "q4zm_funnel_latency",
+    "q7n_farthest_first_init",
+    "q9o_hilbert_layout",
 ]
 
 

@@ -126,3 +126,164 @@ def test_lsh_calibration_pair_accounting(spark):
             sizes[blk] = sizes.get(blk, 0) + 1
     expect_pairs = sum(s * (s - 1) // 2 for s in sizes.values())
     assert sum(r.n_pairs for r in rows) == expect_pairs
+
+
+def test_quality_classifier_matches_independent_scoring(spark):
+    """q5u: per-doc margins equal an independent Python re-computation
+    (hashlib md5 feature hashing + the same frozen weight derivation),
+    and the keep decision is exactly margin > 0 with score = margin/n."""
+    import hashlib
+
+    from tf_datapipeline_spark.operators.text import (
+        _CLF_BUCKETS,
+        q5u_quality_classifier,
+    )
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    weights = {
+        b: h32(f"w|{b}") % 2001 - 1000 for b in range(_CLF_BUCKETS)
+    }
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    expect: dict[int, tuple[int, int]] = {}
+    for d in docs:
+        toks = [t for t in re.split(r"\s+", d.text.strip()) if t]
+        if not toks:
+            continue
+        margin = sum(weights[h32(t) % _CLF_BUCKETS] for t in toks)
+        expect[d.doc_id] = (len(toks), margin)
+
+    rows = {r.doc_id: r for r in q5u_quality_classifier(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(expect)
+    for did, (n, margin) in expect.items():
+        r = rows[did]
+        assert (r.n_tokens, r.margin) == (n, margin), (did, r)
+        assert r.keep == (margin > 0)
+        assert r.score == margin / n
+
+
+def test_funnel_latency_agrees_with_ladder_and_order_statistics(spark):
+    """q4zm: (1) each transition's n_users equals q4zi's ladder count
+    for the same step (the two ops share _funnel_first_touch — this
+    pins that the latency explode neither drops nor duplicates
+    converters), (2) min <= p50 <= max and min <= avg <= max, (3) the
+    p50 is the exact FLOOR((n+1)/2)-th smallest latency recomputed
+    independently from the collected first-touch table."""
+    from tf_datapipeline_spark.operators.events import (
+        _funnel_first_touch,
+        q4zi_conversion_funnel,
+        q4zm_funnel_latency,
+    )
+
+    ladder = {r.step: r.n_users for r in q4zi_conversion_funnel(spark, SF_SMOKE).collect()}
+    rows = {r.step: r for r in q4zm_funnel_latency(spark, SF_SMOKE).collect()}
+    assert set(rows) <= {2, 3}
+    ev = load_table(spark, SF_SMOKE, "events")
+    ft = _funnel_first_touch(ev).collect()
+    for step, (a, b) in {2: ("t1", "t2"), 3: ("t2", "t3")}.items():
+        lats = sorted(
+            int((getattr(r, b) - getattr(r, a)).total_seconds() * 1_000_000)
+            for r in ft
+            if getattr(r, b) is not None
+        )
+        if not lats:
+            assert step not in rows
+            continue
+        r = rows[step]
+        assert r.n_users == ladder[step] == len(lats)
+        med = lats[(len(lats) + 1) // 2 - 1]
+        assert r.p50_s == med / 1e6, (r.p50_s, med)
+        assert r.min_s == lats[0] / 1e6 and r.max_s == lats[-1] / 1e6
+        assert r.min_s <= r.p50_s <= r.max_s
+        assert r.min_s <= r.avg_s <= r.max_s
+
+
+def test_farthest_first_maximin_is_monotone_and_exact(spark):
+    """q7n: picks are distinct, the maximin distance is non-increasing
+    over rounds (adding a centroid can only shrink any point's min
+    distance, hence the max of those), and round 1's pick equals an
+    independent sequential-fold recomputation of argmax distance to the
+    seed (ties by vec_id)."""
+    from tf_datapipeline_spark.operators.similarity import (
+        _FF_SEED,
+        q7n_farthest_first_init,
+    )
+
+    rows = sorted(q7n_farthest_first_init(spark, SF_SMOKE).collect())
+    assert rows[0].rnd == 0 and rows[0].vec_id == _FF_SEED
+    assert rows[0].maximin_d2 is None
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == len(ids)
+    ds = [r.maximin_d2 for r in rows[1:]]
+    assert all(a >= b for a, b in zip(ds, ds[1:])), ds
+
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    seed = emb[_FF_SEED]
+
+    def d2(a, b):  # left-to-right fold, matching fold_l2
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (float(x) - float(y)) * (float(x) - float(y))
+        return acc
+
+    best = max(
+        ((d2(v, seed), -vid) for vid, v in emb.items()),
+    )
+    assert rows[1].vec_id == -best[1] and rows[1].maximin_d2 == best[0]
+
+
+def test_hilbert_index_is_a_true_space_filling_curve():
+    """q9o: the unrolled xy2d chain is a BIJECTION onto 0..GRID^2-1 and
+    consecutive d values are grid-adjacent (|dx|+|dy| = 1) — the two
+    defining Hilbert properties; both engines agreeing on a WRONG walk
+    would still pass oracle parity, so this pins the curve itself.
+    Checked over the full 256x256 grid in DuckDB (no Spark needed —
+    the SQL text is dialect-shared arithmetic)."""
+    import duckdb
+
+    from tf_datapipeline_spark.operators.layout import _GRID, _hilbert_rounds
+
+    q = f"""
+    WITH grid AS (
+      SELECT CAST(a.a AS BIGINT) AS xb, CAST(b.b AS BIGINT) AS yb
+      FROM (SELECT unnest(range({_GRID})) a) a,
+           (SELECT unnest(range({_GRID})) b) b
+    ),
+    h0 AS (SELECT xb, yb, xb AS x, yb AS y, CAST(0 AS BIGINT) AS d FROM grid),
+    {_hilbert_rounds()},
+    pts AS (SELECT xb, yb, d FROM h8)
+    SELECT
+      (SELECT COUNT(DISTINCT d) FROM pts) AS distinct_d,
+      (SELECT MIN(d) FROM pts) AS min_d,
+      (SELECT MAX(d) FROM pts) AS max_d,
+      (SELECT COUNT(*) FROM (
+         SELECT xb, yb,
+                LEAD(xb) OVER (ORDER BY d) AS nx,
+                LEAD(yb) OVER (ORDER BY d) AS ny
+         FROM pts) s
+       WHERE nx IS NOT NULL AND abs(nx - xb) + abs(ny - yb) <> 1)
+        AS non_unit_steps
+    """
+    distinct_d, min_d, max_d, bad = duckdb.sql(q).fetchone()
+    assert distinct_d == _GRID * _GRID
+    assert (min_d, max_d) == (0, _GRID * _GRID - 1)
+    assert bad == 0
+
+
+def test_hilbert_layout_prunes_soundly(spark):
+    """q9o: pruning soundness — every matching row lives in a scanned
+    file for BOTH layouts (rows_scanned >= matching_rows), scanned file
+    counts never exceed the layout's file total, and both layouts see
+    the same ground truth."""
+    from tf_datapipeline_spark.operators.layout import q9o_hilbert_layout
+
+    r = q9o_hilbert_layout(spark, SF_SMOKE).collect()[0]
+    assert r.hilbert_files_scanned <= r.n_files_hilbert
+    assert r.z_files_scanned <= r.n_files_z
+    assert r.hilbert_rows_scanned >= r.matching_rows
+    assert r.z_rows_scanned >= r.matching_rows
+    assert r.hilbert_box_area > 0 and r.z_box_area > 0

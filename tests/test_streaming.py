@@ -752,3 +752,98 @@ def test_stream_funnel_invariant_to_batch_count(spark, tmp_path):
     assert got_one == got_split
     # the hand-derivable ground truth (== what q4zi's batch SQL computes)
     assert got_one == {1: 3, 2: 2, 3: 3, 4: 1}
+
+
+def test_stream_funnel_latency_state_invariant_to_batch_count(spark, tmp_path):
+    """q4zn's state machine: the (t1, t2, t3) triples the latency twin
+    emits must be identical whether input arrives in one batch or
+    file-by-file, and must equal the hand-derived first-touch ground
+    truth — the same adversarial split as the q4zk test (every user-1
+    transition crosses a state boundary; user 2's pre-view click must
+    stay unusable across the boundary)."""
+    from tf_datapipeline_spark.streaming.events_stream import (
+        _funnel_latency_state,
+    )
+
+    m = 60_000_000
+    rows = [
+        (_T0 + 0 * m, 1, 1, "view"),
+        (_T0 + 1 * m, 2, 2, "click"),
+        (_T0 + 2 * m, 3, 3, "view"),
+        (_T0 + 3 * m, 4, 4, "view"),
+        (_T0 + 10 * m, 5, 1, "click"),
+        (_T0 + 11 * m, 6, 2, "view"),
+        (_T0 + 12 * m, 7, 3, "click"),
+        (_T0 + 13 * m, 8, 3, "purchase"),
+        (_T0 + 14 * m, 9, 4, "purchase"),
+        (_T0 + 20 * m, 10, 1, "purchase"),
+        (_T0 + 21 * m, 11, 3, "view"),
+        (_T0 + 22 * m, 12, 2, "click"),
+    ]
+    files = [rows[:4], rows[4:9], rows[9:]]
+    one = str(tmp_path / "flat_one")
+    split = str(tmp_path / "flat_split")
+    os.makedirs(one), os.makedirs(split)
+    _write_funnel_events(os.path.join(one, "all.parquet"), rows)
+    now = time.time()
+    for k, slice_rows in enumerate(files):
+        p = os.path.join(split, f"f{k}.parquet")
+        _write_funnel_events(p, slice_rows)
+        os.utime(p, (now + k, now + k))
+
+    def drain(src_dir: str, max_files: int | None):
+        reader = spark.readStream.schema(
+            "ts timestamp, event_id bigint, user_id bigint, event_type string"
+        ).format("parquet")
+        if max_files is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files))
+        staged = (
+            reader.load(src_dir)
+            .withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _funnel_latency_state,
+                outputStructType=(
+                    "user_id bigint, t1 timestamp, t2 timestamp, t3 timestamp"
+                ),
+                stateStructType="t1 timestamp, t2 timestamp, t3 timestamp",
+                outputMode="update",
+                timeoutConf="NoTimeout",
+            )
+        )
+        name = f"flat_{os.path.basename(src_dir)}_{max_files}"
+        q = (
+            staged.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+        # a set timestamp is frozen forever -> per-user final = column MAX
+        final: dict[int, tuple] = {}
+        for r in spark.table(name).collect():
+            prev = final.get(r.user_id, (None, None, None))
+            final[r.user_id] = tuple(
+                b if b is not None else a
+                for a, b in zip(prev, (r.t1, r.t2, r.t3))
+            )
+        return final, n_batches
+
+    got_one, _ = drain(one, None)
+    got_split, n_batches = drain(split, 1)
+    assert n_batches >= 3, f"expected >=3 data micro-batches, saw {n_batches}"
+    assert got_one == got_split
+
+    import datetime as dt
+
+    def t(us):
+        return dt.datetime.utcfromtimestamp(us / 1e6)
+
+    assert got_one == {
+        1: (t(_T0 + 0 * m), t(_T0 + 10 * m), t(_T0 + 20 * m)),
+        2: (t(_T0 + 11 * m), t(_T0 + 22 * m), None),
+        3: (t(_T0 + 2 * m), t(_T0 + 12 * m), t(_T0 + 13 * m)),
+        4: (t(_T0 + 3 * m), None, None),
+    }

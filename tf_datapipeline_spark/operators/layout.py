@@ -164,6 +164,135 @@ def q9a_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q9o — HILBERT-CURVE layout vs z-order (round 11): the alternative
+# space-filling clustering key production table formats actually prefer
+# (Delta Lake's OPTIMIZE ... BY HILBERT, Iceberg's hilbert sort-order) —
+# the Hilbert walk never makes the long diagonal jumps z-order's bit
+# interleave takes between quadrants, so per-file bounding boxes are
+# tighter and range probes scan fewer files. Same grid, file count,
+# stats and probe box as q9a; the output is the head-to-head skip
+# arithmetic (files/rows each layout scans) plus each layout's summed
+# per-file bounding-box area — the clustering-quality number that
+# explains WHY one layout prunes better.
+#
+# The Hilbert d-index is the standard xy2d bit walk (Wikipedia/Warren,
+# public domain: 8 rounds of quadrant-rotate + reflect for an 8-bit
+# grid), unrolled into 8 CTE rounds of pure integer CASE arithmetic —
+# the same device as q75's PQ rounds — so BOTH engines evaluate the
+# identical expression chain; the quadrant XOR (3*rx)^ry is spelled
+# 3*rx + ry - 2*rx*ry (exact on {0,1}), and reflections stay in-grid so
+# every intermediate is a bounded nonnegative integer.
+#
+# Scale: identical to q9a — per-row scalar arithmetic (codegen, no
+# shuffle) over the memoized (xb, yb) projection, one partial-aggregated
+# groupBy(file) per layout; a production writer feeds the same hv
+# expression to repartitionByRange(hv).sortWithinPartitions(hv).
+# --------------------------------------------------------------------------
+def _hilbert_rounds() -> str:
+    """Unrolled xy2d: h0(x, y, d) -> h8, carrying (xb, yb) for stats."""
+    ctes = []
+    for i, s in enumerate([128, 64, 32, 16, 8, 4, 2, 1]):
+        prev = f"h{i}"
+        ctes.append(f"""
+    r{i + 1} AS (
+      SELECT xb, yb, x, y, d,
+             (CAST(FLOOR(x / {s}.0) AS BIGINT) % 2) AS rx,
+             (CAST(FLOOR(y / {s}.0) AS BIGINT) % 2) AS ry
+      FROM {prev}
+    ),
+    h{i + 1} AS (
+      SELECT xb, yb,
+             CASE WHEN ry = 0 THEN
+               CASE WHEN rx = 1 THEN {_GRID - 1} - y ELSE y END
+             ELSE x END AS x,
+             CASE WHEN ry = 0 THEN
+               CASE WHEN rx = 1 THEN {_GRID - 1} - x ELSE x END
+             ELSE y END AS y,
+             d + {s * s} * (3 * rx + ry - 2 * rx * ry) AS d
+      FROM r{i + 1}
+    )""")
+    return ",".join(ctes)
+
+
+def _hilbert_body(dialect: str) -> str:
+    span = _GRID * _GRID // _N_FILES
+    bucketed = (
+        "SELECT xb, yb FROM bucketed_mat"
+        if dialect == "spark"
+        else _bucketed_sql(dialect)
+    )
+    return f"""
+    WITH bucketed AS ({bucketed}),
+    h0 AS (
+      SELECT xb, yb, xb AS x, yb AS y, CAST(0 AS BIGINT) AS d FROM bucketed
+    ),
+    {_hilbert_rounds()},
+    hfiles AS (
+      SELECT CAST(FLOOR(d / {span}.0) AS INT) AS file_id,
+             MIN(xb) AS xmin, MAX(xb) AS xmax,
+             MIN(yb) AS ymin, MAX(yb) AS ymax,
+             COUNT(*) AS n_rows
+      FROM h8 GROUP BY 1
+    ),
+    zfiles AS (
+      SELECT CAST(FLOOR({_interleave('xb', 'yb')} / {span}.0) AS INT)
+               AS file_id,
+             MIN(xb) AS xmin, MAX(xb) AS xmax,
+             MIN(yb) AS ymin, MAX(yb) AS ymax,
+             COUNT(*) AS n_rows
+      FROM bucketed GROUP BY 1
+    ),
+    hscan AS (
+      SELECT COUNT(*) AS files, CAST(SUM(n_rows) AS BIGINT) AS rows_scanned,
+             CAST(SUM((xmax - xmin + 1) * (ymax - ymin + 1)) AS BIGINT)
+               AS box_area
+      FROM hfiles
+      WHERE xmin <= {_QX[1]} AND xmax >= {_QX[0]}
+        AND ymin <= {_QY[1]} AND ymax >= {_QY[0]}
+    ),
+    zscan AS (
+      SELECT COUNT(*) AS files, CAST(SUM(n_rows) AS BIGINT) AS rows_scanned,
+             CAST(SUM((xmax - xmin + 1) * (ymax - ymin + 1)) AS BIGINT)
+               AS box_area
+      FROM zfiles
+      WHERE xmin <= {_QX[1]} AND xmax >= {_QX[0]}
+        AND ymin <= {_QY[1]} AND ymax >= {_QY[0]}
+    ),
+    harea AS (
+      SELECT CAST(SUM((xmax - xmin + 1) * (ymax - ymin + 1)) AS BIGINT)
+               AS total_box_area
+      FROM hfiles
+    ),
+    zarea AS (
+      SELECT CAST(SUM((xmax - xmin + 1) * (ymax - ymin + 1)) AS BIGINT)
+               AS total_box_area
+      FROM zfiles
+    ),
+    hits AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS matching_rows FROM bucketed
+      WHERE xb BETWEEN {_QX[0]} AND {_QX[1]}
+        AND yb BETWEEN {_QY[0]} AND {_QY[1]}
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM hfiles) AS n_files_hilbert,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM zfiles) AS n_files_z,
+           CAST(h.files AS BIGINT) AS hilbert_files_scanned,
+           h.rows_scanned AS hilbert_rows_scanned,
+           CAST(z.files AS BIGINT) AS z_files_scanned,
+           z.rows_scanned AS z_rows_scanned,
+           ha.total_box_area AS hilbert_box_area,
+           za.total_box_area AS z_box_area,
+           t.matching_rows
+    FROM hscan h, zscan z, harea ha, zarea za, hits t
+    """
+
+
+@query("q9o_hilbert_layout", oracle=_hilbert_body("duckdb"))
+def q9o_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _materialize_bucketed(spark, sf_dir)
+    return spark.sql(_hilbert_body("spark"))
+
+
+# --------------------------------------------------------------------------
 # q9b — MERGEABLE-SKETCH rollup: hourly HLL user sketches merged into
 # daily distinct-user estimates WITHOUT rescanning the events (Spark's
 # Datasketches hll_sketch_agg / hll_union_agg). The incremental-rollup

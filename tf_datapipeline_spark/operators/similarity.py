@@ -2401,3 +2401,105 @@ def q7m_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q7n — FARTHEST-FIRST CENTROID INITIALIZATION (round 11): the k-means++
+# style seeding rung the training ladder lacked — q73/q74 take their
+# seeds from a FIXED id grid, but a production index build initializes
+# centroids from the data (Arthur & Vassilvitskii 2007; the maximin
+# variant of Gonzalez 1985 is its deterministic core). Round k picks the
+# corpus vector MAXIMIZING the min squared L2 distance to the already-
+# chosen set, ties broken by vec_id ASC; the output is the K-row pick
+# ledger (round, vec_id, the maximin distance at pick time) that q74's
+# Lloyd step would consume as its seed table.
+#
+# Exactness: distances are the order-pinned fold_l2 doubles (the q74
+# contract); the running min uses LEAST (exact on doubles); the argmax
+# is a (md DESC, vec_id ASC) total order both engines replay. The seed
+# row's maximin_d2 is NULL by construction (no chosen set yet).
+#
+# Spark shape (100 TB): K-1 rounds, each ONE corpus scan with a
+# broadcast 1-row centroid (no shuffle — the running-min column is
+# updated in place and localCheckpoint bounds the lineage so round k
+# does not recompute rounds 1..k-1), then ONE bounded driver collect of
+# the single best row (the q7f bounded-shortlist convention; K rows
+# total). Contrast with a naive all-pairs k-means++ — this is O(K·n)
+# distance work, the same asymptotics the scalable k-means|| paper
+# (Bahmani 2012) buys its oversampling rounds with.
+# --------------------------------------------------------------------------
+_FF_K = 8  # centroids to select (seed + 7 maximin rounds)
+_FF_SEED = 8  # first centroid: the q73 seed-grid origin
+
+
+def _farthest_first_sql() -> str:
+    d = "duckdb"
+    parts = [
+        f"""m1 AS (
+      SELECT v.vec_id, {fold_l2(d, "v.embedding", "c.embedding")} AS md
+      FROM embeddings v JOIN embeddings c ON c.vec_id = {_FF_SEED}
+    ),
+    p1 AS (SELECT vec_id, md FROM m1 ORDER BY md DESC, vec_id LIMIT 1)"""
+    ]
+    for k in range(2, _FF_K):
+        parts.append(f"""m{k} AS (
+      SELECT v.vec_id,
+             LEAST(m{k - 1}.md,
+                   {fold_l2(d, "v.embedding", "c.embedding")}) AS md
+      FROM m{k - 1} JOIN embeddings v ON v.vec_id = m{k - 1}.vec_id
+      JOIN embeddings c ON c.vec_id = (SELECT vec_id FROM p{k - 1})
+    ),
+    p{k} AS (SELECT vec_id, md FROM m{k} ORDER BY md DESC, vec_id LIMIT 1)""")
+    picks = "\n    UNION ALL ".join(
+        f"SELECT {k} AS rnd, vec_id, md FROM p{k}"
+        for k in range(1, _FF_K)
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT CAST(rnd AS INT) AS rnd, CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(md AS DOUBLE) AS maximin_d2
+    FROM (
+      SELECT 0 AS rnd, CAST({_FF_SEED} AS BIGINT) AS vec_id,
+             CAST(NULL AS DOUBLE) AS md
+      UNION ALL {picks}
+    ) ledger
+    """
+
+
+@query("q7n_farthest_first_init", oracle=_farthest_first_sql())
+def q7n_farthest_first_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed = emb.filter(F.col("vec_id") == _FF_SEED).select(
+        F.col("embedding").alias("cemb")
+    )
+    cur = emb.crossJoin(F.broadcast(seed)).select(
+        "vec_id",
+        "embedding",
+        F.expr(fold_l2("spark", "embedding", "cemb")).alias("md"),
+    )
+    picks: list[tuple] = [(0, _FF_SEED, None)]
+    for k in range(1, _FF_K):
+        cur = cur.localCheckpoint()
+        top = (
+            cur.orderBy(F.desc("md"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )  # bounded: ONE row per round, K-1 rounds total
+        picks.append((k, top["vec_id"], top["md"]))
+        if k < _FF_K - 1:
+            cdf = spark.createDataFrame(
+                [([float(x) for x in top["embedding"]],)],
+                "cemb array<double>",
+            )
+            cur = cur.crossJoin(F.broadcast(cdf)).select(
+                "vec_id",
+                "embedding",
+                F.least(
+                    F.col("md"),
+                    F.expr(fold_l2("spark", "embedding", "cemb")),
+                ).alias("md"),
+            )
+    return spark.createDataFrame(
+        picks, "rnd int, vec_id bigint, maximin_d2 double"
+    )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from tf_datapipeline_spark.catalog import load_table, register_views
 from tf_datapipeline_spark.functions.texthash import (
     sql_hash32,
+    sql_hash32_dialect,
     sql_hash60_from_md5_dialect,
 )
 from tf_datapipeline_spark.registry import query
@@ -2251,5 +2252,98 @@ def q5t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_units").cast("double") / F.count(F.lit(1))).alias(
                 "bpe_per_ws_token"
             ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q5u — HASHED-FEATURE LINEAR QUALITY CLASSIFIER (round 11): model-BASED
+# quality filtering, the rung above q51's hand-written heuristics — the
+# fastText-style linear scorer (hashed bag-of-words -> weight lookup ->
+# margin) that production pipelines (CCNet, fastText lang/quality
+# filters) apply at corpus scale. No trained checkpoint ships in this
+# container, so the 4096-entry weight vector is a FROZEN deterministic
+# stand-in (w[b] = hash32('w|'||b) % 2001 - 1000, integers in
+# [-1000, 1000]); the Spark-side plumbing — feature hashing, weight
+# table application, margin aggregation, keep decision — is exactly the
+# production shape and swapping real trained weights in is a one-table
+# change.
+#
+# Exactness: token -> bucket is the shared md5-based hash32 (identical
+# in both engines), the margin is an exact BIGINT sum of bounded
+# integer weights (order-independent), and the score is ONE IEEE
+# division per doc. DuckDB's SUM(BIGINT) widens to HUGEINT, so both
+# margins are CAST back to BIGINT explicitly.
+#
+# Spark shape (100 TB): explode -> scalar md5 bucket (codegen) ->
+# BROADCAST hash join against the 4096-row weight table (built from
+# spark.range, never collected) -> one doc_id partial aggregate. One
+# shuffle total (the final doc_id agg); the weight join is
+# hard-broadcast because the table is bounded by construction (4096
+# rows at any corpus size — the real-model analog is a vocab-hash
+# weight vector, fixed at training time).
+# --------------------------------------------------------------------------
+_CLF_BUCKETS = 4096
+
+
+def _clf_weight_sql(dialect: str) -> str:
+    """w[b] for a bucket column `b`: deterministic stand-in weights."""
+    s = "CAST(b AS STRING)" if dialect == "spark" else "CAST(b AS VARCHAR)"
+    h = sql_hash32_dialect(f"concat('w|', {s})", dialect)
+    return f"CAST({h} % 2001 - 1000 AS BIGINT)"
+
+
+def _clf_oracle() -> str:
+    tok_h = sql_hash32_dialect("tok", "duckdb")
+    return f"""
+    WITH weights AS (
+      SELECT CAST(b AS BIGINT) AS bucket, {_clf_weight_sql("duckdb")} AS w
+      FROM (SELECT unnest(range({_CLF_BUCKETS})) AS b)
+    ),
+    toks AS (
+      SELECT doc_id, {tok_h} % {_CLF_BUCKETS} AS bucket
+      FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents) x
+      WHERE length(tok) >= 1
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w.w) AS BIGINT) AS margin,
+           CAST(SUM(w.w) AS DOUBLE) / COUNT(*) AS score,
+           CAST(SUM(w.w) AS BIGINT) > 0 AS keep
+    FROM toks t JOIN weights w ON w.bucket = t.bucket
+    GROUP BY t.doc_id
+    """
+
+
+@query("q5u_quality_classifier", oracle=_clf_oracle())
+def q5u_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(_tokens_spark()).alias("tok"))
+        .filter(F.length("tok") >= 1)
+        .select(
+            "doc_id",
+            F.expr(
+                f"{sql_hash32_dialect('tok', 'spark')} % {_CLF_BUCKETS}"
+            ).alias("bucket"),
+        )
+    )
+    weights = (
+        spark.range(_CLF_BUCKETS)
+        .withColumnRenamed("id", "b")
+        .select(
+            F.col("b").alias("bucket"),
+            F.expr(_clf_weight_sql("spark")).alias("w"),
+        )
+    )
+    margin = F.sum("w").cast("bigint")
+    return (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            margin.alias("margin"),
+            (margin.cast("double") / F.count(F.lit(1))).alias("score"),
+            (margin > 0).alias("keep"),
         )
     )

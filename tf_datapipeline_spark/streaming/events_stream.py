@@ -1477,7 +1477,12 @@ def q4zc_stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle is q4zi's ladder SQL verbatim — the state machine itself is
 # what is tested.
 # --------------------------------------------------------------------------
-def _funnel_state(key, pdf_iter, state):
+def _fold_funnel_batch(pdf_iter, state):
+    """Advance the (t1, t2, t3) first-touch machine over one delivery,
+    reading/merging prior GroupState — the SHARED core of q4zk (step
+    ladder) and q4zn (step latency), so the strictly-after fold cannot
+    drift between the two streaming twins. Returns the updated tuple;
+    the caller persists it and shapes its own emission."""
     import pandas as pd
 
     # GroupState.get is a PROPERTY in PySpark (calling it explodes the
@@ -1499,16 +1504,34 @@ def _funnel_state(key, pdf_iter, state):
             if et == s3 and ts > t2:
                 t3 = ts
     state.update((t1, t2, t3))
+    return t1, t2, t3
+
+
+def _funnel_state(key, pdf_iter, state):
+    import pandas as pd
+
+    t1, t2, t3 = _fold_funnel_batch(pdf_iter, state)
     step = 3 if t3 is not None else 2 if t2 is not None else (
         1 if t1 is not None else 0
     )
     yield pd.DataFrame({"user_id": [key[0]], "step_reached": [step]})
 
 
+def _funnel_latency_state(key, pdf_iter, state):
+    import pandas as pd
+
+    t1, t2, t3 = _fold_funnel_batch(pdf_iter, state)
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "t1": [t1], "t2": [t2], "t3": [t3]}
+    )
+
+
 from tf_datapipeline_spark.operators.events import (  # noqa: E402
+    _FUNNEL_LATENCY_ORACLE,
     _FUNNEL_STEPS,
     _funnel_oracle,
     _funnel_ratios,
+    funnel_latency_report,
 )
 
 
@@ -1547,3 +1570,47 @@ def q4zk_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared ratio semantics with batch q4zi (incl. the empty-step NULL
     # convention) — see events._funnel_ratios
     return _funnel_ratios(ladder)
+
+
+# --------------------------------------------------------------------------
+# q4zn — STREAMING FUNNEL LATENCY twin (round 11): q4zm's step-latency
+# distribution maintained from the SAME per-user first-touch state
+# machine as q4zk — the live "how long does conversion take" dashboard
+# next to the live ladder. The state function shares q4zk's fold
+# (_fold_funnel_batch) and emits the (t1, t2, t3) triple instead of the
+# reached-step scalar; update mode re-emits a user per touching batch,
+# and because the machine only ever ADVANCES (a set timestamp is frozen
+# forever), the per-user final triple is the per-column MAX over
+# emissions. The downstream explode/stats/exact-median is
+# events.funnel_latency_report, shared verbatim with batch q4zm, and
+# the oracle is q4zm's SQL verbatim — on bounded input the streamed
+# machine must reproduce the batch latency table byte for byte.
+#
+# Scale: state is O(1) per user (3 timestamps); the post-stream rollup
+# is user-keyed (one exchange) and the median machinery windows on
+# (transition, coarsened bucket) — no single-partition sort (see
+# q4zm's shape note).
+# --------------------------------------------------------------------------
+@query("q4zn_stream_funnel_latency", oracle=_FUNNEL_LATENCY_ORACLE)
+def q4zn_stream_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    staged = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_latency_state,
+            outputStructType=(
+                "user_id bigint, t1 timestamp, t2 timestamp, t3 timestamp"
+            ),
+            stateStructType="t1 timestamp, t2 timestamp, t3 timestamp",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+    emissions = run_bounded(staged, "update")
+    per_user = emissions.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    return funnel_latency_report(per_user)
