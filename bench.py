@@ -183,6 +183,9 @@ EXTRA = [
     "q4zm_funnel_latency",
     "q7n_farthest_first_init",
     "q9o_hilbert_layout",
+    "q8p_image_phash",
+    "q4zo_periodicity",
+    "q4zn_stream_funnel_latency",
 ]
 
 

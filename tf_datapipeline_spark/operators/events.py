@@ -2223,3 +2223,89 @@ def q4zl_ab_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_ab_uplift_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# q4zo — PERIODICITY DETECTION (round 11): the seasonality DISCOVERY
+# step ahead of q4zb's seasonal baseline — q4zb assumes the hour-of-week
+# cycle; this op finds the dominant cycle from the data via raw
+# autocorrelation of hourly event counts over lags 1..48h. The score at
+# lag L is SUM(c_t * c_{t+L}) over the gap-filled hour spine — EXACT
+# BIGINT products of exact counts (no mean-centering, no floats
+# anywhere), so a daily-rhythm corpus peaks at L=24 and the rank order
+# is bit-reproducible in both engines (score DESC, lag ASC).
+#
+# Spark shape (100 TB): one pushed-down scan -> hour-keyed partial
+# aggregate; everything after runs on the HOUR SPINE, which is
+# time-span-bounded metadata (10 years ~ 87k rows — the q4y gap-fill
+# convention). The lag pairing deliberately avoids a range join's
+# nested-loop plan: each spine hour explodes into its 48 (lag, hour+L)
+# targets and equi-joins back — a hash join over <= 48·|hours| metadata
+# rows. The 48-row rank window is metadata-sized (the q4za convention).
+# --------------------------------------------------------------------------
+_PERIOD_MAX_LAG = 48
+
+
+@query(
+    "q4zo_periodicity",
+    oracle=f"""
+    WITH hrs AS (
+      SELECT CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT)
+               AS eh,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    rng AS (SELECT MIN(eh) AS lo, MAX(eh) AS hi FROM hrs),
+    spine AS (SELECT unnest(generate_series(r.lo, r.hi)) AS eh FROM rng r),
+    filled AS (
+      SELECT s.eh, COALESCE(h.n, 0) AS n
+      FROM spine s LEFT JOIN hrs h USING (eh)
+    ),
+    scores AS (
+      SELECT CAST(f2.eh - f1.eh AS INT) AS lag,
+             CAST(SUM(f1.n * f2.n) AS BIGINT) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM filled f1 JOIN filled f2
+        ON f2.eh > f1.eh AND f2.eh <= f1.eh + {_PERIOD_MAX_LAG}
+      GROUP BY 1
+    )
+    SELECT lag, score, n_terms,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, lag) AS INT) AS rnk
+    FROM scores
+    """,
+)
+def q4zo_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    eh = F.floor(_epoch_s("ts") / F.lit(3600.0)).cast("bigint")
+    hrs = ev.groupBy(eh.alias("eh")).agg(F.count(F.lit(1)).alias("n"))
+    rng = hrs.agg(F.min("eh").alias("lo"), F.max("eh").alias("hi"))
+    spine = rng.select(F.explode(F.sequence("lo", "hi")).alias("eh"))
+    filled = (
+        spine.join(hrs, "eh", "left")
+        .select("eh", F.coalesce("n", F.lit(0)).alias("n"))
+        .localCheckpoint()  # metadata-sized; consumed by both join sides
+    )
+    lhs = filled.select(
+        F.col("eh").alias("eh1"),
+        F.col("n").alias("n1"),
+        F.explode(
+            F.sequence(
+                F.col("eh") + 1, F.col("eh") + _PERIOD_MAX_LAG
+            )
+        ).alias("eh"),
+    )
+    scores = (
+        lhs.join(filled, "eh")
+        .groupBy((F.col("eh") - F.col("eh1")).cast("int").alias("lag"))
+        .agg(
+            F.sum(F.col("n1") * F.col("n")).cast("bigint").alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("lag"))
+    return scores.select(
+        "lag",
+        "score",
+        "n_terms",
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )

@@ -28,6 +28,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
 import os
 import re
 from collections.abc import Iterator
@@ -2205,4 +2206,137 @@ def q8o_transcode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_docs"),
         F.sum("lossless").alias("n_lossless"),
         F.sum("pix").alias("total_pixels"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q8p — DCT PERCEPTUAL HASH (pHash, round 11): the frequency-domain
+# image fingerprint one rung above q8f's aHash — resize to 32x32, gray,
+# 2-D DCT, keep the top-left 8x8 frequency block, threshold each
+# coefficient against the low-median of the 63 AC coefficients, pack 64
+# bits. pHash survives brightness/contrast shifts aHash does not
+# (coefficients are compared to their own median, so any monotone
+# global remap that preserves coefficient ORDER leaves the hash
+# unchanged), which is why production image-dedup ladders run both.
+#
+# Exactness device: the DCT basis is QUANTIZED to integers
+# (round(cos * 2^14), generated ONCE in Python and inlined as literals
+# into both engines), so the whole transform is exact BIGINT
+# arithmetic — two staged matrix products (B·G then ·B^T), a 63-value
+# order statistic, integer comparisons, integer bit packing. No float
+# enters the pipeline at all; the quantization changes WHICH hash is
+# computed (a frozen contract, like q75's codebook), not its
+# determinism. |coeff| <= 32·16384·765·32·16384 ~ 2.1e14 — well inside
+# BIGINT.
+#
+# Spark shape (100 TB): one mapInPandas decode pass (the family's
+# unavoidable cost — shared batch numpy: resize + two int64 GEMMs per
+# image); the oracle replays the identical arithmetic over a SQL grid
+# from the synthetic-pixel formula, so decode + resize + DCT +
+# median + packing are all value-checked. The median window partitions
+# by doc_id over exactly 64 rows — per-doc metadata, no skew.
+# --------------------------------------------------------------------------
+_PH = 32  # resize grid
+_PH_F = 8  # retained frequencies per axis
+_PH_SCALE = 16384  # 2^14 basis quantization
+
+_PHASH_BASIS = [
+    [
+        round(
+            math.cos(math.pi * (2 * i + 1) * u / (2 * _PH)) * _PH_SCALE
+        )
+        for i in range(_PH)
+    ]
+    for u in range(_PH_F)
+]
+
+
+def _phash_oracle() -> str:
+    si = f"LEAST(CAST(FLOOR((ti.i + 0.5) * (d.h / {_PH}.0)) AS BIGINT), d.h - 1)"
+    sj = f"LEAST(CAST(FLOOR((tj.j + 0.5) * (d.w / {_PH}.0)) AS BIGINT), d.w - 1)"
+    gray = " + ".join(
+        f"((3*{si} + 5*{sj} + {11 * c} + d.doc_id) % 256)" for c in range(3)
+    )
+    basis_rows = ", ".join(
+        f"({u}, {i}, {_PHASH_BASIS[u][i]})"
+        for u in range(_PH_F)
+        for i in range(_PH)
+    )
+    return f"""
+    WITH dims AS ({_DIMS_SQL}),
+    pgrid AS (
+      SELECT d.doc_id, ti.i AS gi, tj.j AS gj, {gray} AS gray
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, {_PH - 1})) AS i) ti,
+           LATERAL (SELECT unnest(generate_series(0, {_PH - 1})) AS j) tj
+    ),
+    basis(u, i, b) AS (VALUES {basis_rows}),
+    m1 AS (
+      SELECT g.doc_id, ba.u, g.gj AS j,
+             CAST(SUM(ba.b * g.gray) AS BIGINT) AS s
+      FROM pgrid g JOIN basis ba ON ba.i = g.gi
+      GROUP BY 1, 2, 3
+    ),
+    dct AS (
+      SELECT m.doc_id, m.u, bb.u AS v,
+             CAST(SUM(m.s * bb.b) AS BIGINT) AS coeff
+      FROM m1 m JOIN basis bb ON bb.i = m.j
+      GROUP BY 1, 2, 3
+    ),
+    med AS (
+      SELECT doc_id, coeff AS med FROM (
+        SELECT doc_id, coeff,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY coeff) AS rn
+        FROM dct WHERE NOT (u = 0 AND v = 0)
+      ) x WHERE rn = {(_PH_F * _PH_F - 1 + 1) // 2}
+    ),
+    pbits AS (
+      SELECT d.doc_id, (d.u * {_PH_F} + d.v) AS bit_idx,
+             CASE WHEN d.coeff > m.med THEN 1 ELSE 0 END AS bit
+      FROM dct d JOIN med m ON m.doc_id = d.doc_id
+    )
+    SELECT doc_id,
+           CAST(SUM(bit) AS BIGINT) AS n_bits,
+           CAST(SUM(CASE WHEN bit = 1 AND bit_idx < 32
+                    THEN CAST(POWER(2.0, bit_idx) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS hash_lo,
+           CAST(SUM(CASE WHEN bit = 1 AND bit_idx >= 32
+                    THEN CAST(POWER(2.0, bit_idx - 32) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS hash_hi
+    FROM pbits GROUP BY doc_id
+    """
+
+
+@query("q8p_image_phash", oracle=_phash_oracle())
+def q8p_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.functions.imagecodec import decode_image
+    from tf_datapipeline_spark.functions.imageops import resize_nearest
+
+    corpus = synthetic_corpus(spark, sf_dir).select(
+        "path", "image_format", "content"
+    )
+    basis = np.array(_PHASH_BASIS, dtype=np.int64)  # (8, 32)
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, fmt, content in zip(
+                pdf["path"], pdf["image_format"], pdf["content"]
+            ):
+                arr = decode_image(bytes(content), fmt).astype(np.int64)
+                gray = resize_nearest(arr, _PH, _PH).sum(axis=2)
+                coeffs = (basis @ gray @ basis.T).flatten()  # u-major
+                # low median of the 63 AC coeffs: rank FLOOR((63+1)/2)=32
+                med = int(np.sort(coeffs[1:])[31])
+                bits = coeffs > med
+                lo = sum(1 << k for k in range(32) if bits[k])
+                hi = sum(1 << (k - 32) for k in range(32, 64) if bits[k])
+                rows.append((_doc_id_of(path), int(bits.sum()), lo, hi))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bits", "hash_lo", "hash_hi"]
+            )
+
+    return corpus.mapInPandas(
+        phash,
+        schema="doc_id bigint, n_bits bigint, hash_lo bigint, hash_hi bigint",
     )
