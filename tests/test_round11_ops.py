@@ -381,3 +381,83 @@ def test_periodicity_scores_match_independent_autocorrelation(spark):
         expect = sum(c[t] * c[t + r.lag] for t in range(n - r.lag))
         assert r.score == expect, r.lag
         assert r.n_terms == n - r.lag
+
+
+def test_lww_upsert_matches_independent_log_replay(spark):
+    """q9p: the per-winning-commit audit equals an independent Python
+    replay of the synthesized 4-commit log (build log, keep the
+    max-commit event per key, aggregate) — and key conservation holds:
+    the winner rows partition the full key set."""
+    import math as _math
+
+    from tf_datapipeline_spark.operators.layout import q9p_lww_upsert
+
+    orders = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    log: dict[int, tuple[int, str, int | None]] = {}
+
+    def event(k, commit, op, cents):
+        cur = log.get(k)
+        if cur is None or commit > cur[0]:
+            log[k] = (commit, op, cents)
+
+    for r in orders:
+        k, p = r.o_orderkey, r.o_totalprice
+        event(k, 1, "u", _math.floor(p * 100))
+        if k % 5 == 0:
+            event(k, 2, "u", _math.floor(p * 1.05 * 100))
+        if k % 11 == 3 and k % 5 != 0:
+            event(k, 2, "d", None)
+        if k % 7 == 1:
+            event(k, 3, "u", _math.floor(p * 1.1 * 100))
+        if k % 22 == 3 and k % 7 != 1:
+            event(k, 3, "u", _math.floor(p * 1.2 * 100))
+        if k % 13 == 2:
+            event(k, 4, "d", None)
+    expect: dict[tuple[int, str], list[int]] = {}
+    for commit, op, cents in log.values():
+        e = expect.setdefault((commit, op), [0, 0])
+        e[0] += 1
+        if cents is not None:
+            e[1] += cents
+
+    rows = q9p_lww_upsert(spark, SF_SMOKE).collect()
+    got = {
+        (r.winner_commit, r.op): (r.n_keys, r.cents_sum) for r in rows
+    }
+    assert got == {
+        k: (n, s if k[1] == "u" else None) for k, (n, s) in expect.items()
+    }
+    assert sum(r.n_keys for r in rows) == len(orders)
+
+
+def test_ivf_probe_curve_is_monotone_and_exhaustive_at_full_probe(spark):
+    """q7o: recall and candidate volume are non-decreasing in nprobe,
+    the full-probe row (p = 16 = every cell) is EXACTLY exhaustive —
+    recall 1.0 and one candidate per (query, corpus vector) — and each
+    row's ratios re-derive from its integers."""
+    from tf_datapipeline_spark.operators.similarity import (
+        _N_QUERIES,
+        _PROBE_LEVELS,
+        _REC_K,
+        q7o_ivf_probe_curve,
+    )
+
+    rows = sorted(q7o_ivf_probe_curve(spark, SF_SMOKE).collect())
+    assert [r.nprobe for r in rows] == sorted(_PROBE_LEVELS)
+    recalls = [r.recall_at_k for r in rows]
+    cands = [r.n_candidates for r in rows]
+    assert recalls == sorted(recalls)
+    assert cands == sorted(cands)
+    n_vecs = load_table(spark, SF_SMOKE, "embeddings").count()
+    full = rows[-1]
+    assert full.nprobe == 16
+    assert full.recall_at_k == 1.0
+    assert full.n_candidates == _N_QUERIES * (n_vecs - _N_QUERIES)
+    for r in rows:
+        assert r.avg_candidates == r.n_candidates / _N_QUERIES
+        assert r.recall_at_k == r.n_hits / (_N_QUERIES * _REC_K)
+        assert 0 <= r.n_hits <= _N_QUERIES * _REC_K

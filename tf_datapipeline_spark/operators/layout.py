@@ -1399,3 +1399,76 @@ def _occ_body(dialect: str) -> str:
 def q9n_occ_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_occ_body("spark"))
+
+
+# --------------------------------------------------------------------------
+# q9p — LWW UPSERT COMPACTION (round 11): resolve a MULTI-commit CDC
+# log to the table's current state by last-writer-wins — the log
+# compaction every streaming-upsert table (Delta CDF apply, Iceberg
+# upsert, Hudi MOR compaction, Kafka compacted topics) runs. The
+# sibling ops cover two commits (q9i history, q9h delta-apply); this
+# one exercises multi-version resolution: per key, ONLY the
+# highest-commit event survives, an update wins as the live row, a
+# tombstone deletes the key, and a later re-insert revives it.
+#
+# The synthesized 4-commit log derives deterministically from orders
+# (the q1y/q9h/q9i convention): c1 = initial load; c2 updates keys
+# ≡ 0 (mod 5) and tombstones keys ≡ 3 (mod 11) minus the update arm's
+# keys; c3 updates keys ≡ 1 (mod 7) and RE-INSERTS keys ≡ 3 (mod 22)
+# minus that update arm — most of the c2 tombstones come back; c4
+# tombstones keys ≡ 2 (mod 13). Each commit's arms exclude each other,
+# so the log carries at most ONE event per (key, commit) and LWW needs
+# no same-commit tie-break (the first draft's overlapping arms made
+# the winner engine-dependent — caught by the independent-replay
+# test). All cents go through the shared FLOOR device, so the
+# per-winning-commit audit (key counts + exact cent sums for
+# survivors, counts for tombstone winners) is integer-exact.
+#
+# Scale (100 TB): the log is a union of filtered projections of ONE
+# scan; resolution is a single key-partitioned row_number window
+# (commit DESC — natural key hashing, no skew: every key carries ≤ 4
+# log rows by construction), and the audit is one partial-aggregated
+# rollup of the winners. No driver-side state at all.
+# --------------------------------------------------------------------------
+def _lww_body(dialect: str = "spark") -> str:
+    up = "CAST(FLOOR(o_totalprice * {m} * 100) AS BIGINT)"
+    return f"""
+    WITH log AS (
+      SELECT o_orderkey AS k, 1 AS commit, 'u' AS op,
+             {_IVM_CENTS} AS cents
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'u', {up.format(m="1.05")}
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'd', CAST(NULL AS BIGINT)
+      FROM orders WHERE o_orderkey % 11 = 3 AND o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'u', {up.format(m="1.1")}
+      FROM orders WHERE o_orderkey % 7 = 1
+      UNION ALL
+      SELECT o_orderkey, 3, 'u', {up.format(m="1.2")}
+      FROM orders WHERE o_orderkey % 22 = 3 AND o_orderkey % 7 <> 1
+      UNION ALL
+      SELECT o_orderkey, 4, 'd', CAST(NULL AS BIGINT)
+      FROM orders WHERE o_orderkey % 13 = 2
+    ),
+    winners AS (
+      SELECT k, commit, op, cents FROM (
+        SELECT k, commit, op, cents,
+               ROW_NUMBER() OVER (PARTITION BY k
+                                  ORDER BY commit DESC, op) AS rn
+        FROM log
+      ) r WHERE rn = 1
+    )
+    SELECT CAST(commit AS INT) AS winner_commit, op,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum
+    FROM winners GROUP BY 1, 2
+    """
+
+
+@query("q9p_lww_upsert", oracle=_lww_body("duckdb"))
+def q9p_lww_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_lww_body())

@@ -2503,3 +2503,127 @@ def q7n_farthest_first_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "rnd int, vec_id bigint, maximin_d2 double"
     )
+
+
+# --------------------------------------------------------------------------
+# q7o — IVF PROBE-COUNT TUNING CURVE (round 11): the ANN twin of q6k's
+# LSH S-curve calibration — the recall-vs-cost table an operator reads
+# before picking nprobe in production. For each probe budget p in
+# {1, 2, 4, 8, 16}, every query searches only the corpus vectors whose
+# nearest seed cell ranks within its top-p cells; the row reports the
+# candidate volume (the cost axis) and recall@k vs the exact top-k
+# (the quality axis). p = 16 probes every cell, so its recall row is
+# exactly 1 — a built-in self-check the invariant test pins.
+#
+# Determinism/oracle: cell assignment and query cell ranking both use
+# the order-pinned fold_l2 doubles with integer tie-breaks (the q74
+# contract — no numpy/BLAS in the assignment path, unlike rows-only
+# q73); rescoring uses fold_dot cosines; the only divisions are the
+# two per-row IEEE ratios. One dialect-parameterized SQL body drives
+# both engines.
+#
+# Scale (100 TB): assignment is the q74 shape (corpus x 16 broadcast
+# centroids, one argmin window partitioned per vector); each probe
+# level reuses ONE shared (query, candidate) cosine table — the level
+# join multiplies metadata (5 levels x prank filter), not rescoring
+# work. Cost is ~2x the corpus in fold_dot evaluations for the full
+# curve (sum of probed fractions), vs 16x if each level rescored
+# independently.
+# --------------------------------------------------------------------------
+_PROBE_LEVELS = (1, 2, 4, 8, 16)
+
+
+def _ivf_probe_sql(dialect: str) -> str:
+    cells = ", ".join(
+        f"({c}, {8 + _CENTROID_STRIDE * c})" for c in range(_N_CELLS)
+    )
+    levels = ", ".join(f"({p})" for p in _PROBE_LEVELS)
+    hint = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
+    qhint = "/*+ BROADCAST(qc) */ " if dialect == "spark" else ""
+    return f"""
+    WITH cells(cell, cvec_id) AS (VALUES {cells}),
+    levels(p) AS (VALUES {levels}),
+    cente AS (
+      SELECT c.cell, e.embedding AS cemb
+      FROM cells c JOIN embeddings e ON e.vec_id = c.cvec_id
+    ),
+    nrm AS (
+      SELECT vec_id, embedding,
+             SQRT({fold_norm2(dialect, "embedding")}) AS n
+      FROM embeddings
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT {hint}v.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {fold_l2(dialect, "v.embedding", "c.cemb")},
+                                           c.cell) AS rn
+        FROM embeddings v CROSS JOIN cente c
+        WHERE v.vec_id >= {_N_QUERIES}
+      ) r WHERE rn = 1
+    ),
+    qcells AS (
+      SELECT query_id, cell, prank FROM (
+        SELECT {hint}q.vec_id AS query_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {fold_l2(dialect, "q.embedding", "c.cemb")},
+                                           c.cell) AS prank
+        FROM embeddings q CROSS JOIN cente c
+        WHERE q.vec_id < {_N_QUERIES}
+      ) r
+    ),
+    scored AS (
+      SELECT {qhint}qc.query_id, a.vec_id, qc.prank,
+             {fold_dot(dialect, "vn.embedding", "qn.embedding")}
+               / (qn.n * vn.n) AS cos
+      FROM qcells qc
+      JOIN assign a ON a.cell = qc.cell
+      JOIN nrm vn ON vn.vec_id = a.vec_id
+      JOIN nrm qn ON qn.vec_id = qc.query_id
+    ),
+    found AS (
+      SELECT p, query_id, vec_id FROM (
+        SELECT l.p, s.query_id, s.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY l.p, s.query_id
+                                  ORDER BY s.cos DESC, s.vec_id) AS rnk
+        FROM scored s JOIN levels l ON s.prank <= l.p
+      ) r WHERE rnk <= {_REC_K}
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT qn.vec_id AS query_id, vn.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qn.vec_id
+                 ORDER BY {fold_dot(dialect, "vn.embedding", "qn.embedding")}
+                            / (qn.n * vn.n) DESC,
+                          vn.vec_id) AS rnk
+        FROM (SELECT * FROM nrm WHERE vec_id < {_N_QUERIES}) qn
+        JOIN (SELECT * FROM nrm WHERE vec_id >= {_N_QUERIES}) vn ON 1 = 1
+      ) r WHERE rnk <= {_REC_K}
+    ),
+    hits AS (
+      SELECT f.p, CAST(COUNT(*) AS BIGINT) AS nh
+      FROM found f JOIN exact e
+        ON e.query_id = f.query_id AND e.vec_id = f.vec_id
+      GROUP BY 1
+    ),
+    cands AS (
+      SELECT l.p, CAST(COUNT(*) AS BIGINT) AS nc
+      FROM scored s JOIN levels l ON s.prank <= l.p
+      GROUP BY 1
+    )
+    SELECT CAST(c.p AS INT) AS nprobe,
+           CAST({_N_QUERIES} AS BIGINT) AS n_queries,
+           c.nc AS n_candidates,
+           CAST(c.nc AS DOUBLE) / {_N_QUERIES} AS avg_candidates,
+           COALESCE(h.nh, 0) AS n_hits,
+           CAST(COALESCE(h.nh, 0) AS DOUBLE)
+             / {_N_QUERIES * _REC_K} AS recall_at_k
+    FROM cands c LEFT JOIN hits h ON h.p = c.p
+    """
+
+
+@query("q7o_ivf_probe_curve", oracle=_ivf_probe_sql("duckdb"))
+def q7o_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_ivf_probe_sql("spark"))
