@@ -186,6 +186,8 @@ EXTRA = [
     "q8p_image_phash",
     "q4zo_periodicity",
     "q4zn_stream_funnel_latency",
+    "q9p_lww_upsert",
+    "q7o_ivf_probe_curve",
 ]
 
 

@@ -461,3 +461,29 @@ def test_ivf_probe_curve_is_monotone_and_exhaustive_at_full_probe(spark):
         assert r.avg_candidates == r.n_candidates / _N_QUERIES
         assert r.recall_at_k == r.n_hits / (_N_QUERIES * _REC_K)
         assert 0 <= r.n_hits <= _N_QUERIES * _REC_K
+
+
+def test_index_build_composite_conserves_membership(spark):
+    """qt6: 8 cells x 64 dims; for every dim the member counts sum to
+    the corpus size (assignment is a partition); every cell is
+    non-empty (its seed is at distance 0 from itself); per-cell counts
+    are identical across dims; and each centroid coordinate lies within
+    the corpus's coordinate range."""
+    from tf_datapipeline_spark.operators.similarity import (
+        _FF_K,
+        qt6_index_build,
+    )
+
+    rows = qt6_index_build(spark, SF_SMOKE).collect()
+    n_vecs = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert len(rows) == _FF_K * 64
+    assert {r.cell for r in rows} == set(range(_FF_K))
+    by_dim: dict[int, int] = {}
+    cell_counts: dict[int, set] = {}
+    for r in rows:
+        by_dim[r.dim] = by_dim.get(r.dim, 0) + r.n_members
+        cell_counts.setdefault(r.cell, set()).add(r.n_members)
+        assert r.n_members >= 1
+        assert -1.5 <= r.centroid <= 1.5, r
+    assert set(by_dim.values()) == {n_vecs}
+    assert all(len(s) == 1 for s in cell_counts.values())

@@ -2467,8 +2467,12 @@ def _farthest_first_sql() -> str:
     """
 
 
-@query("q7n_farthest_first_init", oracle=_farthest_first_sql())
-def q7n_farthest_first_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _farthest_first_picks(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, int, float | None]]:
+    """The maximin selection loop behind q7n, returning the K-row pick
+    ledger [(rnd, vec_id, maximin_d2)] — shared with qt6's index-build
+    composite, which seeds its assignment stage from these picks."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     seed = emb.filter(F.col("vec_id") == _FF_SEED).select(
         F.col("embedding").alias("cemb")
@@ -2500,6 +2504,12 @@ def q7n_farthest_first_init(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr(fold_l2("spark", "embedding", "cemb")),
                 ).alias("md"),
             )
+    return picks
+
+
+@query("q7n_farthest_first_init", oracle=_farthest_first_sql())
+def q7n_farthest_first_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    picks = _farthest_first_picks(spark, sf_dir)
     return spark.createDataFrame(
         picks, "rnd int, vec_id bigint, maximin_d2 double"
     )
@@ -2627,3 +2637,95 @@ def _ivf_probe_sql(dialect: str) -> str:
 def q7o_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_ivf_probe_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# qt6 — INDEX-BUILD COMPOSITE (round 11): the end-to-end ANN training
+# pipeline in one oracle-checked query — data-adaptive seeding (q7n's
+# farthest-first maximin picks) feeding a Lloyd assignment + quantized
+# centroid recompute (q74's step) over the picked seeds instead of the
+# fixed id grid. This is the composite a production index build runs
+# before q73/q77 serve queries: seeds -> assign -> retrain. Output is
+# q74's (cell, dim, centroid, n_members) table, cells numbered by pick
+# round.
+#
+# Engine split: Spark runs the q7n selection loop (K-1 broadcast scans,
+# localCheckpoint-bounded) and inlines the picked ids as a literal
+# seeds table for the assignment SQL; the DuckDB oracle derives the
+# SAME seeds declaratively (the q7n CTE chain) and chains the
+# assignment onto them — so seed selection AND the downstream
+# assignment/means are one cross-engine value check. All arithmetic is
+# the family's exactness kit: order-pinned fold_l2 distances, integer
+# tie-breaks, FLOOR·2^36-quantized means.
+#
+# Scale (100 TB): selection is O(K·n) distance work (q7n's shape);
+# assignment is q74's shape — K packed broadcast centroids against one
+# corpus scan, argmin window partitioned per vector, one partial-agged
+# rollup. No stage materializes more than the K-row seed ledger on the
+# driver.
+# --------------------------------------------------------------------------
+def _index_build_tail(dialect: str) -> str:
+    hint = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
+    return f"""
+    scente AS (
+      SELECT s.cell, e.embedding AS cemb
+      FROM seeds s JOIN embeddings e ON e.vec_id = s.svec
+    ),
+    bdists AS (
+      SELECT {hint}v.vec_id, c.cell,
+             {fold_l2(dialect, "v.embedding", "c.cemb")} AS d2
+      FROM embeddings v CROSS JOIN scente c
+    ),
+    bassign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cell) AS rn
+        FROM bdists
+      ) ranked WHERE rn = 1
+    )
+    SELECT a.cell, CAST(d.pos AS INT) AS dim,
+           (CAST(SUM(CAST(FLOOR(d.x * 68719476736.0) AS BIGINT)) AS DOUBLE)
+              / 68719476736.0) / COUNT(*) AS centroid,
+           COUNT(*) AS n_members
+    FROM dims d JOIN bassign a ON a.vec_id = d.vec_id
+    GROUP BY 1, 2
+    """
+
+
+def _index_build_oracle() -> str:
+    d = "duckdb"
+    ff = _farthest_first_sql()
+    # reuse q7n's CTE chain: extract everything between WITH and the
+    # final SELECT (the m1/p1..m7/p7 ledger CTEs)
+    chain = ff.split("WITH ", 1)[1].rsplit("SELECT CAST(rnd AS INT)", 1)[0]
+    chain = chain.rstrip().rstrip("\n")
+    # drop the trailing newline-SELECT remnant: chain ends with the last
+    # p CTE closing paren
+    seed_rows = "\n      UNION ALL ".join(
+        [f"SELECT 0 AS cell, CAST({_FF_SEED} AS BIGINT) AS svec"]
+        + [
+            f"SELECT {k}, vec_id FROM p{k}"
+            for k in range(1, _FF_K)
+        ]
+    )
+    return f"""
+    WITH dims AS ({_dims_cte(d)}),
+    {chain},
+    seeds AS (
+      {seed_rows}
+    ),
+    {_index_build_tail(d)}
+    """
+
+
+@query("qt6_index_build", oracle=_index_build_oracle())
+def qt6_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _materialize_dims(spark, sf_dir)
+    picks = _farthest_first_picks(spark, sf_dir)
+    seeds = ", ".join(f"({rnd}, {vid})" for rnd, vid, _ in picks)
+    return spark.sql(f"""
+    WITH dims AS ({_dims_cte("spark")}),
+    seeds(cell, svec) AS (VALUES {seeds}),
+    {_index_build_tail("spark")}
+    """)
