@@ -188,6 +188,12 @@ EXTRA = [
     "q4zn_stream_funnel_latency",
     "q9p_lww_upsert",
     "q7o_ivf_probe_curve",
+    "qt6_index_build",
+    "qt7_tokenize_pack",
+    "q9q_time_travel",
+    "q4zp_cusum_changepoint",
+    "q7p_silhouette",
+    "q5w_chi2_drift",
 ]
 
 

@@ -241,6 +241,12 @@ def test_no_accidental_cross_products(spark):
         # key domain is bounded by the literal _CLUSTER_FILES, but (like
         # q68's pmod) that arithmetic bound isn't visible in the plan
         "q9j_clustering_depth",
+        # source x length-band grid: both cross-join sides are rollups
+        # over DOMAIN-bounded keys — source (a feed/shard name, the q6h
+        # rationale) and band = floor(n_chars / 64) (document length is
+        # schema-capped); the grid is metadata-sized at any corpus size
+        # but neither bound is visible in the plan
+        "q5w_chi2_drift",
     }
     # Accumulate violations across ALL queries before asserting — a single
     # failure must not shadow the rest of the sweep (round-5 lesson: an
@@ -339,7 +345,7 @@ def test_collect_sites_are_bounded_metadata_only():
         ("operators/pipeline.py", "plan_coarsen_cuts"),
         # <= _BPE_K merge-table rows (top-K over a partial aggregate);
         # inlined as literals so the vocab fold stays codegen-cheap
-        ("operators/text.py", "q5t_bpe_encode"),
+        ("operators/text.py", "_bpe_doc_counts"),
         # <= |groups| * _MAX_OFFSET_BUCKETS agg rows; group_cols is a
         # low-cardinality metadata key by contract (q26/q28's 5-value
         # c_mktsegment)
@@ -347,6 +353,11 @@ def test_collect_sites_are_bounded_metadata_only():
         ("operators/similarity.py", "q73_knn_ann_ivf"),  # k=16 centroid rows
         ("operators/similarity.py", "q77_knn_ivfpq"),  # k=16 seed-centroid rows
         ("operators/similarity.py", "q7k_cell_balance"),  # <=16 seed rows
+        # ONE argmax row per maximin round, K-1 rounds total (the
+        # sequential farthest-first ledger q7n/qt6 seed from — each
+        # round's distance update stays executor-side; only the single
+        # winner row crosses to the driver)
+        ("operators/similarity.py", "_farthest_first_picks"),
         # <= _COARSE_CAP coarse seed rows — the filter itself caps the row
         # count at a corpus-INDEPENDENT constant (r5 fix; the fine split
         # happens executor-side). Pinned corpus-independent below. Moved

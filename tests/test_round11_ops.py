@@ -487,3 +487,158 @@ def test_index_build_composite_conserves_membership(spark):
         assert -1.5 <= r.centroid <= 1.5, r
     assert set(by_dim.values()) == {n_vecs}
     assert all(len(s) == 1 for s in cell_counts.values())
+
+
+def test_time_travel_history_consistent(spark):
+    """q9q: (1) version 1 is the initial load — n_live equals the orders
+    row count with zero tombstones; (2) live + tombstoned keys is
+    constant across versions (keys never vanish from the resolved
+    state, they only flip arms); (3) the final version's live rows agree
+    with q9p's LWW winners (count and cents) — the as-of read at the
+    head IS the latest state."""
+    from tf_datapipeline_spark.operators.layout import (
+        q9p_lww_upsert,
+        q9q_time_travel,
+    )
+
+    hist = {r.version: r for r in q9q_time_travel(spark, SF_SMOKE).collect()}
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    assert hist[1].n_live == n_orders and hist[1].n_tombstoned == 0
+    totals = {v.n_live + v.n_tombstoned for v in hist.values()}
+    assert totals == {n_orders}
+    lww = q9p_lww_upsert(spark, SF_SMOKE).collect()
+    live = [r for r in lww if r.op == "u"]
+    head = hist[max(hist)]
+    assert head.n_live == sum(r.n_keys for r in live)
+    assert head.cents_sum == sum(r.cents_sum for r in live)
+    assert head.n_tombstoned == sum(
+        r.n_keys for r in lww if r.op == "d"
+    )
+
+
+def test_cusum_changepoint_matches_bruteforce(spark):
+    """q4zp: per type, the reported changepoint equals an independent
+    Python brute-force argmax of |T*cum_t - t*N| over the daily series
+    (earliest-day ties), and the normalized magnitude sits in [0, 1)."""
+    from tf_datapipeline_spark.operators.events import (
+        q4zp_cusum_changepoint,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.floor(
+                F.col("ts").cast("timestamp").cast("long") / 86400.0
+            ).cast("bigint").alias("eday"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    series: dict[str, list[tuple[int, int]]] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.eday, r.n))
+    expected = {}
+    for et, days in series.items():
+        days.sort()
+        total = sum(n for _, n in days)
+        t_days = len(days)
+        cum, best = 0, None
+        for t, (eday, n) in enumerate(days, start=1):
+            cum += n
+            d = t_days * cum - t * total
+            if best is None or abs(d) > abs(best[1]):
+                best = (eday, d)
+        expected[et] = best
+    got = {r.event_type: r for r in q4zp_cusum_changepoint(spark, SF_SMOKE).collect()}
+    assert set(got) == set(expected)
+    for et, (eday, d) in expected.items():
+        assert (got[et].cp_eday, got[et].cp_stat) == (eday, d), et
+        assert 0.0 <= got[et].cp_norm < 1.0
+
+
+def test_silhouette_bounds_and_membership(spark):
+    """q7p: cell member counts sum to the corpus size (every vector in
+    exactly one cell), all 16 cells appear, and silhouette stats obey
+    min <= avg <= max within [0, 1] (a is the argmin distance so s >= 0
+    by construction; the 16 centroid self-rows pin max = 1 somewhere)."""
+    from tf_datapipeline_spark.operators.similarity import (
+        _N_CELLS,
+        q7p_silhouette,
+    )
+
+    rows = q7p_silhouette(spark, SF_SMOKE).collect()
+    n_vecs = load_table(spark, SF_SMOKE, "embeddings").count()
+    # cells that attract no vectors drop out of the GROUP BY; the 16
+    # centroid self-assignments guarantee at least one member somewhere
+    # but not 16 non-empty cells on a smoke corpus
+    assert 1 <= len(rows) <= _N_CELLS
+    assert sum(r.n_members for r in rows) == n_vecs
+    for r in rows:
+        assert 0.0 <= r.min_silhouette <= r.max_silhouette <= 1.0
+        # the quantized mean floors each addend: allow one quantum below
+        assert r.min_silhouette - 1e-9 <= r.avg_silhouette <= r.max_silhouette
+
+
+def test_chi2_drift_detects_injected_shift(spark):
+    """q5w: the statistic is non-negative everywhere, and the
+    whole-table identity holds: sum over sources of chi2 equals the
+    classic contingency chi-square of the source x band table computed
+    independently in Python (within the 2^-36 quantization floor each
+    grid cell can lose)."""
+    from tf_datapipeline_spark.operators.text import (
+        _DRIFT_BAND_W,
+        q5w_chi2_drift,
+    )
+
+    rows = q5w_chi2_drift(spark, SF_SMOKE).collect()
+    assert all(r.chi2 >= 0.0 for r in rows)
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    from collections import Counter
+
+    cells = Counter(
+        (r.source, int(r.n_chars // _DRIFT_BAND_W)) for r in docs
+    )
+    rowt = Counter()
+    colt = Counter()
+    for (s, b), o in cells.items():
+        rowt[s] += o
+        colt[b] += o
+    n = sum(cells.values())
+    chi2 = 0.0
+    for s in rowt:
+        for b in colt:
+            e = float(rowt[s]) * colt[b] / n
+            o = cells.get((s, b), 0)
+            chi2 += (o - e) * (o - e) / e
+    got = sum(r.chi2 for r in rows)
+    n_cells = len(rowt) * len(colt)
+    assert abs(got - chi2) <= n_cells / 2**36 + 1e-9 * chi2
+    assert {r.n_bands for r in rows} == {len(colt)}
+
+
+def test_tokenize_pack_layout_is_gapless(spark):
+    """qt7: the packed layout is a PARTITION of the encoded token
+    stream — doc k+1 starts exactly where doc k ends, chunk spans are
+    consistent with the 512 boundary arithmetic, and the per-doc BPE
+    counts are exactly q5t's."""
+    from tf_datapipeline_spark.operators.text import (
+        _PACK_B,
+        q5t_bpe_encode,
+        qt7_tokenize_pack,
+    )
+
+    rows = sorted(
+        qt7_tokenize_pack(spark, SF_SMOKE).collect(), key=lambda r: r.doc_id
+    )
+    enc = {r.doc_id: r.n_bpe_tokens for r in q5t_bpe_encode(spark, SF_SMOKE).collect()}
+    pos = 0
+    for r in rows:
+        assert r.start_tok == pos, r.doc_id
+        assert r.n_bpe_tokens == enc[r.doc_id]
+        assert r.chunk_first == r.start_tok // _PACK_B
+        assert r.chunk_last == (r.start_tok + r.n_bpe_tokens - 1) // _PACK_B
+        assert r.n_chunks == r.chunk_last - r.chunk_first + 1
+        pos += r.n_bpe_tokens

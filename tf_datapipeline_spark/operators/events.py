@@ -2309,3 +2309,122 @@ def q4zo_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_terms",
         F.row_number().over(w).cast("int").alias("rnk"),
     )
+
+
+# --------------------------------------------------------------------------
+# q4zp — CUSUM CHANGEPOINT DETECTION (round 11): the regime-shift audit
+# that closes the monitoring ladder — q4zb models a KNOWN cycle, q4zo
+# DISCOVERS the cycle, q4zp finds the single most likely LEVEL SHIFT in
+# each event type's daily volume (a feed going dark, a bot flood, an
+# ingest config change — the curation incidents a 100 TB corpus audit
+# must localize in time). Statistic: the classic offline CUSUM — the
+# day t maximizing |S_t|, S_t = cum_t - t*(N/T) over the T observed
+# days. Scaled by T it is ALL-INTEGER: D_t = T*cum_t - t*N (exact
+# BIGINT — no float drift can move the argmax), with ties broken to the
+# earliest day. Reported per type: the changepoint day, D at the
+# changepoint, the normalized magnitude |D|/(T*N) in [0,1) (one IEEE
+# division), and the pre/post daily rates whose gap IS the detected
+# shift.
+#
+# Headroom: |D| <= T*N; at 4000 days x 1e12 events T*N ~ 4e15 — inside
+# BIGINT at any plausible corpus scale.
+#
+# Spark shape (100 TB): one pushed-down scan -> (type, day) partial
+# aggregate; everything after runs on the DAILY table (types x days —
+# metadata-sized). One type-keyed running-sum window (integer-exact in
+# any partition order), a 3-row-per-type broadcast-scale totals join,
+# and an argmax window per type. No data-sized window, no driver state.
+# --------------------------------------------------------------------------
+@query(
+    "q4zp_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400.0)
+               AS BIGINT) AS eday,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t_days,
+             CAST(SUM(n) AS BIGINT) AS n_events
+      FROM daily GROUP BY 1
+    ),
+    walk AS (
+      SELECT event_type, eday,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY eday) AS BIGINT) AS t,
+             CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY eday
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM daily
+    ),
+    cp AS (
+      SELECT event_type, eday, t, cum, dstat, t_days, n_events FROM (
+        SELECT w.event_type, w.eday, w.t, w.cum,
+               o.t_days * w.cum - w.t * o.n_events AS dstat,
+               o.t_days, o.n_events,
+               ROW_NUMBER() OVER (PARTITION BY w.event_type
+                                  ORDER BY ABS(o.t_days * w.cum
+                                               - w.t * o.n_events) DESC,
+                                           w.eday) AS rn
+        FROM walk w JOIN tot o USING (event_type)
+      ) r WHERE rn = 1
+    )
+    SELECT event_type, t_days, n_events, eday AS cp_eday,
+           CAST(dstat AS BIGINT) AS cp_stat,
+           CAST(ABS(dstat) AS DOUBLE) / (t_days * n_events) AS cp_norm,
+           CAST(cum AS DOUBLE) / t AS rate_pre,
+           CASE WHEN t_days > t
+                THEN CAST(n_events - cum AS DOUBLE) / (t_days - t)
+                ELSE CAST(NULL AS DOUBLE) END AS rate_post
+    FROM cp
+    """,
+)
+def q4zp_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    eday = F.floor(_epoch_s("ts") / F.lit(86400.0)).cast("bigint")
+    daily = ev.groupBy(
+        "event_type", eday.alias("eday")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("t_days"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("eday")
+    walk = daily.select(
+        "event_type",
+        "eday",
+        F.row_number().over(wo).cast("bigint").alias("t"),
+        F.sum("n").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum"),
+    )
+    dstat = F.col("t_days") * F.col("cum") - F.col("t") * F.col("n_events")
+    wcp = Window.partitionBy("event_type").orderBy(
+        F.abs(dstat).desc(), F.asc("eday")
+    )
+    cp = (
+        walk.join(tot, "event_type")
+        .withColumn("dstat", dstat)
+        .withColumn("rn", F.row_number().over(wcp))
+        .filter(F.col("rn") == 1)
+    )
+    return cp.select(
+        "event_type",
+        "t_days",
+        "n_events",
+        F.col("eday").alias("cp_eday"),
+        F.col("dstat").cast("bigint").alias("cp_stat"),
+        (
+            F.abs("dstat").cast("double")
+            / (F.col("t_days") * F.col("n_events"))
+        ).alias("cp_norm"),
+        (F.col("cum").cast("double") / F.col("t")).alias("rate_pre"),
+        F.when(
+            F.col("t_days") > F.col("t"),
+            (F.col("n_events") - F.col("cum")).cast("double")
+            / (F.col("t_days") - F.col("t")),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("rate_post"),
+    )

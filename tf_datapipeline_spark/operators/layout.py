@@ -1430,10 +1430,12 @@ def q9n_occ_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # log rows by construction), and the audit is one partial-aggregated
 # rollup of the winners. No driver-side state at all.
 # --------------------------------------------------------------------------
-def _lww_body(dialect: str = "spark") -> str:
+def _commit_log_cte() -> str:
+    """The shared synthesized 4-commit changelog (see the q9p comment
+    above for the arm arithmetic) — reused verbatim by q9p (LWW latest
+    state) and q9q (as-of reads at EVERY version)."""
     up = "CAST(FLOOR(o_totalprice * {m} * 100) AS BIGINT)"
     return f"""
-    WITH log AS (
       SELECT o_orderkey AS k, 1 AS commit, 'u' AS op,
              {_IVM_CENTS} AS cents
       FROM orders
@@ -1452,7 +1454,12 @@ def _lww_body(dialect: str = "spark") -> str:
       UNION ALL
       SELECT o_orderkey, 4, 'd', CAST(NULL AS BIGINT)
       FROM orders WHERE o_orderkey % 13 = 2
-    ),
+    """
+
+
+def _lww_body(dialect: str = "spark") -> str:
+    return f"""
+    WITH log AS ({_commit_log_cte()}),
     winners AS (
       SELECT k, commit, op, cents FROM (
         SELECT k, commit, op, cents,
@@ -1472,3 +1479,63 @@ def _lww_body(dialect: str = "spark") -> str:
 def q9p_lww_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_lww_body())
+
+
+# --------------------------------------------------------------------------
+# q9q — TIME-TRAVEL (AS-OF) SNAPSHOT RECONSTRUCTION (round 11): the read
+# path q9p's write path implies — reconstruct the table state AS OF each
+# commit v from the same 4-commit changelog and audit every historical
+# snapshot in ONE query (live-key count, tombstone count, exact cents
+# total). This is the `VERSION AS OF` contract every table format ships
+# (Delta/Iceberg/Hudi time travel): replaying the log truncated at v
+# must yield the state a reader at commit v saw. q9p resolves only the
+# LATEST state; q9q pins the whole history — an audit row per version —
+# so a log-compaction or replication bug that silently rewrites history
+# (not just the head) is caught by the version rows it corrupts.
+#
+# Exactness: all integer (cents through the shared FLOOR device; counts
+# are exact); LWW resolution per (version, key) reuses q9p's
+# ROW_NUMBER(commit DESC) device, and each key carries at most ONE log
+# event per commit by construction, so winners are engine-independent.
+#
+# Scale (100 TB): the log is a union of filtered projections of ONE
+# orders scan; the versions side is a 4-row literal (broadcast-pinned,
+# bounded build — the theta-join `commit <= v` fans each log row out to
+# at most |versions| audit copies, metadata-scale). Resolution is one
+# (v, k)-partitioned row_number window — natural key hashing, <= 4 rows
+# per (v, k) group — and the audit is one partial-aggregated rollup per
+# version. Real table formats replay only the manifest/metadata layer
+# this log stands in for, never the data files.
+# --------------------------------------------------------------------------
+_N_COMMITS = 4
+
+
+def _time_travel_body(dialect: str = "spark") -> str:
+    hint = "/*+ BROADCAST(s) */ " if dialect == "spark" else ""
+    versions = ", ".join(f"({v})" for v in range(1, _N_COMMITS + 1))
+    return f"""
+    WITH log AS ({_commit_log_cte()}),
+    versions(v) AS (VALUES {versions}),
+    winners AS (
+      SELECT v, k, op, cents FROM (
+        SELECT {hint}s.v, l.k, l.op, l.cents,
+               ROW_NUMBER() OVER (PARTITION BY s.v, l.k
+                                  ORDER BY l.commit DESC, l.op) AS rn
+        FROM log l JOIN versions s ON l.commit <= s.v
+      ) r WHERE rn = 1
+    )
+    SELECT CAST(v AS INT) AS version,
+           CAST(SUM(CASE WHEN op = 'u' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_live,
+           CAST(SUM(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tombstoned,
+           CAST(SUM(CASE WHEN op = 'u' THEN cents ELSE 0 END) AS BIGINT)
+             AS cents_sum
+    FROM winners GROUP BY 1
+    """
+
+
+@query("q9q_time_travel", oracle=_time_travel_body("duckdb"))
+def q9q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_time_travel_body())

@@ -2601,7 +2601,8 @@ def _ivf_probe_sql(dialect: str) -> str:
     ),
     exact AS (
       SELECT query_id, vec_id FROM (
-        SELECT qn.vec_id AS query_id, vn.vec_id,
+        SELECT {"/*+ BROADCAST(qn) */ " if dialect == "spark" else ""}
+               qn.vec_id AS query_id, vn.vec_id,
                ROW_NUMBER() OVER (
                  PARTITION BY qn.vec_id
                  ORDER BY {fold_dot(dialect, "vn.embedding", "qn.embedding")}
@@ -2729,3 +2730,80 @@ def qt6_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds(cell, svec) AS (VALUES {seeds}),
     {_index_build_tail("spark")}
     """)
+
+
+# --------------------------------------------------------------------------
+# q7p — SILHOUETTE AUDIT of the IVF cell assignment (round 11): the
+# cluster-quality rung the index family lacked — q7k counts cell sizes
+# (balance), q7j tracks centroid drift, but neither says whether the
+# PARTITIONING ITSELF is any good. The (centroid-based) silhouette does:
+# per vector, a = L2 distance to its own (nearest) centroid, b = L2 to
+# the runner-up centroid, s = (b - a) / max(a, b) in [0, 1] here (a is
+# the argmin, so a <= b). Cells full of s ~ 0 vectors sit on cell
+# boundaries — exactly the vectors an nprobe=1 search loses (q7o's
+# recall curve quantifies the loss; q7p localizes WHICH cells cause it).
+# This is the standard medoid/centroid simplification of the full
+# silhouette — the all-pairs a/b (O(n^2) at corpus scale) is replaced by
+# distance-to-centroid, the form every large-scale clustering audit
+# ships.
+#
+# Exactness: squared distances are the order-pinned fold_l2 doubles;
+# a/b are single SQRT ops (correctly rounded IEEE in both engines);
+# s is one subtract + one divide. The per-cell mean goes through the
+# FLOOR * 2^36 integer-quantization device (q74's convention) so the
+# aggregate is order-independent and engine-exact.
+#
+# Spark shape (100 TB): ONE corpus scan cross-joins the 16-row
+# broadcast-pinned centroid table (bounded build, the q74 shape); the
+# argmin/runner-up come from a vec_id-partitioned rank window (rows
+# per group = 16); the rollup is one partial-aggregated shuffle keyed
+# on cell. No all-pairs anything, no driver state.
+# --------------------------------------------------------------------------
+_SIL_Q = 68719476736.0  # 2^36 — the shared mean-quantization device
+
+
+def _silhouette_sql(dialect: str) -> str:
+    cells = ", ".join(
+        f"({c}, {8 + _CENTROID_STRIDE * c})" for c in range(_N_CELLS)
+    )
+    hint = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
+    return f"""
+    WITH cells(cell, cvec_id) AS (VALUES {cells}),
+    cente AS (
+      SELECT c.cell, e.embedding AS cemb
+      FROM cells c JOIN embeddings e ON e.vec_id = c.cvec_id
+    ),
+    dists AS (
+      SELECT {hint}v.vec_id, c.cell,
+             {fold_l2(dialect, "v.embedding", "c.cemb")} AS d2
+      FROM embeddings v CROSS JOIN cente c
+    ),
+    ranked AS (
+      SELECT vec_id, cell, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d2, cell) AS rn
+      FROM dists
+    ),
+    sil AS (
+      SELECT o.vec_id, o.cell,
+             (SQRT(r.d2) - SQRT(o.d2))
+               / CASE WHEN SQRT(r.d2) > SQRT(o.d2)
+                      THEN SQRT(r.d2) ELSE SQRT(o.d2) END AS s
+      FROM (SELECT vec_id, cell, d2 FROM ranked WHERE rn = 1) o
+      JOIN (SELECT vec_id, d2 FROM ranked WHERE rn = 2) r
+        ON r.vec_id = o.vec_id
+    )
+    SELECT CAST(cell AS INT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           (CAST(SUM(CAST(FLOOR(s * {_SIL_Q}) AS BIGINT)) AS DOUBLE)
+              / {_SIL_Q}) / COUNT(*) AS avg_silhouette,
+           MIN(s) AS min_silhouette,
+           MAX(s) AS max_silhouette
+    FROM sil GROUP BY 1
+    """
+
+
+@query("q7p_silhouette", oracle=_silhouette_sql("duckdb"))
+def q7p_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_silhouette_sql("spark"))

@@ -2187,8 +2187,10 @@ def _bpe_encode_oracle() -> str:
     """
 
 
-@query("q5t_bpe_encode", oracle=_bpe_encode_oracle())
-def q5t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q5t per-doc BPE encode aggregate — shared with qt7's
+    tokenize-then-pack composite, which lays the encoded token counts
+    out into fixed-length training sequences."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(_tokens_spark()).alias("tok")
@@ -2254,6 +2256,11 @@ def q5t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query("q5t_bpe_encode", oracle=_bpe_encode_oracle())
+def q5t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bpe_doc_counts(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -2346,4 +2353,141 @@ def q5u_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (margin.cast("double") / F.count(F.lit(1))).alias("score"),
             (margin > 0).alias("keep"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q5w — CHI-SQUARE SOURCE-DRIFT AUDIT (round 11): the distribution-drift
+# monitor for the curation mix — per source, the chi-square statistic of
+# its document-length histogram (fixed 64-char-wide bands) against the
+# corpus-wide band distribution. A source whose length profile diverges
+# from the pool (template floods, truncation bugs, a feed that switched
+# formats) surfaces as a large per-source chi2 long before its content
+# metrics move. Chi-square is chosen over PSI/KL deliberately: it needs
+# NO logarithms — ln() is not guaranteed identically rounded across
+# libm implementations (the q5s rationale), while every chi2 term is a
+# short fixed sequence of single IEEE ops ((o-e)^2/e with
+# e = row_total*col_total/N), bit-identical in both engines.
+#
+# The statistic runs over the FULL source x band grid (absent cells
+# contribute e, not 0 — dropping them understates drift); the grid is
+# |sources| x |bands| metadata, built from two broadcast-scale rollups
+# of the same cell table. Per-source summation goes through the
+# FLOOR * 2^36 quantization device (order-independent, engine-exact).
+#
+# Spark shape (100 TB): ONE pushed-down scan (source, n_chars only) ->
+# (source, band) partial aggregate; everything downstream — row/column
+# totals, the grid join, the chi2 rollup — runs on metadata-sized
+# tables. The scalar N join is a keyless aggregate (bounded build).
+# --------------------------------------------------------------------------
+_DRIFT_BAND_W = 64.0
+_DRIFT_Q = 68719476736.0  # 2^36, the shared quantization device
+
+
+_Q5W_SQL = f"""
+    WITH cellt AS (
+      SELECT source, CAST(FLOOR(n_chars / {_DRIFT_BAND_W}) AS BIGINT) AS band,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    rowt AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r FROM cellt GROUP BY 1),
+    colt AS (SELECT band, CAST(SUM(o) AS BIGINT) AS c FROM cellt GROUP BY 1),
+    nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cellt),
+    grid AS (
+      SELECT rt.source, ct.band, rt.r, ct.c, nt.n,
+             COALESCE(ce.o, 0) AS o
+      FROM rowt rt CROSS JOIN colt ct CROSS JOIN nt
+      LEFT JOIN cellt ce ON ce.source = rt.source AND ce.band = ct.band
+    ),
+    contrib AS (
+      SELECT source, r,
+             (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+               * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+               / (CAST(r AS DOUBLE) * c / n) AS x
+      FROM grid
+    )
+    SELECT source,
+           MIN(r) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_bands,
+           CAST(SUM(CAST(FLOOR(x * {_DRIFT_Q}) AS BIGINT)) AS DOUBLE)
+             / {_DRIFT_Q} AS chi2,
+           (CAST(SUM(CAST(FLOOR(x * {_DRIFT_Q}) AS BIGINT)) AS DOUBLE)
+             / {_DRIFT_Q}) / MIN(r) AS chi2_per_doc
+    FROM contrib GROUP BY 1
+"""
+
+
+@query("q5w_chi2_drift", oracle=_Q5W_SQL)
+def q5w_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q5W_SQL)
+
+
+# --------------------------------------------------------------------------
+# qt7 — TOKENIZE-THEN-PACK COMPOSITE (round 11): the job a trainer
+# actually submits — encode the corpus with the q5n-derived BPE merge
+# table (q5t's per-doc counts, reused verbatim) and lay the ENCODED
+# token stream out into fixed 512-token training sequences (q5d's
+# packing layout, which packs by whitespace counts; real packing packs
+# by tokenizer output, which is what this composite does). Chaining the
+# stages pins the integration seam: a tokenizer change reshuffles every
+# chunk boundary downstream, and the oracle replays the full
+# vocab -> merges -> encode -> prefix-sum -> chunk-span flow.
+#
+# Exactness: all-integer (token counts, exclusive prefix sums, FLOOR
+# chunk division on non-negative values). Spark's global exclusive
+# running sum is the two-pass partition-offset shape
+# (offset_running_sum — per-bucket sums, driver prefix over bounded
+# bucket rows, partitioned window), so there is no
+# Exchange SinglePartition anywhere; the oracle's single ORDER BY
+# window is the semantic twin.
+#
+# Spark shape (100 TB): q5t's vocab-sized encode (fold over DISTINCT
+# tokens, hash-join back to the stream, one doc_id partial aggregate)
+# feeds a doc_id-bucketed prefix sum — the same scale story as q5d,
+# with the tokenizer swapped from whitespace to the trained BPE.
+# --------------------------------------------------------------------------
+@query(
+    "qt7_tokenize_pack",
+    oracle=f"""
+    WITH perdoc AS (
+      SELECT doc_id, n_bpe_tokens FROM ({_bpe_encode_oracle()}) q
+    ),
+    c AS (
+      SELECT doc_id, n_bpe_tokens,
+             CAST(COALESCE(SUM(n_bpe_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS start_tok
+      FROM perdoc
+    )
+    SELECT doc_id, n_bpe_tokens, start_tok,
+           start_tok // {_PACK_B} AS chunk_first,
+           (start_tok + n_bpe_tokens - 1) // {_PACK_B} AS chunk_last,
+           (start_tok + n_bpe_tokens - 1) // {_PACK_B}
+             - start_tok // {_PACK_B} + 1 AS n_chunks
+    FROM c
+    """,
+)
+def qt7_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tf_datapipeline_spark.operators.pipeline import offset_running_sum
+
+    d = _bpe_doc_counts(spark, sf_dir).select(
+        "doc_id", F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens")
+    )
+    c = offset_running_sum(
+        d,
+        bucket=F.col("doc_id") / 4096,
+        order_cols=["doc_id"],
+        value=F.col("n_bpe_tokens"),
+        sum_name="start_tok",
+    )
+    first = F.expr(f"start_tok DIV {_PACK_B}")
+    last = F.expr(f"(start_tok + n_bpe_tokens - 1) DIV {_PACK_B}")
+    return c.select(
+        "doc_id",
+        "n_bpe_tokens",
+        "start_tok",
+        first.alias("chunk_first"),
+        last.alias("chunk_last"),
+        (last - first + 1).alias("n_chunks"),
     )
