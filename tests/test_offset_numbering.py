@@ -14,12 +14,21 @@ one outlier stretches the span). These tests pin:
   2. numbering is still exactly the global sort order,
   3. an already-bounded bucket is left untouched (pre-r10 plans intact),
   4. offset_running_sum agrees with the unpartitioned running sum.
+
+r11: the sketch's bucket count ADAPTS to the measured row count
+(k = min(ceiling, ceil(n / _TARGET_BUCKET_ROWS))) — a fixed-4096
+sketch paid approxQuantile's eps=1/4096, 4095-probe cost ceiling on
+every input, which dominated q4zf/q4zm at bench scale. The balance
+test monkeypatches the target down so the sketch path (k > 1) is
+exercised on a 20k-row frame; a new test pins the k ≤ 1 degenerate
+case (small input → ONE constant bucket, no sketch, no Python node).
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 
+import tf_datapipeline_spark.operators.pipeline as _pipeline
 from tf_datapipeline_spark.operators.pipeline import (
     _MAX_OFFSET_BUCKETS,
     _coarsen_bucket,
@@ -41,7 +50,10 @@ def _wide_df(spark, n=20_000):
     )
 
 
-def test_coarsen_bounds_bucket_count(spark):
+def test_coarsen_bounds_bucket_count(spark, monkeypatch):
+    # force the sketch path (k > 1) on a 20k-row frame: with the real
+    # 64Ki-row target a 20k input would collapse to one bucket
+    monkeypatch.setattr(_pipeline, "_TARGET_BUCKET_ROWS", 64)
     df = _wide_df(spark).withColumn("_b", F.col("v"))
     out = _coarsen_bucket(df, _MAX_OFFSET_BUCKETS)
     counts = {
@@ -53,9 +65,12 @@ def test_coarsen_bounds_bucket_count(spark):
     # 2^55 whale values stretch the span ~2^35x beyond the dense
     # clusters; equi-width shifting funneled everything into one bucket.
     # Equi-depth must keep every bucket within a small multiple of ideal
-    # (values are unique here, so no tie excuse).
+    # (values are unique here, so no tie excuse). k = ceil(20000/64)
+    # capped at the ceiling, so ideal is total / k.
     total = sum(counts.values())
-    ideal = total / _MAX_OFFSET_BUCKETS
+    k = _pipeline._adaptive_k(total, _MAX_OFFSET_BUCKETS)
+    assert k > 1  # the sketch path is actually exercised
+    ideal = total / k
     assert max(counts.values()) <= max(16, 8 * ideal), (
         max(counts.values()),
         ideal,
@@ -68,6 +83,20 @@ def test_coarsen_bounds_bucket_count(spark):
     assert all(
         pairs[i][1] <= pairs[i + 1][1] for i in range(len(pairs) - 1)
     )
+
+
+def test_coarsen_small_input_single_bucket(spark):
+    # r11 adaptive k: a wide-SPAN but small-COUNT input needs no sketch
+    # at all — every row lands in constant bucket 0 (one ≤64Ki-row sort
+    # task), and the plan carries no Python eval node.
+    df = _wide_df(spark).withColumn("_b", F.col("v"))
+    out = _coarsen_bucket(df, _MAX_OFFSET_BUCKETS)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    vals = {r["_b"] for r in out.select("_b").distinct().collect()}
+    assert vals == {0}
 
 
 def test_coarsen_leaves_bounded_buckets_alone(spark):

@@ -2044,6 +2044,13 @@ def funnel_latency_report(per_user: DataFrame) -> DataFrame:
         )
         .select("user_id", "s.step", "s.transition", "s.d")
         .filter(F.col("d").isNotNull())
+        # r11: materialize ONCE (the q4zf idiom) — the stats aggregate,
+        # the median machinery's probe/sketch/counts and the final
+        # numbered plan would otherwise each re-derive the upstream
+        # first-touch pass (an events scan + user-keyed window per job).
+        # lat is ≤ 2 rows per CONVERTING user (~30 B/row), bounded at
+        # any corpus scale.
+        .localCheckpoint()
     )
     stats = lat.groupBy("step", "transition").agg(
         F.count(F.lit(1)).alias("n_users"),

@@ -44,6 +44,38 @@ def sql_shuffle_key(expr: str, seed: int = 0) -> str:
 
 _MAX_OFFSET_BUCKETS = 4096  # driver prefix-table ceiling (corpus-independent)
 
+# Per-bucket row target for the coarsening sketch (r11 optimization):
+# the bucket count only has to (a) keep the driver prefix table bounded
+# (≤ _MAX_OFFSET_BUCKETS rows) and (b) keep each (group, bucket) window
+# task's sort bounded — a 64Ki-row in-task sort is noise at any scale.
+# A FIXED 4096-bucket sketch (the r10 shape) paid the sketch's cost
+# ceiling on every input: approxQuantile at eps=1/4096 with 4095 probes
+# is multi-second even on a 3000-row table (driver-side sketch query per
+# probe), which dominated q4zf/q4zm at bench scale. k now adapts to the
+# measured row count — k = min(ceiling, ceil(n / 64Ki)) — so small
+# inputs sketch a handful of cuts (or none: k ≤ 1 collapses to one
+# bucket, a single ≤64Ki-row sort) while 100 TB inputs still get the
+# full 4096 buckets. Cut placement only shapes the PLAN, never values
+# (monotone re-bucket — see _coarsen_bucket), so results are identical.
+_TARGET_BUCKET_ROWS = 65536
+
+
+def _adaptive_k(n: int, max_buckets: int) -> int:
+    return min(max_buckets, -(-n // _TARGET_BUCKET_ROWS))
+
+
+def _sketch_cuts(df: DataFrame, cols: list[str], k: int) -> list["np.ndarray"]:
+    """Equi-depth cut points (k-quantiles) for each column, one sketch
+    job. k ≤ 1 means a single bucket: empty cut array (every row maps to
+    bucket 0 in _apply_cuts)."""
+    if k <= 1:
+        return [np.array([], dtype=np.int64) for _ in cols]
+    probs = [i / k for i in range(1, k)]
+    return [
+        np.array(sorted(int(v) for v in qs), dtype=np.int64)
+        for qs in df.stat.approxQuantile(cols, probs, 1.0 / k)
+    ]
+
 
 def plan_coarsen_cuts(
     df: DataFrame, cols: list[str], max_buckets: int = _MAX_OFFSET_BUCKETS
@@ -52,13 +84,14 @@ def plan_coarsen_cuts(
     the same table (r10 verdict task 6: q4zf ran the span guard + the
     approxQuantile sketch once PER ranked metric — three stats jobs and
     up to three sketch jobs over the same per-user aggregate). ONE agg
-    computes every metric's span; ONE multi-column approxQuantile call
-    sketches exactly the metrics whose span exceeds the ceiling. Returns
-    per-column cut arrays (None = span fits, keep raw buckets) to pass
-    as offset_row_number(..., cuts=...). The cut semantics are identical
-    to _coarsen_bucket's own probe — same probs, same relativeError,
-    same int cast — so the fusion changes job count, never values."""
-    aggs = []
+    computes every metric's span AND the row count; ONE multi-column
+    approxQuantile call sketches exactly the metrics whose span exceeds
+    the ceiling, at the adaptive bucket count (see _TARGET_BUCKET_ROWS).
+    Returns per-column cut arrays (None = span fits, keep raw buckets)
+    to pass as offset_row_number(..., cuts=...). The cut semantics are
+    identical to _coarsen_bucket's own probe, so the fusion changes job
+    count, never values."""
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
     for c in cols:
         aggs.append(F.min(F.col(c).cast("bigint")).alias(f"_lo_{c}"))
         aggs.append(F.max(F.col(c).cast("bigint")).alias(f"_hi_{c}"))
@@ -71,11 +104,9 @@ def plan_coarsen_cuts(
     ]
     cuts: dict[str, np.ndarray | None] = {c: None for c in cols}
     if need:
-        probs = [i / max_buckets for i in range(1, max_buckets)]
-        for c, qs in zip(
-            need, df.stat.approxQuantile(need, probs, 1.0 / max_buckets)
-        ):
-            cuts[c] = np.array(sorted(int(v) for v in qs), dtype=np.int64)
+        k = _adaptive_k(stats["_n_rows"], max_buckets)
+        for c, arr in zip(need, _sketch_cuts(df, need, k)):
+            cuts[c] = arr
     return cuts
 
 
@@ -83,7 +114,11 @@ def _apply_cuts(df: DataFrame, cuts: "np.ndarray") -> DataFrame:
     """Monotone re-bucket of `_b` by binary search over the cut points
     (vectorized Arrow-batched np.searchsorted — the engine's sanctioned
     Python path; a pure-SQL binary search either duplicates the index
-    expression exponentially or scans all cuts linearly)."""
+    expression exponentially or scans all cuts linearly). An EMPTY cut
+    array is the k ≤ 1 degenerate case (input fits one target-sized
+    bucket): constant bucket 0, pure codegen, no Python node at all."""
+    if len(cuts) == 0:
+        return df.withColumn("_b", F.lit(0).cast("bigint"))
 
     @F.pandas_udf("bigint")
     def _equi_depth(vals: pd.Series) -> pd.Series:
@@ -122,16 +157,22 @@ def _coarsen_bucket(df: DataFrame, max_buckets: int) -> DataFrame:
     sketch accuracy. Heavy TIES in the leading order key cannot be split
     by any monotone bucketing (they must share a window partition), so
     tie-skew is inherent to exact global numbering, not to this
-    device."""
-    stats = df.agg(F.min("_b").alias("lo"), F.max("_b").alias("hi")).collect()[0]
+    device.
+
+    r11: the sketch's bucket count adapts to the measured row count
+    (see _TARGET_BUCKET_ROWS) — the span probe already aggregates the
+    table, so the count rides the same job. Values are unchanged for
+    any k (monotone re-bucket); only sketch cost and plan balance
+    move."""
+    stats = df.agg(
+        F.min("_b").alias("lo"),
+        F.max("_b").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
     if stats["lo"] is None or stats["hi"] - stats["lo"] + 1 <= max_buckets:
         return df
-    probs = [i / max_buckets for i in range(1, max_buckets)]
-    cuts = np.array(
-        sorted(int(c) for c in df.stat.approxQuantile("_b", probs, 1.0 / max_buckets)),
-        dtype=np.int64,
-    )
-    return _apply_cuts(df, cuts)
+    k = _adaptive_k(stats["n"], max_buckets)
+    return _apply_cuts(df, _sketch_cuts(df, ["_b"], k)[0])
 
 
 def offset_running_sum(
@@ -152,10 +193,28 @@ def offset_running_sum(
     b = df.withColumn("_b", bucket.cast("bigint")).withColumn(
         "_v", value.cast("bigint")
     )
-    b = _coarsen_bucket(b, _MAX_OFFSET_BUCKETS)
+    # r11: run the coarsening probe/sketch and the pass-1 sums over a
+    # SLIM (16 B/row) localCheckpoint of just (_b, _v) instead of
+    # re-deriving the caller's full lineage once per stats job (3-4
+    # upstream re-evaluations at bench scale; 3-4 full corpus scans at
+    # 100 TB). The final numbered plan below stays on the original
+    # lineage — exactly one more evaluation — so payload columns are
+    # never materialized.
+    slim = b.select("_b", "_v").localCheckpoint()
+    st = slim.agg(
+        F.min("_b").alias("lo"),
+        F.max("_b").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if st["lo"] is not None and st["hi"] - st["lo"] + 1 > _MAX_OFFSET_BUCKETS:
+        cuts = _sketch_cuts(
+            slim, ["_b"], _adaptive_k(st["n"], _MAX_OFFSET_BUCKETS)
+        )[0]
+        slim = _apply_cuts(slim, cuts)
+        b = _apply_cuts(b, cuts)
     sums = {
         r["_b"]: r["s"]
-        for r in b.groupBy("_b").agg(F.sum("_v").alias("s")).collect()
+        for r in slim.groupBy("_b").agg(F.sum("_v").alias("s")).collect()
     }
     offsets, acc = [], 0
     for k in sorted(sums):
@@ -203,15 +262,39 @@ def offset_row_number(
     """
     spark = df.sparkSession
     b = df.withColumn("_b", bucket.cast("bigint"))
+    counts_src = b
     if cuts is None or prebounded:
         pass  # caller certifies the bucket span fits _MAX_OFFSET_BUCKETS
     elif isinstance(cuts, str):  # "auto": probe + sketch per call
-        b = _coarsen_bucket(b, _MAX_OFFSET_BUCKETS)
+        # r11: probe/sketch/counts over a SLIM (_b-only) localCheckpoint
+        # — one lineage evaluation instead of one per stats job (see
+        # offset_running_sum). Callers on the None/prebounded/ndarray
+        # paths skip the checkpoint: they either certify the span or
+        # have already materialized their input (q4zf's per-user m).
+        slim = b.select("_b").localCheckpoint()
+        st = slim.agg(
+            F.min("_b").alias("lo"),
+            F.max("_b").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        if (
+            st["lo"] is not None
+            and st["hi"] - st["lo"] + 1 > _MAX_OFFSET_BUCKETS
+        ):
+            arr = _sketch_cuts(
+                slim, ["_b"], _adaptive_k(st["n"], _MAX_OFFSET_BUCKETS)
+            )[0]
+            slim = _apply_cuts(slim, arr)
+            b = _apply_cuts(b, arr)
+        counts_src = slim
     else:
         b = _apply_cuts(b, cuts)
+        counts_src = b
     counts = {
         r["_b"]: r["n"]
-        for r in b.groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in counts_src.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }
     total = sum(counts.values())
     offsets, acc = [], 0
@@ -250,9 +333,21 @@ def grouped_offset_row_number(
     and n_name (the group total, for rank-ratio arithmetic)."""
     spark = df.sparkSession
     b = df.withColumn("_b", bucket.cast("bigint"))
-    b = _coarsen_bucket(b, _MAX_OFFSET_BUCKETS)
+    # r11: slim checkpoint for probe/sketch/counts (see offset_running_sum)
+    slim = b.select(*group_cols, "_b").localCheckpoint()
+    st = slim.agg(
+        F.min("_b").alias("lo"),
+        F.max("_b").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if st["lo"] is not None and st["hi"] - st["lo"] + 1 > _MAX_OFFSET_BUCKETS:
+        arr = _sketch_cuts(
+            slim, ["_b"], _adaptive_k(st["n"], _MAX_OFFSET_BUCKETS)
+        )[0]
+        slim = _apply_cuts(slim, arr)
+        b = _apply_cuts(b, arr)
     counts = (
-        b.groupBy(*group_cols, "_b")
+        slim.groupBy(*group_cols, "_b")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
