@@ -32,15 +32,37 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# r11 optimization: memoize the DataFrame HANDLE per (session, dir,
+# table). `spark.read.parquet` resolves schema by reading parquet
+# footers on the DRIVER — measured ~0.11s per table, ~1.2s per
+# register_views call — and the engine re-ran it for every query
+# invocation (every bench pass, every gate row). The memo caches plan
+# METADATA only (schema + file listing), exactly what a metastore
+# catalog gives a production session: every action over the handle
+# still scans the parquet from disk — no data, no results, nothing is
+# persisted or cached across bench invocations (each bench run is a
+# fresh session with a fresh applicationId key).
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Plain `spark.read.parquet` so Catalyst keeps
     pushdown/pruning; callers should `.select()` early so ReadSchema stays
     narrow at 100 TB."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(table_path(sf_dir, name))
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        name,
+    )
+    if key not in _TABLE_MEMO:
+        _TABLE_MEMO[key] = (
+            _load_events(spark, sf_dir)
+            if name == "events"
+            else spark.read.parquet(table_path(sf_dir, name))
+        )
+    return _TABLE_MEMO[key]
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,7 +118,20 @@ def validate_required_schema(df: DataFrame, required: dict[str, str]) -> DataFra
     return df
 
 
+# session applicationId -> sf_dir the global view names currently point
+# at. Re-registration is only needed when the TARGET DIRECTORY changes
+# (bench warms up on sf0.001 then times sf0.1; tests hop between scale
+# dirs) — re-pointing identical views ate ~1.2s of driver-side footer
+# re-reads per SQL-surface query invocation.
+_VIEWS_AT: dict[str, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL surface)."""
+    app = spark.sparkContext.applicationId
+    target = os.path.abspath(sf_dir)
+    if _VIEWS_AT.get(app) == target:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEWS_AT[app] = target

@@ -1690,19 +1690,16 @@ def q6g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_K = 128
 
 
-def _kmv_overlap_sql(dialect: str) -> str:
+def _kmv_sketch_sql(dialect: str) -> str:
+    """The corpus-proportional part: per-source bottom-k shingle-hash
+    sketch (k x N_sources rows out)."""
     if dialect == "spark":
         pos = "explode(sequence(1, length(text) - 4)) AS pos"
     else:
         pos = "unnest(generate_series(1, length(text) - 4)) AS pos"
     h = sql_hash60_from_md5_dialect("md5s", dialect)
-    # sk is referenced 3x (srcs + both pair-join arms): MATERIALIZED in
-    # DuckDB so the corpus-wide shingle scan runs once, not per reference
-    # (plain CTEs inline; Spark re-derives from the same scan but AQE
-    # reuses the shuffle)
     mat = "MATERIALIZED " if dialect == "duckdb" else ""
-    return f"""
-    WITH sh AS {mat}(
+    return f"""sh AS {mat}(
       SELECT DISTINCT source, {h} AS h
       FROM (
         SELECT source, md5(substr(text, CAST(pos AS INT), 5)) AS md5s
@@ -1716,7 +1713,22 @@ def _kmv_overlap_sql(dialect: str) -> str:
                ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
         FROM sh
       ) r WHERE rk <= {_KMV_K}
-    ),
+    )"""
+
+
+def _kmv_overlap_sql(dialect: str) -> str:
+    # sk is referenced 3x (srcs + both pair-join arms). DuckDB gets the
+    # MATERIALIZED hint; the Spark side (r11) materializes the k x N
+    # sketch as a localCheckpoint view instead (see q6h below) — plain
+    # CTEs inline in Spark, so the self-contained form re-derived the
+    # corpus-wide shingle explode + md5 stream (the family's dominant
+    # cost) once per reference.
+    if dialect == "spark":
+        sketch = "sk AS (SELECT source, h FROM kmv_sk_mat)"
+    else:
+        sketch = _kmv_sketch_sql(dialect)
+    return f"""
+    WITH {sketch},
     srcs AS (SELECT DISTINCT source FROM sk),
     pairs AS (
       SELECT a.source AS sa, b.source AS sb
@@ -1750,6 +1762,12 @@ def _kmv_overlap_sql(dialect: str) -> str:
 @query("q6h_kmv_source_overlap", oracle=_kmv_overlap_sql("duckdb"))
 def q6h_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
+    # ONE shingle scan: materialize the k x N_sources sketch (bounded
+    # metadata at any corpus size), then run the pair/merge arithmetic
+    # over it — the Spark twin of the oracle's MATERIALIZED hint.
+    spark.sql(
+        f"WITH {_kmv_sketch_sql('spark')} SELECT * FROM sk"
+    ).localCheckpoint().createOrReplaceTempView("kmv_sk_mat")
     return spark.sql(_kmv_overlap_sql("spark"))
 
 
@@ -1918,25 +1936,14 @@ def q6j_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CAL_BLOCKS = 64  # sampled blocks of ~32 docs -> <= ~2k docs, ~32k pairs
 
 
-def _lsh_calibration_body(dialect: str) -> str:
+def _cal_pairs_sql(dialect: str) -> str:
+    """CTE chain `nblk .. cal_pairs`: the deterministic bounded pair
+    sample. Split out (r11) so the Spark side can materialize the
+    ≤ ~32k-pair table once — `cal_pairs` is consumed by both the exact-
+    Jaccard arm and the capture-scoring arm, and each reference
+    re-derived the per-doc md5 block keying from a documents scan."""
     str_t = "STRING" if dialect == "spark" else "VARCHAR"
-    n_bands = _K // _BAND
-    band_eq = " OR ".join(
-        "("
-        + " AND ".join(
-            f"ga.m{i} = gb.m{i}" for i in range(b * _BAND, (b + 1) * _BAND)
-        )
-        + ")"
-        for b in range(n_bands)
-    )
-    one = "CAST(1.0 AS DOUBLE)"
-    sm = (
-        f"((CAST(j_bucket AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" / CAST(10.0 AS DOUBLE))"
-    )
-    p_band = " * ".join([sm] * _BAND)
-    return f"""
-    nblk AS (
+    return f"""nblk AS (
       SELECT GREATEST(CAST(16 AS BIGINT),
                       CAST(CEIL(COUNT(*) / CAST(32.0 AS DOUBLE)) AS BIGINT))
                AS nb
@@ -1956,7 +1963,32 @@ def _lsh_calibration_body(dialect: str) -> str:
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM cal_docs a
       JOIN cal_docs b ON a.blk = b.blk AND a.doc_id < b.doc_id
-    ),
+    )"""
+
+
+def _lsh_calibration_body(dialect: str) -> str:
+    n_bands = _K // _BAND
+    band_eq = " OR ".join(
+        "("
+        + " AND ".join(
+            f"ga.m{i} = gb.m{i}" for i in range(b * _BAND, (b + 1) * _BAND)
+        )
+        + ")"
+        for b in range(n_bands)
+    )
+    one = "CAST(1.0 AS DOUBLE)"
+    sm = (
+        f"((CAST(j_bucket AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" / CAST(10.0 AS DOUBLE))"
+    )
+    p_band = " * ".join([sm] * _BAND)
+    pairs_chain = (
+        "cal_pairs AS (SELECT doc_a, doc_b FROM q6k_pairs_mat)"
+        if dialect == "spark"
+        else _cal_pairs_sql(dialect)
+    )
+    return f"""
+    {pairs_chain},
     inter AS (
       SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
       FROM cal_pairs p
@@ -2055,4 +2087,9 @@ def q6k_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     _materialize_sig(spark, sf_dir)
     _materialize_cal_shingles(spark, sf_dir)
+    # r11: ONE documents scan for the pair sample (≤ ~32k pairs by the
+    # query text) — both downstream arms read the checkpoint
+    spark.sql(
+        f"WITH {_cal_pairs_sql('spark')} SELECT * FROM cal_pairs"
+    ).localCheckpoint().createOrReplaceTempView("q6k_pairs_mat")
     return spark.sql(_lsh_calibration_sql("spark"))

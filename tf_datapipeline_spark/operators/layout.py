@@ -104,6 +104,13 @@ def _materialize_bucketed(spark: SparkSession, sf_dir: str) -> None:
     _BUCKETED_MEMO[key].createOrReplaceTempView("bucketed_mat")
 
 
+def _probe_pred() -> str:
+    return (
+        f"xmin <= {_QX[1]} AND xmax >= {_QX[0]} "
+        f"AND ymin <= {_QY[1]} AND ymax >= {_QY[0]}"
+    )
+
+
 def _zorder_body(dialect: str) -> str:
     zspan = 65536 // _N_FILES
     xspan = _GRID // _N_FILES
@@ -112,7 +119,7 @@ def _zorder_body(dialect: str) -> str:
         if dialect == "spark"
         else _bucketed_sql(dialect)
     )
-    return f"""
+    files_ctes = f"""
     WITH bucketed AS ({bucketed}),
     zfiles AS (
       SELECT CAST(FLOOR({_interleave('xb', 'yb')} / {zspan}.0) AS INT)
@@ -129,22 +136,57 @@ def _zorder_body(dialect: str) -> str:
              COUNT(*) AS n_rows
       FROM bucketed GROUP BY 1
     ),
-    zscan AS (
-      SELECT COUNT(*) AS files, CAST(SUM(n_rows) AS BIGINT) AS rows_scanned
-      FROM zfiles
-      WHERE xmin <= {_QX[1]} AND xmax >= {_QX[0]}
-        AND ymin <= {_QY[1]} AND ymax >= {_QY[0]}
-    ),
-    lscan AS (
-      SELECT COUNT(*) AS files, CAST(SUM(n_rows) AS BIGINT) AS rows_scanned
-      FROM lfiles
-      WHERE xmin <= {_QX[1]} AND xmax >= {_QX[0]}
-        AND ymin <= {_QY[1]} AND ymax >= {_QY[0]}
-    ),
     hits AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS matching_rows FROM bucketed
       WHERE xb BETWEEN {_QX[0]} AND {_QX[1]}
         AND yb BETWEEN {_QY[0]} AND {_QY[1]}
+    )"""
+    if dialect == "spark":
+        # r11: each layout's file count and its probe-box scan figures
+        # come from ONE conditional aggregate over that layout's file
+        # table instead of a probe-filtered aggregate PLUS a scalar
+        # COUNT subquery (Spark re-derives CTE subtrees per consumer:
+        # 5 aggregate arms -> 3, two fewer passes over the file stats;
+        # a CASE-filtered COUNT/SUM is value-identical to the filtered
+        # aggregate — COUNT skips NULLs, SUM of none is NULL). DuckDB
+        # keeps the self-contained multi-CTE form (it materializes
+        # multiply-referenced CTEs on its own).
+        return f"""{files_ctes},
+    zstat AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(COUNT(CASE WHEN {_probe_pred()} THEN 1 END) AS BIGINT)
+               AS files_scanned,
+             CAST(SUM(CASE WHEN {_probe_pred()} THEN n_rows END) AS BIGINT)
+               AS rows_scanned
+      FROM zfiles
+    ),
+    lstat AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(COUNT(CASE WHEN {_probe_pred()} THEN 1 END) AS BIGINT)
+               AS files_scanned,
+             CAST(SUM(CASE WHEN {_probe_pred()} THEN n_rows END) AS BIGINT)
+               AS rows_scanned
+      FROM lfiles
+    )
+    SELECT z.n_files AS n_files_z,
+           l.n_files AS n_files_linear,
+           z.files_scanned AS z_files_scanned,
+           z.rows_scanned AS z_rows_scanned,
+           l.files_scanned AS linear_files_scanned,
+           l.rows_scanned AS linear_rows_scanned,
+           h.matching_rows
+    FROM zstat z, lstat l, hits h
+    """
+    return f"""{files_ctes},
+    zscan AS (
+      SELECT COUNT(*) AS files, CAST(SUM(n_rows) AS BIGINT) AS rows_scanned
+      FROM zfiles
+      WHERE {_probe_pred()}
+    ),
+    lscan AS (
+      SELECT COUNT(*) AS files, CAST(SUM(n_rows) AS BIGINT) AS rows_scanned
+      FROM lfiles
+      WHERE {_probe_pred()}
     )
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM zfiles) AS n_files_z,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM lfiles) AS n_files_linear,
@@ -221,7 +263,7 @@ def _hilbert_body(dialect: str) -> str:
         if dialect == "spark"
         else _bucketed_sql(dialect)
     )
-    return f"""
+    files_ctes = f"""
     WITH bucketed AS ({bucketed}),
     h0 AS (
       SELECT xb, yb, xb AS x, yb AS y, CAST(0 AS BIGINT) AS d FROM bucketed
@@ -242,21 +284,51 @@ def _hilbert_body(dialect: str) -> str:
              COUNT(*) AS n_rows
       FROM bucketed GROUP BY 1
     ),
-    hscan AS (
-      SELECT COUNT(*) AS files, CAST(SUM(n_rows) AS BIGINT) AS rows_scanned,
+    hits AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS matching_rows FROM bucketed
+      WHERE xb BETWEEN {_QX[0]} AND {_QX[1]}
+        AND yb BETWEEN {_QY[0]} AND {_QY[1]}
+    )"""
+    if dialect == "spark":
+        # r11: ONE conditional aggregate per layout (count + probe-box
+        # count/rows + total box area) replaces the probe-filtered scan
+        # CTE + the unfiltered area CTE + the scalar COUNT subquery —
+        # 7 aggregate arms -> 3 (the q9a device; value-identical CASE
+        # aggregation). The 8 Hilbert rounds are per-row projections
+        # and now run exactly once.
+        stat = f"""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(COUNT(CASE WHEN {_probe_pred()} THEN 1 END) AS BIGINT)
+               AS files_scanned,
+             CAST(SUM(CASE WHEN {_probe_pred()} THEN n_rows END) AS BIGINT)
+               AS rows_scanned,
              CAST(SUM((xmax - xmin + 1) * (ymax - ymin + 1)) AS BIGINT)
-               AS box_area
+               AS total_box_area
+      FROM"""
+        return f"""{files_ctes},
+    hstat AS ({stat} hfiles),
+    zstat AS ({stat} zfiles)
+    SELECT h.n_files AS n_files_hilbert,
+           z.n_files AS n_files_z,
+           h.files_scanned AS hilbert_files_scanned,
+           h.rows_scanned AS hilbert_rows_scanned,
+           z.files_scanned AS z_files_scanned,
+           z.rows_scanned AS z_rows_scanned,
+           h.total_box_area AS hilbert_box_area,
+           z.total_box_area AS z_box_area,
+           t.matching_rows
+    FROM hstat h, zstat z, hits t
+    """
+    return f"""{files_ctes},
+    hscan AS (
+      SELECT COUNT(*) AS files, CAST(SUM(n_rows) AS BIGINT) AS rows_scanned
       FROM hfiles
-      WHERE xmin <= {_QX[1]} AND xmax >= {_QX[0]}
-        AND ymin <= {_QY[1]} AND ymax >= {_QY[0]}
+      WHERE {_probe_pred()}
     ),
     zscan AS (
-      SELECT COUNT(*) AS files, CAST(SUM(n_rows) AS BIGINT) AS rows_scanned,
-             CAST(SUM((xmax - xmin + 1) * (ymax - ymin + 1)) AS BIGINT)
-               AS box_area
+      SELECT COUNT(*) AS files, CAST(SUM(n_rows) AS BIGINT) AS rows_scanned
       FROM zfiles
-      WHERE xmin <= {_QX[1]} AND xmax >= {_QX[0]}
-        AND ymin <= {_QY[1]} AND ymax >= {_QY[0]}
+      WHERE {_probe_pred()}
     ),
     harea AS (
       SELECT CAST(SUM((xmax - xmin + 1) * (ymax - ymin + 1)) AS BIGINT)
@@ -267,11 +339,6 @@ def _hilbert_body(dialect: str) -> str:
       SELECT CAST(SUM((xmax - xmin + 1) * (ymax - ymin + 1)) AS BIGINT)
                AS total_box_area
       FROM zfiles
-    ),
-    hits AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS matching_rows FROM bucketed
-      WHERE xb BETWEEN {_QX[0]} AND {_QX[1]}
-        AND yb BETWEEN {_QY[0]} AND {_QY[1]}
     )
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM hfiles) AS n_files_hilbert,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM zfiles) AS n_files_z,

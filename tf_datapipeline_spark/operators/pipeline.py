@@ -216,16 +216,22 @@ def offset_running_sum(
         r["_b"]: r["s"]
         for r in slim.groupBy("_b").agg(F.sum("_v").alias("s")).collect()
     }
-    offsets, acc = [], 0
-    for k in sorted(sums):
-        offsets.append((k, acc))
-        acc += sums[k]
-    odf = spark.createDataFrame(offsets or [(0, 0)], "_b bigint, _off bigint")
     w = (
         Window.partitionBy("_b")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    if len(sums) <= 1:
+        # single bucket: the only prefix offset is 0 — no join (see
+        # offset_row_number's single-bucket note)
+        return b.withColumn(
+            sum_name, F.coalesce(F.sum("_v").over(w), F.lit(0))
+        ).drop("_b", "_v")
+    offsets, acc = [], 0
+    for k in sorted(sums):
+        offsets.append((k, acc))
+        acc += sums[k]
+    odf = spark.createDataFrame(offsets, "_b bigint, _off bigint")
     return (
         b.join(F.broadcast(odf), "_b")
         .withColumn(sum_name, F.coalesce(F.sum("_v").over(w), F.lit(0)) + F.col("_off"))
@@ -297,12 +303,19 @@ def offset_row_number(
         .collect()
     }
     total = sum(counts.values())
+    w = Window.partitionBy("_b").orderBy(*order_cols)
+    if len(counts) <= 1:
+        # single bucket (e.g. the adaptive-k degenerate constant bucket):
+        # the only offset is 0 — no join at all. (A literal-_b equi-join
+        # also constant-folds into a nested-loop join, which the
+        # structural NLJ audit rightly rejects.)
+        numbered = b.withColumn(rn_name, F.row_number().over(w)).drop("_b")
+        return numbered, total
     offsets, acc = [], 0
     for k in sorted(counts):
         offsets.append((k, acc))
         acc += counts[k]
-    odf = spark.createDataFrame(offsets or [(0, 0)], "_b bigint, _off bigint")
-    w = Window.partitionBy("_b").orderBy(*order_cols)
+    odf = spark.createDataFrame(offsets, "_b bigint, _off bigint")
     numbered = (
         b.join(F.broadcast(odf), "_b")
         .withColumn(rn_name, F.row_number().over(w) + F.col("_off"))
@@ -366,10 +379,25 @@ def grouped_offset_row_number(
     fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in schema_groups.fields
     )
+    w = Window.partitionBy(*group_cols, "_b").orderBy(*order_cols)
+    if len({r["_b"] for r in counts}) <= 1:
+        # single bucket everywhere (the adaptive-k degenerate case):
+        # per-group offset is 0 and the join key reduces to the group
+        # columns (a literal-_b equi-join would constant-fold into a
+        # nested-loop join — see offset_row_number)
+        odf = spark.createDataFrame(
+            [(*g, sum(r["n"] for r in rows))
+             for g, rows in ((g, by_group[g]) for g in sorted(by_group, key=repr))],
+            f"{fields}, {n_name} bigint",
+        )
+        return (
+            b.join(F.broadcast(odf), list(group_cols))
+            .withColumn(rn_name, F.row_number().over(w))
+            .drop("_b")
+        )
     odf = spark.createDataFrame(
         offsets, f"{fields}, _b bigint, _off bigint, {n_name} bigint"
     )
-    w = Window.partitionBy(*group_cols, "_b").orderBy(*order_cols)
     return (
         b.join(F.broadcast(odf), [*group_cols, "_b"])
         .withColumn(rn_name, F.row_number().over(w) + F.col("_off"))

@@ -1149,43 +1149,46 @@ _WIN_W = 4  # winnow window positions
     """,
 )
 def q5h_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 restructure: the whole winnow is PER-DOCUMENT — k-gram hashes,
+    # the w-wide sliding min, the distinct, and the four rollup figures
+    # never cross documents — so the explode → window(doc_id) →
+    # distinct → groupBy(doc_id) pipeline (two exchanges + a sort of
+    # ~25x-exploded position rows) collapses into per-row ARRAY ops:
+    # hs = transform(positions), fps = array_distinct(sliding mins),
+    # rollups = size/aggregate/array_min/array_max. ZERO exchanges at
+    # any scale; per-task transient memory is one doc's position array
+    # (8 B x chars — far below the exploded rows the old shape pushed
+    # through the shuffle). The Spark-side hash uses the conv() spelling
+    # (one JVM intrinsic vs the 8-term instr decode; equality of the two
+    # forms is pinned in tests) — the oracle keeps the shared instr SQL
+    # and the explode/window shape, and values are identical: only
+    # full-width windows survive either way, so the length filter
+    # tightens to k+w-1 (shorter docs produced zero winnowed rows).
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= _WIN_K
+        F.length("text") >= _WIN_K + _WIN_W - 1
     )
-    pos = docs.select(
+    h = sql_hash32_dialect(f"substr(text, CAST(i AS INT), {_WIN_K})", "spark")
+    hashed = docs.select(
         "doc_id",
-        "text",
-        (F.length("text") - (_WIN_K - 1)).alias("n_pos"),
-    ).select(
+        F.expr(
+            f"transform(sequence(1, length(text) - {_WIN_K - 1}), i -> {h})"
+        ).alias("hs"),
+    )
+    fps = hashed.select(
         "doc_id",
-        "text",
-        "n_pos",
-        F.explode(F.sequence(F.lit(1), F.col("n_pos"))).alias("i"),
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(hs) - {_WIN_W - 1}),"
+            f" j -> array_min(slice(hs, j, {_WIN_W}))))"
+        ).alias("fps"),
     )
-    # project the hash BEFORE the window so text never enters (let alone
-    # shuffles through) the window operator — see the header
-    hashed = pos.select(
+    return fps.select(
         "doc_id",
-        "i",
-        "n_pos",
-        F.expr(sql_hash32(f"substr(text, CAST(i AS INT), {_WIN_K})")).alias("h"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(Window.currentRow, _WIN_W - 1)
-    )
-    winnowed = (
-        hashed.withColumn("fp", F.min("h").over(w))
-        .filter(F.col("i") <= F.col("n_pos") - (_WIN_W - 1))
-        .select("doc_id", "fp")
-        .distinct()
-    )
-    return winnowed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_fingerprints"),
-        F.sum("fp").cast("bigint").alias("fp_sum"),
-        F.min("fp").cast("bigint").alias("fp_min"),
-        F.max("fp").cast("bigint").alias("fp_max"),
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.expr(
+            "aggregate(fps, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).cast("bigint").alias("fp_sum"),
+        F.array_min("fps").cast("bigint").alias("fp_min"),
+        F.array_max("fps").cast("bigint").alias("fp_max"),
     )
 
 
@@ -2384,12 +2387,13 @@ _DRIFT_BAND_W = 64.0
 _DRIFT_Q = 68719476736.0  # 2^36, the shared quantization device
 
 
-_Q5W_SQL = f"""
-    WITH cellt AS (
+_Q5W_CELLT = f"""cellt AS (
       SELECT source, CAST(FLOOR(n_chars / {_DRIFT_BAND_W}) AS BIGINT) AS band,
              CAST(COUNT(*) AS BIGINT) AS o
       FROM documents GROUP BY 1, 2
-    ),
+    )"""
+
+_Q5W_TAIL = f"""
     rowt AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r FROM cellt GROUP BY 1),
     colt AS (SELECT band, CAST(SUM(o) AS BIGINT) AS c FROM cellt GROUP BY 1),
     nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cellt),
@@ -2416,11 +2420,23 @@ _Q5W_SQL = f"""
     FROM contrib GROUP BY 1
 """
 
+_Q5W_SQL = f"WITH {_Q5W_CELLT},{_Q5W_TAIL}"
+
 
 @query("q5w_chi2_drift", oracle=_Q5W_SQL)
 def q5w_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.sql(_Q5W_SQL)
+    # r11: the (source, band) contingency table is consumed by the row/
+    # column/total marginals AND the grid join — materialize the
+    # metadata-sized table once (ONE documents scan instead of four;
+    # plain CTEs inline in Spark). Oracle unchanged; parity-verified.
+    spark.sql(
+        f"WITH {_Q5W_CELLT} SELECT * FROM cellt"
+    ).localCheckpoint().createOrReplaceTempView("q5w_cellt_mat")
+    return spark.sql(
+        f"WITH cellt AS (SELECT source, band, o FROM q5w_cellt_mat),"
+        f"{_Q5W_TAIL}"
+    )
 
 
 # --------------------------------------------------------------------------
