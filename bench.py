@@ -317,8 +317,12 @@ def main() -> None:
     # bought a second pass at 41 queries; the late-round-8 additions
     # take EXTRA to 56 (~103s/pass quiet), so 230s keeps min-of-2 honest.
     # Round 9 promotes 3 to HEADLINE and adds 9 (EXTRA 62, ~115s/pass
-    # quiet after the codec speedup): 280s.
-    extra_passes = run_group(EXTRA, 280)
+    # quiet after the codec speedup): 280s. Round 11 (optimization):
+    # EXTRA is 95 queries after the 18 round-11 additions (~90-100s/pass
+    # after this round's optimizations) — 340s keeps min-of-2+ honest at
+    # the grown set, same budget-per-query as the r9 sizing. Timing
+    # methodology (noop sink, min-of-N, interleaved probes) unchanged.
+    extra_passes = run_group(EXTRA, 340)
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = round(sum(timings[n] for n in HEADLINE_LEGACY if n in timings), 3)
     total32 = round(

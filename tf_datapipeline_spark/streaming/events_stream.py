@@ -1589,16 +1589,31 @@ def q4zk_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = per_user.groupBy("user_id").agg(
         F.max("step_reached").alias("step_reached")
     )
-    ladder = None
-    for i, name in enumerate(_FUNNEL_STEPS):
-        row = final.filter(F.col("step_reached") >= i + 1).agg(
-            F.count(F.lit(1)).alias("n_users")
-        ).select(
-            F.lit(i + 1).cast("int").alias("step"),
-            F.lit(name).alias("step_name"),
-            "n_users",
+    # r11: ONE conditional aggregate + explode (batch q4zi's exact
+    # shape) instead of three filter+count arms unioned — the memory
+    # sink was re-aggregated once per step (3 jobs; 3 scans at scale).
+    counts = final.agg(
+        *(
+            F.count(F.when(F.col("step_reached") >= i + 1, 1)).alias(
+                f"n{i + 1}"
+            )
+            for i in range(len(_FUNNEL_STEPS))
         )
-        ladder = row if ladder is None else ladder.unionAll(row)
+    )
+    ladder = counts.select(
+        F.explode(
+            F.array(
+                *(
+                    F.struct(
+                        F.lit(i + 1).cast("int").alias("step"),
+                        F.lit(name).alias("step_name"),
+                        F.col(f"n{i + 1}").alias("n_users"),
+                    )
+                    for i, name in enumerate(_FUNNEL_STEPS)
+                )
+            )
+        ).alias("s")
+    ).select("s.step", "s.step_name", "s.n_users")
     # shared ratio semantics with batch q4zi (incl. the empty-step NULL
     # convention) — see events._funnel_ratios
     return _funnel_ratios(ladder)
