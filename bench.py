@@ -284,32 +284,59 @@ def main() -> None:
     # budget so its min-of-3 stays comparable round over round no matter
     # how many EXTRA queries accumulate; extra passes are skipped once a
     # group is over budget.
+    #
+    # Round 12 (r11 verdict task 1): probe-GATED pass retry. BENCH_r11's
+    # only headline pass ran inside a multi-minute host stall burst
+    # (interleaved probes 5.3-25.9s vs the 0.62-0.8s quiet band), so
+    # min-of-1 recorded 2-4x-inflated times and PERF_r11 reported 33
+    # phantom regressions. A pass now counts as IN-BAND only when its
+    # trailing probe is within ~1.6x of the best probe seen this run
+    # (relative, so the same rule holds at the driver's low-core control
+    # runs where the constant-work probe is legitimately slower); the
+    # group keeps re-running passes — past its budget if necessary, up
+    # to 5 attempts / 3x budget — until at least TWO passes are in-band,
+    # so a single starved pass can never be the only record. Per-pass
+    # probes are recorded in the artifact (`pass_probes`). min-of-N
+    # semantics are unchanged: stalled passes still feed the min (a
+    # stall only ever inflates, never deflates, a noop-sink wall time).
     timings: dict[str, float] = {}
+    pass_probes: dict[str, list[float]] = {}
+    inband_passes: dict[str, int] = {}
 
-    def run_group(names: list[str], budget: float) -> int:
+    def _probe_accept() -> float:
+        return max(1.25, 1.6 * min(calibration_probes))
+
+    def run_group(group: str, names: list[str], budget: float) -> int:
         group_start = time.perf_counter()
-        n_passes = 1
-        for name in names:
-            t = run_once(name)
-            if t is not None:
-                timings[name] = t
-        calibration_probes.append(round(calibration_probe(spark), 3))
-        for _ in range(2):
-            if time.perf_counter() - group_start > budget:
-                break
+        n_passes = 0
+        inband = 0
+        pass_probes[group] = []
+        while True:
             n_passes += 1
             for name in names:
-                if name not in timings:
-                    continue
+                if n_passes > 1 and name not in timings:
+                    continue  # failed on pass 1: don't retry failures
                 t = run_once(name)
                 if t is not None:
-                    timings[name] = min(timings[name], t)
-            calibration_probes.append(round(calibration_probe(spark), 3))
+                    timings[name] = (
+                        t if name not in timings else min(timings[name], t)
+                    )
+            p = round(calibration_probe(spark), 3)
+            calibration_probes.append(p)
+            pass_probes[group].append(p)
+            if p <= _probe_accept():
+                inband += 1
+            elapsed = time.perf_counter() - group_start
+            if n_passes >= 5 or elapsed > 3 * budget:
+                break  # hard caps: a long burst cannot run the bench away
+            if inband >= 2 and (elapsed > budget or n_passes >= 3):
+                break
+        inband_passes[group] = inband
         return n_passes
 
     # 140s: the 4 promoted queries add ~6-8s/pass over the legacy 28's
     # ~23-25s, and three passes must still fit.
-    passes = run_group(HEADLINE, 140)
+    passes = run_group("headline", HEADLINE, 140)
     # EXTRA grew to 41 queries (~80s/pass quiet): the old 100s budget
     # allowed only ONE pass, so a single host stall stuck to a query's
     # reported time with no re-pass to shake it off (a stall charged 127s
@@ -322,7 +349,7 @@ def main() -> None:
     # after this round's optimizations) — 340s keeps min-of-2+ honest at
     # the grown set, same budget-per-query as the r9 sizing. Timing
     # methodology (noop sink, min-of-N, interleaved probes) unchanged.
-    extra_passes = run_group(EXTRA, 340)
+    extra_passes = run_group("extra", EXTRA, 340)
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = round(sum(timings[n] for n in HEADLINE_LEGACY if n in timings), 3)
     total32 = round(
@@ -367,6 +394,11 @@ def main() -> None:
         # min-of-2 — state it so cross-round ratios are honest)
         "passes": passes,
         "extra_passes": extra_passes,
+        # r12: per-pass trailing probes + how many passes were in-band
+        # (probe <= max(1.25, 1.6*min)); see run_group. A reader can now
+        # tell from the artifact alone whether any kept pass ran quiet.
+        "pass_probes": pass_probes,
+        "inband_passes": inband_passes,
         "sf": sf_dir,
         **({"failures": failures} if failures else {}),
     }

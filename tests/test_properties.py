@@ -173,6 +173,35 @@ def test_cc_labels_memoized_across_queries(spark):
     assert a is b
 
 
+def test_sig_materialization_is_per_invocation(spark):
+    """r12 bench-row honesty (r11 verdict task 3): the MinHash signature
+    table is rebuilt on EVERY invocation — a session-level memo let the
+    bench's min-of-N passes time a cached-table read instead of the
+    signature build the q62 row claims to measure. Two invocations must
+    produce independent checkpoints with identical values."""
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark.operators.dedup import _materialize_sig
+
+    a = _materialize_sig(spark, SF_SMOKE)
+    b = _materialize_sig(spark, SF_SMOKE)
+    assert a is not b
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b and rows_a
+
+
+def test_register_views_recovers_dropped_view(spark):
+    """r12 (r11 advice): the register_views same-dir skip must notice a
+    dropped temp view and re-register instead of silently returning."""
+    from tests.conftest import SF_SMOKE
+    from tf_datapipeline_spark.catalog import register_views
+
+    register_views(spark, SF_SMOKE)
+    spark.catalog.dropTempView("documents")
+    register_views(spark, SF_SMOKE)
+    assert spark.catalog.tableExists("documents")
+
+
 def test_approx_top_k_certification_regime(spark):
     """Found by the round-5 sf1 parity sweep: with capacity below the
     distinct-key count, the frequent-items sketch reports only items it

@@ -847,3 +847,33 @@ def test_stream_funnel_latency_state_invariant_to_batch_count(spark, tmp_path):
         3: (t(_T0 + 2 * m), t(_T0 + 12 * m), t(_T0 + 13 * m)),
         4: (t(_T0 + 3 * m), None, None),
     }
+
+
+def test_funnel_fold_skips_null_timestamps():
+    """r12 (r11 advice): a null ts inside a batch must not freeze a
+    funnel slot to NaT — numpy min over a set containing NaT is NaT,
+    whereas the pre-vectorization sorted scan (NaT sorts last) picked
+    the first VALID qualifying event. The fold must match the old scan."""
+    import pandas as pd
+
+    from tf_datapipeline_spark.operators.events import _FUNNEL_STEPS
+    from tf_datapipeline_spark.streaming.events_stream import (
+        _fold_funnel_batch,
+    )
+
+    class _State:
+        exists = False
+
+        def update(self, v):
+            self.val = v
+
+    s1, _s2, _s3 = _FUNNEL_STEPS
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([pd.NaT, "2031-01-01 00:01:00"]),
+            "event_type": [s1, s1],
+        }
+    )
+    t1, t2, t3 = _fold_funnel_batch(iter([pdf]), _State())
+    assert t1 == pd.Timestamp("2031-01-01 00:01:00")
+    assert t2 is None and t3 is None

@@ -42,7 +42,22 @@ def table_path(sf_dir: str, name: str) -> str:
 # still scans the parquet from disk — no data, no results, nothing is
 # persisted or cached across bench invocations (each bench run is a
 # fresh session with a fresh applicationId key).
+#
+# STATIC-DATA ASSUMPTION (r11 advice): the memo pins schema AND the
+# file listing at first read, so an in-session rewrite of the parquet
+# at the same path would be invisible (or fail on deleted files). The
+# driver corpus is generated once and read-only, and every engine write
+# path targets scratch dirs outside the table roots; anything that DOES
+# rewrite a table in place must call invalidate_caches() first.
 _TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def invalidate_caches() -> None:
+    """Drop all memoized table handles and view registrations — the
+    invalidation hook for any caller that mutates the catalog state
+    (rewrites a table dir in place, or drops/replaces a temp view)."""
+    _TABLE_MEMO.clear()
+    _VIEWS_AT.clear()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -130,7 +145,15 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL surface)."""
     app = spark.sparkContext.applicationId
     target = os.path.abspath(sf_dir)
-    if _VIEWS_AT.get(app) == target:
+    # r12 (r11 advice): the skip is only valid while ALL views are still
+    # registered — a test (or any caller) that drops/replaces a view
+    # in-session would otherwise leave later same-dir callers with a
+    # missing or foreign view. tableExists is a local catalog lookup
+    # (~ms for all 10), not a footer read, so the guard keeps the memo's
+    # ~1.2s saving.
+    if _VIEWS_AT.get(app) == target and all(
+        spark.catalog.tableExists(name) for name in TABLES
+    ):
         return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)

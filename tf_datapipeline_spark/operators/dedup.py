@@ -117,12 +117,17 @@ def _sql_shingles(dialect: str, distinct: bool = True) -> str:
     """
 
 
-# Materialized shingle/sig DataFrames are memoized per (session, sf_dir):
-# q62/q63/q65 share one signature build instead of recomputing the
-# corpus-wide shingle hash three times (the dominant cost of the family).
-# localCheckpoint keeps the partitions alive for the session; the temp
-# view is (re)bound to the memoized DataFrame on every call so alternating
-# sf_dirs always see their own data.
+# r12 (r11 verdict task 3 — bench-row honesty): the signature/shingle
+# tables are materialized PER INVOCATION (localCheckpoint + temp view,
+# the q6h/q6k idiom), not memoized per session. The r8-era session memo
+# meant q62's min-of-N bench row timed a cached-table read (~0.06s)
+# instead of the signature build it claims to measure, and q63/q65
+# likewise excluded the build from every pass after the first. Within
+# one invocation the table is still built exactly once and every
+# downstream arm reads the checkpoint. `_MATERIALIZED` now holds ONLY
+# the connected-component labels (cc_labels), which q67/qt1/qt2 share
+# by design (test-pinned engine architecture: one CC run per corpus
+# per session).
 _MATERIALIZED: dict[tuple[str, str, str], DataFrame] = {}
 
 
@@ -159,15 +164,16 @@ def _with_prelude(dialect: str, body: str, need_sig: bool) -> str:
     return "WITH " + ",\n    ".join(ctes) + "\n" + body
 
 
-def _materialize_sig(spark: SparkSession, sf_dir: str) -> None:
+def _materialize_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize the 5000-rows-per-million-docs signature table (NOT the
     raw shingle stream — q65 materializes that separately only when it
-    needs exact intersection counts)."""
+    needs exact intersection counts). Per-invocation: every caller pays
+    the build (see the module note above); callers that need the table
+    twice read the returned checkpoint / the `sig` view."""
     register_views(spark, sf_dir)
-    key = _memo_key(spark, sf_dir, "sig")
-    if key not in _MATERIALIZED:
-        _MATERIALIZED[key] = spark.sql(_sql_signature("spark")).localCheckpoint()
-    _MATERIALIZED[key].createOrReplaceTempView("sig")
+    df = spark.sql(_sql_signature("spark")).localCheckpoint()
+    df.createOrReplaceTempView("sig")
+    return df
 
 
 def _minhash_signature_sql(dialect: str) -> str:
@@ -322,18 +328,14 @@ def _materialize_candidate_shingles(spark: SparkSession, sf_dir: str) -> None:
     the full-corpus distinct-shingle shuffle would dwarf everything else,
     while candidates are a sliver. The oracle computes the corpus-wide
     CTE; results agree because the verify joins only touch candidate
-    docs' rows either way."""
-    key = _memo_key(spark, sf_dir, "cand_shingles")
-    if key not in _MATERIALIZED:
-        ids = spark.sql(
-            f"SELECT doc_a AS doc_id FROM ({_band_candidates()}) "
-            f"UNION SELECT doc_b FROM ({_band_candidates()})"
-        )
-        raw = spark.sql(f"SELECT * FROM ({_sql_shingles('spark', distinct=False)})")
-        _MATERIALIZED[key] = (
-            raw.join(ids, "doc_id", "left_semi").distinct().localCheckpoint()
-        )
-    _MATERIALIZED[key].createOrReplaceTempView("shingles")
+    docs' rows either way. Per-invocation (see module note)."""
+    ids = spark.sql(
+        f"SELECT doc_a AS doc_id FROM ({_band_candidates()}) "
+        f"UNION SELECT doc_b FROM ({_band_candidates()})"
+    )
+    raw = spark.sql(f"SELECT * FROM ({_sql_shingles('spark', distinct=False)})")
+    raw.join(ids, "doc_id", "left_semi").distinct().localCheckpoint(
+    ).createOrReplaceTempView("shingles")
 
 
 def _jaccard_sql(dialect: str) -> str:
@@ -368,15 +370,12 @@ def _jaccard_spark_body() -> str:
 
 def _materialize_shingle_sets(spark: SparkSession, sf_dir: str) -> None:
     """Bind `shingle_sets` = (doc_id, hs array<bigint>, sz) for candidate
-    docs, built from the memoized candidate `shingles` view."""
+    docs, built from the per-invocation candidate `shingles` view."""
     _materialize_candidate_shingles(spark, sf_dir)
-    key = _memo_key(spark, sf_dir, "shingle_sets")
-    if key not in _MATERIALIZED:
-        _MATERIALIZED[key] = spark.sql(
-            "SELECT doc_id, collect_list(h) AS hs, COUNT(*) AS sz "
-            "FROM shingles GROUP BY doc_id"
-        ).localCheckpoint()
-    _MATERIALIZED[key].createOrReplaceTempView("shingle_sets")
+    spark.sql(
+        "SELECT doc_id, collect_list(h) AS hs, COUNT(*) AS sz "
+        "FROM shingles GROUP BY doc_id"
+    ).localCheckpoint().createOrReplaceTempView("shingle_sets")
 
 
 @query("q65_ngram_jaccard", oracle=_jaccard_sql("duckdb"))
@@ -2029,42 +2028,40 @@ def _materialize_cal_shingles(spark: SparkSession, sf_dir: str) -> None:
     SAMPLED calibration docs only (the q65 candidate-restriction idiom):
     exact-Jaccard cost then scales with the fixed-size sample, not the
     corpus. The oracle computes the corpus-wide CTE; results agree
-    because every join is keyed on sampled doc_ids either way."""
-    key = _memo_key(spark, sf_dir, "cal_shingles")
-    if key not in _MATERIALIZED:
-        ids = spark.sql(
-            f"""
-            SELECT doc_id FROM (
-              SELECT t.doc_id,
-                     {sql_hash32_from_md5_dialect("t.md5s", "spark")} % nblk.nb
-                       AS blk
-              FROM (SELECT doc_id, md5(CAST(doc_id AS STRING)) AS md5s
-                    FROM documents WHERE length(text) >= 5) t
-              CROSS JOIN (
-                SELECT GREATEST(CAST(16 AS BIGINT),
-                                CAST(CEIL(COUNT(*) / CAST(32.0 AS DOUBLE))
-                                     AS BIGINT)) AS nb
-                FROM documents WHERE length(text) >= 5
-              ) nblk
-            ) keyed WHERE blk < {_CAL_BLOCKS}
-            """
-        )
-        # restrict BEFORE the shingle explode: the md5-per-5-gram stream
-        # is the family's dominant cost, and only ~32·_CAL_BLOCKS docs
-        # are sampled — semi-join the doc table first so shingle work is
-        # sample-sized at any corpus scale
-        ids.createOrReplaceTempView("_cal_ids")
-        sampled_shingles = _sql_shingles("spark", distinct=False).replace(
-            "FROM documents",
-            "FROM (SELECT d.* FROM documents d"
-            " LEFT SEMI JOIN _cal_ids c ON c.doc_id = d.doc_id)",
-        )
-        _MATERIALIZED[key] = (
-            spark.sql(f"SELECT * FROM ({sampled_shingles})")
-            .distinct()
-            .localCheckpoint()
-        )
-    _MATERIALIZED[key].createOrReplaceTempView("shingles")
+    because every join is keyed on sampled doc_ids either way.
+    Per-invocation (see module note)."""
+    ids = spark.sql(
+        f"""
+        SELECT doc_id FROM (
+          SELECT t.doc_id,
+                 {sql_hash32_from_md5_dialect("t.md5s", "spark")} % nblk.nb
+                   AS blk
+          FROM (SELECT doc_id, md5(CAST(doc_id AS STRING)) AS md5s
+                FROM documents WHERE length(text) >= 5) t
+          CROSS JOIN (
+            SELECT GREATEST(CAST(16 AS BIGINT),
+                            CAST(CEIL(COUNT(*) / CAST(32.0 AS DOUBLE))
+                                 AS BIGINT)) AS nb
+            FROM documents WHERE length(text) >= 5
+          ) nblk
+        ) keyed WHERE blk < {_CAL_BLOCKS}
+        """
+    )
+    # restrict BEFORE the shingle explode: the md5-per-5-gram stream
+    # is the family's dominant cost, and only ~32·_CAL_BLOCKS docs
+    # are sampled — semi-join the doc table first so shingle work is
+    # sample-sized at any corpus scale
+    ids.createOrReplaceTempView("_cal_ids")
+    sampled_shingles = _sql_shingles("spark", distinct=False).replace(
+        "FROM documents",
+        "FROM (SELECT d.* FROM documents d"
+        " LEFT SEMI JOIN _cal_ids c ON c.doc_id = d.doc_id)",
+    )
+    (
+        spark.sql(f"SELECT * FROM ({sampled_shingles})")
+        .distinct()
+        .localCheckpoint()
+    ).createOrReplaceTempView("shingles")
 
 
 def _lsh_calibration_sql(dialect: str) -> str:

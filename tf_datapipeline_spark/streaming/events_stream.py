@@ -1524,7 +1524,10 @@ def _fold_funnel_batch(pdf_iter, state):
     s1, s2, s3 = _FUNNEL_STEPS
 
     def _first_after(step: str, lo):
-        m = et_a == step
+        # r12 (r11 advice): mask out null timestamps — numpy min over a
+        # set containing NaT returns NaT, whereas the pre-r11 sorted
+        # scan (NaT sorts last) picked the first VALID qualifying event.
+        m = (et_a == step) & ~np.isnat(ts_a)
         if lo is not None:
             m &= ts_a > np.datetime64(lo)
         return pd.Timestamp(ts_a[m].min()) if m.any() else None

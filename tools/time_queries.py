@@ -83,14 +83,20 @@ def main() -> None:
 
     ranked = sorted(
         (
-            (v.get("warm_min", 99.0), k)
+            (v["warm_min"], k)
             for k, v in results.items()
+            if "warm_min" in v  # errored queries are listed separately
         ),
         reverse=True,
     )
     print("== slowest ==")
     for t, k in ranked[:25]:
         print(f"{t:8.3f}  {k}  {results[k]}")
+    failed = {k: v["err"] for k, v in results.items() if "err" in v}
+    if failed:
+        print("== failed ==")
+        for k, e in failed.items():
+            print(f"  {k}: {e}")
     total = sum(v.get("warm_min", 0) for v in results.values())
     print(json.dumps({"total_warm_min": round(total, 3), "n": len(results)}))
 
