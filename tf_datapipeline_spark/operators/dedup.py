@@ -29,7 +29,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tf_datapipeline_spark.catalog import load_table, register_views
+from tf_datapipeline_spark.catalog import (
+    docs_scan_source,
+    load_table,
+    register_views,
+)
 from tf_datapipeline_spark.functions.texthash import (
     MERSENNE,
     minhash_params,
@@ -171,7 +175,14 @@ def _materialize_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     the build (see the module note above); callers that need the table
     twice read the returned checkpoint / the `sig` view."""
     register_views(spark, sf_dir)
-    df = spark.sql(_sql_signature("spark")).localCheckpoint()
+    # adaptive scan parallelism (catalog.docs_scan_source): the
+    # md5-per-5-gram stream is the family's dominant cost and runs on
+    # ONE core when the local corpus is a single parquet file —
+    # measured 2.6 s → 0.85 s at sf0.1 (tools/exp_sig.py, quiet window)
+    sql = _sql_signature("spark").replace(
+        "FROM documents WHERE", f"FROM {docs_scan_source(spark, sf_dir)} WHERE"
+    )
+    df = spark.sql(sql).localCheckpoint()
     df.createOrReplaceTempView("sig")
     return df
 
@@ -289,7 +300,14 @@ def q64_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     land on equal or hamming-close simhashes; grouping by value clusters
     them."""
     register_views(spark, sf_dir)
-    return spark.sql(_simhash_sql("spark"))
+    # adaptive scan parallelism — see _materialize_sig (the per-token
+    # md5 stream serializes on a 1-task scan otherwise)
+    return spark.sql(
+        _simhash_sql("spark").replace(
+            "FROM documents\n",
+            f"FROM {docs_scan_source(spark, sf_dir)}\n",
+        )
+    )
 
 
 def _jaccard_body() -> str:
@@ -321,21 +339,37 @@ def _jaccard_body() -> str:
     """
 
 
-def _materialize_candidate_shingles(spark: SparkSession, sf_dir: str) -> None:
-    """Bind the `shingles` view to the DISTINCT shingle sets of CANDIDATE
-    docs only (docs appearing in some LSH band collision). Exact-verify
-    cost then scales with the candidate set, not the corpus — at 100 TB
-    the full-corpus distinct-shingle shuffle would dwarf everything else,
-    while candidates are a sliver. The oracle computes the corpus-wide
-    CTE; results agree because the verify joins only touch candidate
-    docs' rows either way. Per-invocation (see module note)."""
-    ids = spark.sql(
-        f"SELECT doc_a AS doc_id FROM ({_band_candidates()}) "
-        f"UNION SELECT doc_b FROM ({_band_candidates()})"
+def _materialize_shingle_sets(spark: SparkSession, sf_dir: str) -> None:
+    """Bind `shingle_sets` = (doc_id, hs array<bigint>, sz) for CANDIDATE
+    docs only (docs appearing in some LSH band collision) — exact-verify
+    cost then scales with the candidate set, not the corpus; the oracle
+    computes the corpus-wide CTE and agrees because the verify joins
+    only touch candidate docs' rows either way. Per-invocation (module
+    note). r12 (guide §2.4): ONE collect_set aggregate over the raw
+    candidate-restricted shingle stream replaces the r11 chain
+    (distinct exchange -> checkpoint -> second group-by exchange) —
+    partial collect_set dedups map-side, so the set semantics are
+    identical and one exchange does the whole job. The candidate
+    restriction lands BEFORE the shingle explode (semi-join documents
+    down to candidate docs — a doc_id semi-join commutes with the
+    per-doc explode), and the candidate id set derives the band join
+    ONCE (explode(array(doc_a, doc_b)) instead of a two-arm UNION);
+    the r11 shape re-ran the FULL corpus md5-per-5-gram stream a second
+    time just to semi-join most of it away."""
+    spark.sql(
+        f"SELECT DISTINCT explode(array(doc_a, doc_b)) AS doc_id "
+        f"FROM ({_band_candidates()})"
+    ).createOrReplaceTempView("_cand_ids")
+    cand_shingles = _sql_shingles("spark", distinct=False).replace(
+        "FROM documents",
+        f"FROM (SELECT d.* FROM {docs_scan_source(spark, sf_dir)} d"
+        " LEFT SEMI JOIN _cand_ids c ON c.doc_id = d.doc_id)",
     )
-    raw = spark.sql(f"SELECT * FROM ({_sql_shingles('spark', distinct=False)})")
-    raw.join(ids, "doc_id", "left_semi").distinct().localCheckpoint(
-    ).createOrReplaceTempView("shingles")
+    spark.sql(
+        f"SELECT doc_id, hs, CAST(size(hs) AS BIGINT) AS sz FROM ("
+        f"  SELECT doc_id, collect_set(h) AS hs"
+        f"  FROM ({cand_shingles}) GROUP BY doc_id)"
+    ).localCheckpoint().createOrReplaceTempView("shingle_sets")
 
 
 def _jaccard_sql(dialect: str) -> str:
@@ -368,23 +402,13 @@ def _jaccard_spark_body() -> str:
     """
 
 
-def _materialize_shingle_sets(spark: SparkSession, sf_dir: str) -> None:
-    """Bind `shingle_sets` = (doc_id, hs array<bigint>, sz) for candidate
-    docs, built from the per-invocation candidate `shingles` view."""
-    _materialize_candidate_shingles(spark, sf_dir)
-    spark.sql(
-        "SELECT doc_id, collect_list(h) AS hs, COUNT(*) AS sz "
-        "FROM shingles GROUP BY doc_id"
-    ).localCheckpoint().createOrReplaceTempView("shingle_sets")
-
-
 @query("q65_ngram_jaccard", oracle=_jaccard_sql("duckdb"))
 def q65_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by EXACT 5-gram Jaccard, verified over MinHash-LSH
     candidate pairs (generate candidates cheaply, verify exactly — the
     standard two-phase near-dedup of large-corpus pipelines). The exact
     |A∩B| needs SET semantics, but only for candidate docs — see
-    _materialize_candidate_shingles / _jaccard_spark_body."""
+    _materialize_shingle_sets / _jaccard_spark_body."""
     _materialize_sig(spark, sf_dir)
     _materialize_shingle_sets(spark, sf_dir)
     return spark.sql(_jaccard_spark_body())
@@ -1764,8 +1788,12 @@ def q6h_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE shingle scan: materialize the k x N_sources sketch (bounded
     # metadata at any corpus size), then run the pair/merge arithmetic
     # over it — the Spark twin of the oracle's MATERIALIZED hint.
+    sk_sql = _kmv_sketch_sql("spark").replace(
+        "FROM documents WHERE",
+        f"FROM {docs_scan_source(spark, sf_dir)} WHERE",
+    )  # adaptive scan parallelism — see _materialize_sig
     spark.sql(
-        f"WITH {_kmv_sketch_sql('spark')} SELECT * FROM sk"
+        f"WITH {sk_sql} SELECT * FROM sk"
     ).localCheckpoint().createOrReplaceTempView("kmv_sk_mat")
     return spark.sql(_kmv_overlap_sql("spark"))
 
@@ -2054,7 +2082,7 @@ def _materialize_cal_shingles(spark: SparkSession, sf_dir: str) -> None:
     ids.createOrReplaceTempView("_cal_ids")
     sampled_shingles = _sql_shingles("spark", distinct=False).replace(
         "FROM documents",
-        "FROM (SELECT d.* FROM documents d"
+        f"FROM (SELECT d.* FROM {docs_scan_source(spark, sf_dir)} d"
         " LEFT SEMI JOIN _cal_ids c ON c.doc_id = d.doc_id)",
     )
     (

@@ -131,13 +131,26 @@ def _prep_oracle() -> str:
 @query("qt1_prep_pipeline", oracle=_prep_oracle())
 def qt1_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # (adaptive repartition A/B'd OFF here — tools/exp_repart2.py: the
+    # tokenize/gram streams are whitespace splits, and the added
+    # shuffle measured 1.3s -> 2.1-2.8s; the device only pays on
+    # md5-per-position streams like the shingle/winnow families)
     toks = _tokens_spark()
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
     w = Window.partitionBy(F.md5("text"))
+    # r12 (guide §2.3 — project before the exchange): the md5-dedup
+    # window only needs the HASH as its key, and everything downstream
+    # needs length(text), never text itself — computing n_chunks' input
+    # here keeps the document payload out of BOTH the window exchange
+    # and the doc_id join exchange (the r11 plan shipped full text
+    # through each: ~text-sized shuffles for a 16-byte decision).
+    n_chunks = F.expr(
+        f"1 + CAST(greatest(length(text), 1) - 1 AS LONG) DIV {_CHUNK_STRIDE}"
+    )
     flags = docs.select(
         "doc_id",
         "lang",
-        "text",
+        n_chunks.alias("n_chunks"),
         F.size(toks).alias("n_tokens"),
         (~((F.col("n_chars") >= 100) & (n_stop > 0))).alias("bad_quality"),
         (F.col("doc_id") != F.min("doc_id").over(w)).alias("exact_dup"),
@@ -164,13 +177,10 @@ def qt1_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.coalesce(F.col("contaminated"), F.lit(False)), "contaminated")
         .otherwise("kept")
     )
-    n_chunks = F.expr(
-        f"1 + CAST(greatest(length(text), 1) - 1 AS LONG) DIV {_CHUNK_STRIDE}"
-    )
     reasoned = (
         flags.join(labels, "doc_id", "left")
         .join(contam, "doc_id", "left")
-        .select("lang", "n_tokens", n_chunks.alias("n_chunks"), reason.alias("reason"))
+        .select("lang", "n_tokens", "n_chunks", reason.alias("reason"))
     )
 
     def n_reason(r: str) -> F.Column:

@@ -2323,8 +2323,6 @@ def q7m_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side is provably bounded by the query text (the stride-arithmetic
     # filter form hid that bound from the scan AND the NLJ audit)
     seed_ids = [8 + _CENTROID_STRIDE * k for k in range(_N_CELLS)]
-    seeds = gnorms.filter(F.col("vec_id").isin(seed_ids)).select("vec_id")
-    beam = queries.select("query_id").crossJoin(seeds)
 
     dot = F.aggregate(
         F.zip_with(
@@ -2336,35 +2334,77 @@ def q7m_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("vec_id")
     )
-    # The unroll keeps the full lineage: cand references beam twice, so
-    # the logical plan doubles per round — but every replicated subtree
-    # bottoms out in the same two exchanges (the checkpointed edge list
-    # and the corpus rescore join), which ReusedExchange dedupes;
-    # measured 2x FASTER than a per-round localCheckpoint at T=3 (the
-    # checkpoint splits rounds into separate jobs and re-shuffles the
-    # corpus side each round). Raise _GANN_ROUNDS past ~6 and the
-    # trade flips — re-measure before touching it.
+    # r12 (r11 verdict task 2, A/B'd via tools/exp_q7m.py): hop-superset
+    # prescore replaces the r11 unrolled per-round rescore. The beam can
+    # only ever visit nodes within _GANN_ROUNDS edge-hops of the seed
+    # set — a reachable set derivable from edge METADATA alone, bounded
+    # by seeds · out_degree^T regardless of corpus size — so ONE corpus
+    # pass (semi-joined down to the reachable set, then scored against
+    # the broadcast query set) replaces the three per-round corpus
+    # rescore joins, and the per-round subtrees bottom out in the
+    # bounded `scored` checkpoint instead of corpus exchanges (r11 plan:
+    # 2167 lines / 134 Exchange mentions, 4.1 MiB task binaries; the
+    # matched-window A/B measured the shapes wall-equal at sf0.1 — the
+    # shared edge build dominates there — and the one-scan shape is the
+    # strictly better scaling term). The r11-rejected per-round
+    # localCheckpoint was slow because each round RE-SHUFFLED the
+    # corpus side; here no round touches the corpus at all.
+    seed_rel = spark.sql(
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id FROM VALUES "
+        + ", ".join(f"({i})" for i in seed_ids)
+        + " AS t(vec_id)"
+    )  # LocalTableScan: structurally bounded for the NLJ audit
+    reach = seed_rel
+    frontier = reach
+    for _ in range(_GANN_ROUNDS):
+        # frontier/reach stay metadata-sized: broadcast them into the
+        # edge join so the O(K·n) edge table is never shuffled
+        frontier = (
+            undirected.join(
+                F.broadcast(frontier), undirected.va == frontier.vec_id
+            )
+            .filter(F.col("vb") >= _N_QUERIES)
+            .select(F.col("vb").alias("vec_id"))
+            .distinct()
+        )
+        reach = reach.unionAll(frontier).distinct()
+    scored = (
+        gnorms.join(F.broadcast(reach), "vec_id")
+        .crossJoin(F.broadcast(queries))
+        .select(
+            "query_id",
+            "vec_id",
+            (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cos_sim"),
+        )
+        .localCheckpoint()  # |reach| × |queries| rows — bounded
+    )
+    # literal seed relation (LocalTableScan — structurally bounded for
+    # the NLJ audit; a seed id absent from the corpus would drop at the
+    # first scored join either way, so this equals the old
+    # corpus-filtered seed set row-for-row)
+    beam = queries.select("query_id").crossJoin(F.broadcast(seed_rel))
     for _ in range(_GANN_ROUNDS):
         cand = (
             beam.select("query_id", "vec_id")
             .unionAll(
-                beam.join(undirected, beam.vec_id == undirected.va)
+                undirected.join(
+                    F.broadcast(beam), beam.vec_id == undirected.va
+                )
                 .filter(F.col("vb") >= _N_QUERIES)
                 .select("query_id", F.col("vb").alias("vec_id"))
             )
             .distinct()
         )
         beam = (
-            cand.join(gnorms, "vec_id")
-            .join(F.broadcast(queries), "query_id")
-            .select(
-                "query_id",
-                "vec_id",
-                (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cos_sim"),
-            )
+            cand.join(scored, ["query_id", "vec_id"])
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= _GANN_BEAM)
             .select("query_id", "vec_id", "cos_sim")
+            # ≤ queries × _GANN_BEAM rows: checkpointing per round keeps
+            # the plan from doubling (cand references beam twice) at the
+            # cost of three tiny jobs — matched-window A/B: hop_ckpt
+            # 5.21 vs unrolled 5.25 vs r11 shape 5.25 (min-of-4, quiet)
+            .localCheckpoint()
         )
     found = beam.withColumn(
         "rn", F.row_number().over(w)

@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tf_datapipeline_spark.catalog import load_table, register_views
+from tf_datapipeline_spark.catalog import (
+    adaptive_scan_parallelism,
+    load_table,
+    register_views,
+)
 from tf_datapipeline_spark.functions.texthash import (
     sql_hash32,
     sql_hash32_dialect,
@@ -1167,6 +1171,12 @@ def q5h_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= _WIN_K + _WIN_W - 1
     )
+    # adaptive scan parallelism (catalog.adaptive_scan_parallelism): the
+    # per-position md5 transform is this query's entire cost and runs
+    # on ONE core when the corpus is a single small file
+    n_par = adaptive_scan_parallelism(spark, sf_dir, "documents")
+    if n_par:
+        docs = docs.repartition(n_par)
     h = sql_hash32_dialect(f"substr(text, CAST(i AS INT), {_WIN_K})", "spark")
     hashed = docs.select(
         "doc_id",
@@ -1813,6 +1823,10 @@ def _novelty_oracle() -> str:
 @query("q5p_ngram_novelty", oracle=_novelty_oracle())
 def q5p_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # adaptive scan parallelism (see catalog.adaptive_scan_parallelism)
+    n_par = adaptive_scan_parallelism(spark, sf_dir, "documents")
+    if n_par:
+        docs = docs.select("doc_id", "text").repartition(n_par)
     grams = (
         docs.select("doc_id", _tokens_spark().alias("_toks"))
         .select("doc_id", F.explode(_grams_spark(F.col("_toks"))).alias("g"))
@@ -2195,6 +2209,10 @@ def _bpe_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize-then-pack composite, which lays the encoded token counts
     out into fixed-length training sequences."""
     docs = load_table(spark, sf_dir, "documents")
+    # adaptive repartition measured WORSE here (tools/exp_repart2.py:
+    # on 2.1-2.9s vs off 1.3-1.7s): the whitespace tokenize is cheap
+    # enough that the extra shuffle (paid twice — toks derives twice)
+    # outweighs the parallelism; only md5-per-position streams win it
     toks = docs.select(
         "doc_id", F.explode(_tokens_spark()).alias("tok")
     ).filter(F.length("tok") >= 1)
