@@ -564,7 +564,60 @@ GATE_ORDER_R11 = GATE_ANCHORS + [
     "q57_corpus_prep",  # stale 8
 ]
 
-GATE_ORDER = GATE_ORDER_R11
+
+# Round-12 window: the 5 anchors, then the 18 never-gated round-11
+# operators (headed by the two r11-era never-gated ops, per the r11
+# verdict), then the stalest of the staleness backlog — the block
+# `tools/gate_rotation.py propose --round 12` emits verbatim.
+GATE_ORDER_R12 = GATE_ANCHORS + [
+    "q4zm_funnel_latency",  # never
+    "q4zo_periodicity",  # never
+    "q4zp_cusum_changepoint",  # never
+    "q5t_bpe_encode",  # never
+    "q5u_quality_classifier",  # never
+    "q5w_chi2_drift",  # never
+    "qt7_tokenize_pack",  # never
+    "q7m_graph_ann",  # never
+    "q7n_farthest_first_init",  # never
+    "q7o_ivf_probe_curve",  # never
+    "qt6_index_build",  # never
+    "q7p_silhouette",  # never
+    "q6k_lsh_calibration",  # never
+    "q8p_image_phash",  # never
+    "q4zn_stream_funnel_latency",  # never
+    "q9o_hilbert_layout",  # never
+    "q9p_lww_upsert",  # never
+    "q9q_time_travel",  # never
+    "q58_vocabulary",  # stale 9
+    "q61_dedup_exact_hash",  # stale 9
+    "q66_embedding_near_dup",  # stale 9
+    "q72_label_centroids",  # stale 9
+    "q81_pixel_stats",  # stale 9
+    "q89_resize_nearest",  # stale 9
+    "q32_split_exact_head",  # stale 8
+    "q4u_stream_stream_join",  # stale 8
+    "q4v_range_join_salted",  # stale 8
+    "q5h_winnow_fingerprint",  # stale 8
+    "q64_simhash",  # stale 8
+    "q65_ngram_jaccard",  # stale 8
+    "q86_audio_rms",  # stale 8
+    "q8c_bbox_overlay",  # stale 8
+    "q8d_jpeg_decode",  # stale 8
+    "q1i_heavy_hitters",  # stale 7
+    "q1w_approx_quantiles",  # stale 7
+    "q22_topk_per_group",  # stale 7
+    "q42_sessionization",  # stale 7
+    "q4i_range_frame",  # stale 7
+    "q55_tfidf",  # stale 7
+    "q5g_doc_chunking",  # stale 7
+    "q68_semantic_dedup",  # stale 7
+    "q69_substring_dup",  # stale 7
+    "q70_knn_bruteforce",  # stale 7
+    "q8e_format_sniff",  # stale 7
+    "q5c_contamination",  # stale 6
+]
+GATE_ORDER = GATE_ORDER_R12
+
 
 
 def _gate_sorted(d: dict) -> dict:
