@@ -2014,9 +2014,31 @@ def _lsh_calibration_body(dialect: str) -> str:
         if dialect == "spark"
         else _cal_pairs_sql(dialect)
     )
-    return f"""
-    {pairs_chain},
-    inter AS (
+    if dialect == "spark":
+        # r12 (the q65 set idiom, guide §2.4): per-doc sorted shingle
+        # SETS are already materialized (cal_sets); |A∩B| is then one
+        # codegen array_intersect per pair instead of the shingle
+        # self-join + two COUNT(*) arms (n_common and sz are the same
+        # integers either way: sets are distinct, |A∩B| is |A∩B|). The
+        # oracle keeps the portable shingle-join form below.
+        scored = f"""scored AS (
+      SELECT CAST(ic.n_common AS DOUBLE)
+               / (ic.sz_a + ic.sz_b - ic.n_common) AS jaccard,
+             CASE WHEN {band_eq} THEN 1 ELSE 0 END AS captured
+      FROM (
+        SELECT p.doc_a, p.doc_b,
+               CAST(size(array_intersect(sa.hs, sb.hs)) AS BIGINT)
+                 AS n_common,
+               sa.sz AS sz_a, sb.sz AS sz_b
+        FROM cal_pairs p
+        JOIN cal_sets sa ON sa.doc_id = p.doc_a
+        JOIN cal_sets sb ON sb.doc_id = p.doc_b
+      ) ic
+      JOIN sig ga ON ga.doc_id = ic.doc_a
+      JOIN sig gb ON gb.doc_id = ic.doc_b
+    )"""
+    else:
+        scored = f"""inter AS (
       SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
       FROM cal_pairs p
       JOIN shingles sa ON sa.doc_id = p.doc_a
@@ -2034,7 +2056,10 @@ def _lsh_calibration_body(dialect: str) -> str:
       JOIN sizes zb ON zb.doc_id = p.doc_b
       JOIN sig ga ON ga.doc_id = p.doc_a
       JOIN sig gb ON gb.doc_id = p.doc_b
-    )
+    )"""
+    return f"""
+    {pairs_chain},
+    {scored}
     SELECT CAST(j_bucket AS INT) AS j_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(SUM(captured) AS BIGINT) AS n_captured,
@@ -2051,13 +2076,16 @@ def _lsh_calibration_body(dialect: str) -> str:
     """
 
 
-def _materialize_cal_shingles(spark: SparkSession, sf_dir: str) -> None:
-    """Bind the `shingles` view to the DISTINCT shingle sets of the
-    SAMPLED calibration docs only (the q65 candidate-restriction idiom):
+def _materialize_cal_sets(spark: SparkSession, sf_dir: str) -> None:
+    """Bind `cal_sets` = (doc_id, hs array<bigint>, sz) for the SAMPLED
+    calibration docs only (the q65 candidate-restriction + set idiom):
     exact-Jaccard cost then scales with the fixed-size sample, not the
-    corpus. The oracle computes the corpus-wide CTE; results agree
-    because every join is keyed on sampled doc_ids either way.
-    Per-invocation (see module note)."""
+    corpus, and ONE collect_set aggregate replaces the r11 chain
+    (distinct -> checkpoint -> downstream COUNT arms). The oracle
+    computes the corpus-wide shingle CTE; results agree because every
+    join is keyed on sampled doc_ids and |A∩B|/|A| are the same
+    integers over sets either way. Per-invocation (see module note);
+    the sample restriction lands BEFORE the shingle explode."""
     ids = spark.sql(
         f"""
         SELECT doc_id FROM (
@@ -2075,21 +2103,17 @@ def _materialize_cal_shingles(spark: SparkSession, sf_dir: str) -> None:
         ) keyed WHERE blk < {_CAL_BLOCKS}
         """
     )
-    # restrict BEFORE the shingle explode: the md5-per-5-gram stream
-    # is the family's dominant cost, and only ~32·_CAL_BLOCKS docs
-    # are sampled — semi-join the doc table first so shingle work is
-    # sample-sized at any corpus scale
     ids.createOrReplaceTempView("_cal_ids")
     sampled_shingles = _sql_shingles("spark", distinct=False).replace(
         "FROM documents",
         f"FROM (SELECT d.* FROM {docs_scan_source(spark, sf_dir)} d"
         " LEFT SEMI JOIN _cal_ids c ON c.doc_id = d.doc_id)",
     )
-    (
-        spark.sql(f"SELECT * FROM ({sampled_shingles})")
-        .distinct()
-        .localCheckpoint()
-    ).createOrReplaceTempView("shingles")
+    spark.sql(
+        f"SELECT doc_id, hs, CAST(size(hs) AS BIGINT) AS sz FROM ("
+        f"  SELECT doc_id, collect_set(h) AS hs"
+        f"  FROM ({sampled_shingles}) GROUP BY doc_id)"
+    ).localCheckpoint().createOrReplaceTempView("cal_sets")
 
 
 def _lsh_calibration_sql(dialect: str) -> str:
@@ -2111,7 +2135,7 @@ def q6k_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. See _lsh_calibration_body for the sampling contract."""
     register_views(spark, sf_dir)
     _materialize_sig(spark, sf_dir)
-    _materialize_cal_shingles(spark, sf_dir)
+    _materialize_cal_sets(spark, sf_dir)
     # r11: ONE documents scan for the pair sample (≤ ~32k pairs by the
     # query text) — both downstream arms read the checkpoint
     spark.sql(
